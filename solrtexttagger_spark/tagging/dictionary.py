@@ -1,0 +1,117 @@
+"""Tag-dictionary build: names DataFrame -> broadcastable TermDict.
+
+Reference equivalent: the Solr index build with the ``tag`` /
+``tagPartial`` / ``tagStop`` field types (schema.xml:52-98) — tokenize,
+lowercase, optional stop filter, then either ConcatenateFilter (one phrase
+term per name, 'whole' mode) or ShingleFilter 1..10 ('partial' mode).
+
+Spark-first shape: analysis runs distributed in an Arrow-batched pandas UDF,
+terms are exploded and aggregated with a plain groupBy, and only the compact
+(term, doc_ids) pairs are collected to the driver to become the broadcast
+sorted-array dictionary (the FST50 analogue, reference README.md:86-91).
+For gazetteer-size dictionaries (1e6..1e8 names) this is exactly the
+broadcast-dim pattern; beyond that, switch to the join-based tagging path
+(see tagging/operator.py notes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from solrtexttagger_spark.analysis.core import (
+    ENGLISH_STOP_WORDS,
+    index_analyze_shingles,
+    index_analyze_whole,
+)
+from solrtexttagger_spark.tagging.core import TermDict
+
+
+@dataclass
+class TagDictionary:
+    """A built dictionary: the broadcastable TermDict plus the doc table
+    (doc_id, id, name, *attrs) used for fq filtering and id translation."""
+
+    term_dict: TermDict
+    docs_df: DataFrame
+    mode: str
+    uses_stopwords: bool
+    id_col: str = "id"
+    name_col: str = "name"
+    attrs: list = field(default_factory=list)
+
+
+def _make_analyze_udf(mode: str, stopwords, max_shingle: int):
+    stop = frozenset(stopwords) if stopwords else None
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def analyze(names: pd.Series) -> pd.Series:
+        if mode == "whole":
+            return names.map(
+                lambda s: ([index_analyze_whole(s, stopwords=stop)] if s else [])
+            )
+        return names.map(
+            lambda s: index_analyze_shingles(s, max_shingle=max_shingle, stopwords=stop)
+            if s
+            else []
+        )
+
+    return analyze
+
+
+def build_tag_dictionary(
+    names_df: DataFrame,
+    *,
+    name_col: str = "name",
+    id_col: str = "id",
+    mode: str = "whole",
+    stopwords=None,
+    use_english_stopwords: bool = False,
+    max_shingle: int = 10,
+) -> TagDictionary:
+    """Build a TagDictionary from a DataFrame of names.
+
+    mode='whole'   -> one concatenated phrase term per name (field type 'tag')
+    mode='partial' -> all 1..max_shingle word shingles   (field type 'tagPartial')
+    stopword filtering at index time models field type 'tagStop'.
+    """
+    if use_english_stopwords and stopwords is None:
+        stopwords = ENGLISH_STOP_WORDS
+    if mode not in ("whole", "partial"):
+        raise ValueError(f"mode must be whole|partial, got {mode}")
+
+    attrs = [c for c in names_df.columns if c not in (name_col, id_col)]
+
+    # Deterministic dense doc_id by id order. Window over a single ORDER BY
+    # is driver-friendly only for dictionary-sized inputs; the engine's
+    # 10^12-file corpus path uses content-hash doc ids (index/build.py).
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(id_col).cast("string"))
+    docs_df = names_df.withColumn("doc_id", F.row_number().over(w) - F.lit(1)).select(
+        "doc_id", F.col(id_col).cast("string").alias("id"),
+        F.col(name_col).alias("name"), *attrs
+    )
+
+    analyze = _make_analyze_udf(mode, stopwords, max_shingle)
+    pairs = (
+        docs_df.select("doc_id", F.explode(analyze(F.col("name"))).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("doc_ids"))
+        .collect()
+    )
+    postings = {r["term"]: tuple(r["doc_ids"]) for r in pairs}
+    term_dict = TermDict(sorted(postings), postings)
+
+    return TagDictionary(
+        term_dict=term_dict,
+        docs_df=docs_df.cache(),
+        mode=mode,
+        uses_stopwords=stopwords is not None,
+        id_col=id_col,
+        name_col=name_col,
+        attrs=attrs,
+    )

@@ -1,0 +1,162 @@
+"""The distributed tag operator — reference: TaggerRequestHandler /tag.
+
+Set-oriented recast: instead of one HTTP request per text, ``tag`` takes a
+DataFrame of texts and runs the sequential per-document tagging loop
+(tagging/core.py) inside an Arrow-batched ``mapInPandas``, with the term
+dictionary shipped once per executor via a Spark broadcast (the in-memory
+FST analogue). Per-request features map as:
+
+  fq (filter queries, AND)    -> Spark SQL predicates on the dictionary docs
+                                 DataFrame, pushed down BEFORE broadcast
+                                 (reference: liveDocs bits,
+                                 TaggerRequestHandler.java:314-351)
+  tagsLimit                   -> per-document collection stop (java:176)
+  matchText                   -> substring column (java:192-193)
+  id translation              -> broadcast join tags.doc_id -> docs.id
+                                 (java:204-226's cache becomes a join)
+  matched-docs 'response'     -> matched_docs() helper (java:278-293)
+
+Scale note (100 TB of input texts): texts are the BIG side and never
+shuffle — the plan is Scan -> MapInPandas -> (optional join with the tiny
+dictionary, broadcast). Dictionary up to ~1e8 names fits broadcast; beyond
+that use shingle-join tagging (explode candidate n-grams + sort-merge join),
+which trades a shuffle of the corpus for no broadcast.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from solrtexttagger_spark.analysis.core import ENGLISH_STOP_WORDS, query_analyze
+from solrtexttagger_spark.tagging.core import tag_text
+from solrtexttagger_spark.tagging.dictionary import TagDictionary
+
+_TAG_SCHEMA = T.StructType(
+    [
+        T.StructField("qdoc_id", T.LongType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("doc_ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def tag(
+    texts_df: DataFrame,
+    dictionary: TagDictionary,
+    *,
+    text_col: str = "text",
+    id_col: str = "qdoc_id",
+    overlaps: str = "NO_SUB",
+    fq: str | list[str] | None = None,
+    ignore_stopwords: bool | None = None,
+    tags_limit: int | None = 1000,
+    min_taggable_len: int | None = None,
+    match_text: bool = False,
+) -> DataFrame:
+    """Tag every text against the dictionary.
+
+    Returns (qdoc_id, start, end, doc_ids array<long>[, match_text]).
+    Use ``translate_ids`` to fan doc_ids out to user ids.
+    """
+    spark = texts_df.sparkSession
+
+    # ignoreStopwords default: true iff the index analyzer used a StopFilter
+    # (reference TaggerRequestHandler.java:124-125, 353-365).
+    if ignore_stopwords is None:
+        ignore_stopwords = dictionary.uses_stopwords
+    stop = ENGLISH_STOP_WORDS if dictionary.uses_stopwords else None
+
+    term_dict = dictionary.term_dict
+    if fq:
+        fqs = [fq] if isinstance(fq, str) else list(fq)
+        live_df = dictionary.docs_df
+        for predicate in fqs:  # AND semantics (TaggerTest.testMultipleFilterQueries)
+            live_df = live_df.filter(predicate)
+        live = {r["doc_id"] for r in live_df.select("doc_id").collect()}
+        term_dict = term_dict.filtered(live)
+
+    bc = spark.sparkContext.broadcast(term_dict)
+    ov = overlaps
+    ig = ignore_stopwords
+    lim = tags_limit
+    mlen = min_taggable_len
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        d = bc.value
+        for pdf in batches:
+            out_q, out_s, out_e, out_ids = [], [], [], []
+            for qid, text in zip(pdf["__qid"], pdf["__text"]):
+                if text is None:
+                    continue
+                tokens = query_analyze(
+                    text, stopwords=stop, min_taggable_len=mlen
+                )
+                for s, e, ids in tag_text(
+                    tokens,
+                    d,
+                    overlaps=ov,
+                    ignore_stopwords=ig,
+                    tags_limit=lim,
+                ):
+                    out_q.append(qid)
+                    out_s.append(s)
+                    out_e.append(e)
+                    out_ids.append(list(ids))
+            yield pd.DataFrame(
+                {
+                    "qdoc_id": pd.Series(out_q, dtype="int64"),
+                    "start": pd.Series(out_s, dtype="int32"),
+                    "end": pd.Series(out_e, dtype="int32"),
+                    "doc_ids": pd.Series(out_ids, dtype="object"),
+                }
+            )
+
+    narrowed = texts_df.select(
+        F.col(id_col).cast("long").alias("__qid"), F.col(text_col).alias("__text")
+    )
+    tags = narrowed.mapInPandas(run, schema=_TAG_SCHEMA)
+
+    if match_text:
+        # matchText = inputString.substring(start, end) (java:192-193),
+        # computed JVM-side via a join back to the (already partitioned)
+        # input — no second Python pass.
+        texts = texts_df.select(
+            F.col(id_col).cast("long").alias("qdoc_id"), F.col(text_col).alias("__t")
+        )
+        tags = (
+            tags.join(texts, "qdoc_id")
+            .withColumn(
+                "match_text", F.expr("substring(__t, start + 1, end - start)")
+            )
+            .drop("__t")
+        )
+    return tags
+
+
+def translate_ids(tags: DataFrame, dictionary: TagDictionary) -> DataFrame:
+    """Explode doc_ids and translate to user ids: one row per (tag, id).
+    Reference: docID -> uniqueKey translation, TaggerRequestHandler.java:204-226."""
+    ids = dictionary.docs_df.select("doc_id", "id")
+    return (
+        tags.select("qdoc_id", "start", "end", F.explode("doc_ids").alias("doc_id"))
+        .join(F.broadcast(ids), "doc_id")
+        .select("qdoc_id", "start", "end", "id")
+    )
+
+
+def matched_docs(
+    tags: DataFrame, dictionary: TagDictionary, rows: int = 10000
+) -> DataFrame:
+    """The 'response' doc list: distinct matched dictionary docs in doc_id
+    order, first ``rows`` (reference TaggerRequestHandler.java:278-293)."""
+    return (
+        tags.select(F.explode("doc_ids").alias("doc_id"))
+        .distinct()
+        .orderBy("doc_id")
+        .limit(rows)
+        .join(F.broadcast(dictionary.docs_df), "doc_id")
+    )
