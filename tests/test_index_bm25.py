@@ -1,0 +1,139 @@
+"""Inverted-index build + BM25 oracles.
+
+Postings equality vs a pure-pandas reference build, and BM25 rank-identity
+(docIDs and float64 scores within 1e-9) vs an independent pure-Python scorer
+with Lucene parameters k1=1.2, b=0.75 (FIXTURES.md §4)."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from solrtexttagger_spark.analysis.core import tokenize
+from solrtexttagger_spark.index.build import build_index, with_doc_ids
+from solrtexttagger_spark.search.bm25 import analyze_query_terms, bm25_topk
+
+DOCS = [
+    (0, "the fast key order sort table scan merge"),
+    (1, "spark group query row data slow small filter the the"),
+    (2, "join a filter window row join stream data group sort merge fast"),
+    (3, "fast column table row filter key fast agg query order join small"),
+    (4, "agg line group hash vector fast column order line"),
+    (5, "fast fast fast"),
+    (6, "key value"),
+]
+QUERIES = [(0, "fast filter"), (1, "the key order"), (2, "vector hash"), (3, "zzz")]
+
+
+def py_tokenize(text):
+    return [w.lower() for w, _s, _e in tokenize(text) if w is not None]
+
+
+def py_index(docs):
+    postings = {}
+    dls = {}
+    for doc_id, text in docs:
+        toks = py_tokenize(text)
+        if not toks:
+            continue
+        dls[doc_id] = len(toks)
+        for pos, t in enumerate(toks):
+            postings.setdefault(t, {}).setdefault(doc_id, []).append(pos)
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    return postings, dls, n, avgdl
+
+
+def py_bm25(docs, queries, k=10, k1=1.2, b=0.75):
+    postings, dls, n, avgdl = py_index(docs)
+    out = {}
+    for qid, q in queries:
+        scores = Counter()
+        for term, qtf in analyze_query_terms(q).items():
+            if term not in postings:
+                continue
+            df = len(postings[term])
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for doc_id, poss in postings[term].items():
+                tf = float(len(poss))
+                dl = float(dls[doc_id])
+                scores[doc_id] += (
+                    idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)) * qtf
+                )
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[qid] = [(r + 1, doc_id, s) for r, (doc_id, s) in enumerate(ranked)]
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module", params=[False, True], ids=["udf", "split"])
+def index(request, docs_df):
+    return build_index(docs_df, use_split=request.param)
+
+
+def test_postings_vs_pandas_reference(index):
+    postings_ref, dls, n, avgdl = py_index(DOCS)
+    assert index.doc_count == n
+    assert index.avgdl == pytest.approx(avgdl)
+    got = {
+        r["term"]: (
+            r["df"],
+            r["cf"],
+            [(p["doc_id"], p["tf"], p["dl"], list(p["positions"])) for p in r["postings"]],
+        )
+        for r in index.postings.collect()
+    }
+    assert set(got) == set(postings_ref)
+    for term, by_doc in postings_ref.items():
+        df, cf, plist = got[term]
+        assert df == len(by_doc)
+        assert cf == sum(len(v) for v in by_doc.values())
+        expected = sorted(
+            (doc_id, len(poss), dls[doc_id], poss) for doc_id, poss in by_doc.items()
+        )
+        assert plist == expected
+
+
+def test_salted_build_identical(docs_df, index):
+    salted = build_index(docs_df, salt_buckets=4)
+    a = {
+        (r["term"], r["df"], r["cf"], tuple((p["doc_id"], p["tf"]) for p in r["postings"]))
+        for r in index.postings.collect()
+    }
+    b = {
+        (r["term"], r["df"], r["cf"], tuple((p["doc_id"], p["tf"]) for p in r["postings"]))
+        for r in salted.postings.collect()
+    }
+    assert a == b
+
+
+def test_bm25_rank_identical(index):
+    expected = py_bm25(DOCS, QUERIES)
+    got = {}
+    for r in bm25_topk(index, QUERIES, k=10).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid in got:
+        got[qid].sort()
+    assert set(got) | {3} == set(expected) | {3}  # qid 3 matches nothing
+    for qid, exp in expected.items():
+        act = got.get(qid, [])
+        assert [(r, d) for r, d, _ in act] == [(r, d) for r, d, _ in exp], f"q{qid}"
+        for (_, _, s_act), (_, _, s_exp) in zip(act, exp):
+            assert s_act == pytest.approx(s_exp, abs=1e-9)
+
+
+def test_with_doc_ids_deterministic(spark):
+    df = spark.createDataFrame(
+        [("r1", "a.py", "c1"), ("r2", "b.py", "c2")], "repo string, path string, commit string"
+    )
+    a = {r["doc_id"] for r in with_doc_ids(df, ["repo", "path", "commit"]).collect()}
+    b = {
+        r["doc_id"]
+        for r in with_doc_ids(df.repartition(7), ["repo", "path", "commit"]).collect()
+    }
+    assert a == b and len(a) == 2
+    assert all(x >= 0 for x in a)

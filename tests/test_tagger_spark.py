@@ -1,0 +1,144 @@
+"""Distributed tag operator oracles — the same reference assertions as
+tests/test_tagger_core.py but through the full Spark path: DataFrame
+dictionary build, broadcast, mapInPandas, fq as Spark SQL predicates,
+matchText, id translation, matched_docs."""
+
+import pytest
+
+from solrtexttagger_spark.tagging.dictionary import build_tag_dictionary
+from solrtexttagger_spark.tagging.operator import matched_docs, tag, translate_ids
+
+N = ["London", "London Business School", "Boston", "City of London", "of", "the"]
+
+
+def names_df(spark, names, **extra_cols):
+    rows = []
+    for i, n in enumerate(names):
+        row = {"id": str(i), "name": n}
+        for c, vals in extra_cols.items():
+            row[c] = vals[i]
+        rows.append(row)
+    return spark.createDataFrame(rows)
+
+
+def texts_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "qdoc_id long, text string"
+    )
+
+
+def collect_tags(df):
+    return {
+        (r["qdoc_id"], r["start"], r["end"], frozenset(r["doc_ids"]))
+        for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def whole_dict(spark):
+    return build_tag_dictionary(names_df(spark, N))
+
+
+def test_whole_matching_no_sub(spark, whole_dict):
+    doc = "City of London Business School"
+    out = tag(
+        texts_df(spark, [doc]),
+        whole_dict,
+        overlaps="NO_SUB",
+        fq="name not in ('of', 'the')",
+    )
+    assert collect_tags(out) == {
+        (0, 0, 14, frozenset([3])),  # City of London
+        (0, 8, 30, frozenset([1])),  # London Business School
+    }
+
+
+def test_multiple_fq_and_semantics(spark):
+    # TaggerTest.testMultipleFilterQueries
+    d = build_tag_dictionary(
+        names_df(
+            spark,
+            N[:4],
+            type=["city", "school", "city", "org"],
+            country=["UK", "UK", "US", "UK"],
+        )
+    )
+    doc = "City of London Business School in Boston"
+    t = texts_df(spark, [doc])
+
+    out = tag(t, d, overlaps="ALL")
+    assert collect_tags(out) == {
+        (0, 0, 14, frozenset([3])),
+        (0, 8, 14, frozenset([0])),
+        (0, 8, 30, frozenset([1])),
+        (0, 34, 40, frozenset([2])),
+    }
+
+    out = tag(t, d, overlaps="ALL", fq="type = 'city'")
+    assert collect_tags(out) == {
+        (0, 8, 14, frozenset([0])),
+        (0, 34, 40, frozenset([2])),
+    }
+
+    out = tag(t, d, overlaps="ALL", fq=["type = 'city'", "country = 'US'"])
+    assert collect_tags(out) == {(0, 34, 40, frozenset([2]))}
+
+
+def test_partial_mode_and_multiple_texts(spark):
+    d = build_tag_dictionary(names_df(spark, N), mode="partial")
+    t = texts_df(spark, ["school", "City of London Business School", "the"])
+    out = tag(t, d, overlaps="NO_SUB", fq="name not in ('of', 'the')")
+    assert collect_tags(out) == {
+        (0, 0, 6, frozenset([1])),
+        (1, 0, 14, frozenset([3])),
+        (1, 8, 30, frozenset([1])),
+    }
+
+
+def test_match_text_and_translate(spark, whole_dict):
+    doc = "in London today"
+    out = tag(texts_df(spark, [doc]), whole_dict, match_text=True)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["match_text"] == "London"
+
+    ids = translate_ids(out, whole_dict).collect()
+    assert [(r["qdoc_id"], r["start"], r["end"], r["id"]) for r in ids] == [
+        (0, 3, 9, "0")
+    ]
+
+
+def test_matched_docs(spark, whole_dict):
+    doc = "City of London Business School"
+    out = tag(
+        texts_df(spark, [doc]),
+        whole_dict,
+        overlaps="ALL",
+        fq="name not in ('of', 'the')",
+    )
+    md = matched_docs(out, whole_dict)
+    assert {(r["doc_id"], r["name"]) for r in md.collect()} == {
+        (0, "London"),
+        (1, "London Business School"),
+        (3, "City of London"),
+    }
+
+
+def test_stopword_dictionary(spark):
+    d = build_tag_dictionary(
+        names_df(spark, ["South of Wales", "A City A"]), use_english_stopwords=True
+    )
+    t = texts_df(spark, ["South of Wales", "A City A"])
+    out = tag(t, d)  # ignore_stopwords defaults to True (index chain had Stop)
+    assert collect_tags(out) == {
+        (0, 0, 14, frozenset([0])),
+        (1, 2, 6, frozenset([1])),
+    }
+    out = tag(t, d, ignore_stopwords=False)
+    assert collect_tags(out) == {(1, 2, 6, frozenset([1]))}
+
+
+def test_tags_limit(spark, whole_dict):
+    doc = " ".join(["Boston"] * 20)
+    out = tag(texts_df(spark, [doc]), whole_dict, tags_limit=5)
+    assert out.count() == 5
