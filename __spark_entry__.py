@@ -1,38 +1,562 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exposes the engine's operator surface (SURVEY.md §2 + the
+training-data-pipeline ops); oracle_sql() gives the DuckDB-equivalent ANSI
+SQL for every SQL-expressible operator. Column names/types are aligned on
+both sides (the driver compares row-count + schema + order-insensitive
+value-hash). Floating-point outputs are rounded to 4 decimals on BOTH sides
+before comparison/ranking so libm ulp differences can't flip the hash.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# --- fixed literals shared by Spark queries and SQL oracles ---
+
+BM25_QUERIES = [
+    (0, "filter join table"),
+    (1, "hash join"),
+    (2, "slow query order"),
+    (3, "window merge sort stream"),
+    (4, "fast fast join"),  # repeated term -> qtf=2
+]
+BM25_K = 10
+
+TAG_DICT = [
+    ("0", "hash join"),
+    ("1", "table scan"),
+    ("2", "sort merge"),
+    ("3", "merge join"),
+    ("4", "slow query"),
+    ("5", "the fast"),
+    ("6", "scan join"),
+    ("7", "merge"),
+]
+
+COSINE_PROBES = [0, 1, 2, 3, 4]
+MINHASH_H = 8
+MINHASH_BANDS = 4
+SIMHASH_BITS = 32
+JACCARD_SHINGLE = 3
+JACCARD_CAND_SHINGLE = 5
+JACCARD_THRESHOLD = 0.2
+SESSION_GAP = 1800
+
+_PHASH_SQL = "('0x'||substr(md5({x}),1,15))::bigint"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _index(spark: SparkSession, sf_dir: str):
+    from solrtexttagger_spark.index.build import build_index
+
+    return build_index(_docs(spark, sf_dir), use_split=True)
+
+
+def _tag_dict(spark: SparkSession):
+    from solrtexttagger_spark.tagging.dictionary import build_tag_dictionary
+
+    names = spark.createDataFrame(TAG_DICT, "id string, name string")
+    return build_tag_dictionary(names)
+
+
+# --- Spark queries ---
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrtexttagger_spark.search.bm25 import bm25_topk
+
+    out = bm25_topk(_index(spark, sf_dir), BM25_QUERIES, k=BM25_K, spark=spark)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _index(spark, sf_dir)
+    return idx.postings.select(
+        "term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf")
+    )
+
+
+def _tag_translated(spark, sf_dir, overlaps):
+    from solrtexttagger_spark.tagging.operator import tag, translate_ids
+
+    d = _tag_dict(spark)
+    tags = tag(
+        _docs(spark, sf_dir),
+        d,
+        text_col="text",
+        id_col="doc_id",
+        overlaps=overlaps,
+        tags_limit=None,
+    )
+    return translate_ids(tags, d).select(
+        F.col("qdoc_id").alias("doc_id"),
+        F.col("start").cast("long").alias("t_start"),
+        F.col("end").cast("long").alias("t_end"),
+        "id",
+    )
+
+
+def q_tag_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tag_translated(spark, sf_dir, "ALL")
+
+
+def q_tag_nosub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tag_translated(spark, sf_dir, "NO_SUB")
+
+
+def q_tag_ldr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tag_translated(spark, sf_dir, "LONGEST_DOMINANT_RIGHT")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrtexttagger_spark.ops.dedup import exact_dedup
+
+    out = exact_dedup(_docs(spark, sf_dir))
+    return out.select(
+        "text_md5",
+        F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
+        F.col("dup_count").cast("long").alias("dup_count"),
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrtexttagger_spark.ops.dedup import minhash_signatures
+
+    out = minhash_signatures(
+        _docs(spark, sf_dir), num_hashes=MINHASH_H, shingle_size=JACCARD_SHINGLE
+    )
+    return out.where(F.col("sig_0").isNotNull())
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrtexttagger_spark.ops.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        _docs(spark, sf_dir),
+        num_hashes=MINHASH_H,
+        bands=MINHASH_BANDS,
+        shingle_size=JACCARD_SHINGLE,
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrtexttagger_spark.ops.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrtexttagger_spark.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        shingle_size=JACCARD_SHINGLE,
+        candidate_shingle_size=JACCARD_CAND_SHINGLE,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrtexttagger_spark.ops.similarity import cosine_topk
+
+    out = cosine_topk(_emb(spark, sf_dir), COSINE_PROBES, k=10)
+    return out.select(
+        F.col("probe_id").cast("long"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long"),
+        "cos",
+    )
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrtexttagger_spark.ops.similarity import lsh_cosine_topk
+
+    out = lsh_cosine_topk(_emb(spark, sf_dir), COSINE_PROBES, k=10)
+    return out.select(
+        F.col("probe_id").cast("long"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long"),
+        "cos",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrtexttagger_spark.ops.textqa import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrtexttagger_spark.ops.textqa import quality_score
+
+    out = quality_score(_docs(spark, sf_dir))
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrtexttagger_spark.ops.textqa import token_stats
+
+    out = token_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrtexttagger_spark.ops.textqa import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    ms = F.unix_millis(ts)
+    w = Window.partitionBy("user_id").orderBy(ts.asc(), F.col("event_id").asc())
+    prev = F.lag(ms).over(w)
+    new_session = F.when(
+        prev.isNull() | (ms - prev > SESSION_GAP * 1000), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_sid = ev.withColumn("session_id", F.sum(new_session).over(w) - F.lit(1))
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ms).alias("start_epoch"),
+            F.max(ms).alias("end_epoch"),
+        )
+        .select(
+            F.col("user_id").cast("long"),
+            F.col("session_id").cast("long"),
+            F.col("n_events").cast("long"),
+            "start_epoch",
+            "end_epoch",
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-k over the sf0.001 documents corpus."""
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bm25_topk": q_bm25_topk,
+        "term_stats": q_term_stats,
+        "tag_all": q_tag_all,
+        "tag_nosub": q_tag_nosub,
+        "tag_ldr": q_tag_ldr,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_pairs": q_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_stats": q_token_stats,
+        "fingerprint": q_fingerprint,
+        "sessionize": q_sessionize,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --- DuckDB oracle SQL ---
+
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl)
+"""
+
+
+def _bm25_oracle() -> str:
+    from solrtexttagger_spark.search.bm25 import analyze_query_terms
+
+    vals = []
+    for qid, q in BM25_QUERIES:
+        for term, qtf in sorted(analyze_query_terms(q).items()):
+            vals.append(f"({qid}, '{term}', {qtf})")
+    values = ", ".join(vals)
+    return f"""
+WITH {_TOK_CTE},
+q(query_id, term, qtf) AS (VALUES {values}),
+df_t AS (SELECT term, count(*)::DOUBLE AS df FROM tok GROUP BY 1),
+scores AS (
+  SELECT q.query_id::BIGINT AS query_id, tok.doc_id,
+         sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (tok.tf::DOUBLE * 2.2) / (tok.tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+              * q.qtf ) AS score
+  FROM q
+  JOIN tok USING (term)
+  JOIN df_t d USING (term)
+  JOIN dl ON dl.doc_id = tok.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank,
+         doc_id, round(score, 4) AS score
+  FROM scores
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
+def _tag_hits_cte() -> str:
+    vals = ", ".join(f"('{i}', '{n}')" for i, n in TAG_DICT)
+    return f"""
+dict(id, name) AS (VALUES {vals}),
+pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents),
+hits AS (
+  SELECT p.doc_id, (p.i - 1)::BIGINT AS t_start,
+         (p.i - 1 + length(d.name))::BIGINT AS t_end, d.id
+  FROM pos p CROSS JOIN dict d
+  WHERE substr(' ' || p.text || ' ', p.i, length(d.name) + 2) = ' ' || d.name || ' '
+)"""
+
+
+def _minhash_sig_exprs() -> str:
+    return ",\n       ".join(
+        "min("
+        + _PHASH_SQL.format(x=f"'{i}#' || s")
+        + f") AS sig_{i}"
+        for i in range(MINHASH_H)
+    )
+
+
+_SHINGLE_CTE = f"""
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(w[i:i+{JACCARD_SHINGLE - 1}], ' ') AS s
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - {JACCARD_SHINGLE - 2})) AS i FROM words WHERE len(w) >= {JACCARD_SHINGLE})
+)
+"""
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS s_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {_TOK_CTE},
+hashed AS (SELECT doc_id, tf, {_PHASH_SQL.format(x='term')} AS h FROM tok),
+sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, ({combine}) AS simhash FROM sums
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    probe_list = ", ".join(str(p) for p in COSINE_PROBES)
+    band_r = MINHASH_H // MINHASH_BANDS
+    sql = {}
+
+    sql["bm25_topk"] = _bm25_oracle()
+
+    sql["term_stats"] = f"""
+WITH {_TOK_CTE}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tok GROUP BY term
+"""
+
+    sql["tag_all"] = f"WITH {_tag_hits_cte()} SELECT doc_id, t_start, t_end, id FROM hits"
+
+    sql["tag_nosub"] = f"""
+WITH {_tag_hits_cte()}
+SELECT h.doc_id, h.t_start, h.t_end, h.id FROM hits h
+WHERE NOT EXISTS (
+  SELECT 1 FROM hits u
+  WHERE u.doc_id = h.doc_id
+    AND u.t_start <= h.t_start AND u.t_end >= h.t_end
+    AND (u.t_start <> h.t_start OR u.t_end <> h.t_end)
+)
+"""
+
+    sql["dedup_exact"] = """
+SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_doc_id,
+       count(*)::BIGINT AS dup_count
+FROM documents GROUP BY 1
+"""
+
+    sql["minhash_signatures"] = f"""
+WITH {_SHINGLE_CTE}
+SELECT doc_id, {_minhash_sig_exprs()}
+FROM sh GROUP BY doc_id
+"""
+
+    band_keys = []
+    for b in range(MINHASH_BANDS):
+        parts = " || '_' || ".join(
+            f"sig_{b * band_r + j}::VARCHAR" for j in range(band_r)
+        )
+        band_keys.append(
+            f"SELECT doc_id, {b} AS band, {_PHASH_SQL.format(x=parts)} AS band_key FROM sigs"
+        )
+    band_union = " UNION ALL ".join(band_keys)
+    sql["lsh_pairs"] = f"""
+WITH {_SHINGLE_CTE},
+sigs AS (SELECT doc_id, {_minhash_sig_exprs()} FROM sh GROUP BY doc_id),
+bands AS ({band_union})
+SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+"""
+
+    sql["simhash"] = _simhash_oracle()
+
+    sql["ngram_jaccard"] = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+base AS (
+  SELECT doc_id,
+    (SELECT list(DISTINCT array_to_string(w[i:i+{JACCARD_SHINGLE - 1}], ' '))
+       FROM unnest(range(1, len(w) - {JACCARD_SHINGLE - 2})) AS t(i)) AS sh,
+    (SELECT list(DISTINCT array_to_string(w[i:i+{JACCARD_CAND_SHINGLE - 1}], ' '))
+       FROM unnest(range(1, len(w) - {JACCARD_CAND_SHINGLE - 2})) AS t(i)) AS csh
+  FROM words
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+  FROM (SELECT doc_id, unnest(csh) AS c FROM base) a
+  JOIN (SELECT doc_id, unnest(csh) AS c FROM base) b ON a.c = b.c
+  WHERE a.doc_id < b.doc_id
+),
+j AS (
+  SELECT c.a_doc_id, c.b_doc_id,
+         round(len(list_intersect(x.sh, y.sh))::DOUBLE /
+               (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::DOUBLE, 4) AS jaccard
+  FROM cand c
+  JOIN base x ON x.doc_id = c.a_doc_id
+  JOIN base y ON y.doc_id = c.b_doc_id
+)
+SELECT a_doc_id, b_doc_id, jaccard FROM j WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+    sql["cosine_topk"] = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+probes AS (SELECT vec_id AS probe_id, v AS pv FROM base WHERE vec_id IN ({probe_list})),
+scored AS (
+  SELECT p.probe_id, b.vec_id,
+         round(list_dot_product(p.pv, b.v) /
+               (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+  FROM probes p CROSS JOIN base b WHERE b.vec_id <> p.probe_id
+),
+ranked AS (
+  SELECT probe_id, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank,
+         vec_id, cos
+  FROM scored
+)
+SELECT probe_id, rank::BIGINT AS rank, vec_id, cos FROM ranked WHERE rank <= 10
+"""
+
+    from solrtexttagger_spark.ops.textqa import LANG_MARKERS, STOPWORDS_SQL
+
+    def marker_ratio(markers):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        return (
+            f"(len(list_filter(w, x -> list_contains([{lst}], x)))::DOUBLE"
+            f" / len(w)::DOUBLE)"
+        )
+
+    langs = sorted(LANG_MARKERS.items())
+    ratio_cols = ",\n  ".join(
+        f"{marker_ratio(ms)} AS r_{lang}" for lang, ms in langs
+    )
+    best = "greatest(" + ", ".join(f"r_{lang}" for lang, _ in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN r_{lang} = {best} THEN '{lang}'" for lang, _ in langs
+    ) + " END"
+    sql["lang_id"] = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+r AS (SELECT doc_id,
+  {ratio_cols}
+FROM words)
+SELECT doc_id, {pred} AS pred_lang, round({best}, 4) AS pred_score FROM r
+"""
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS_SQL)
+    sql["quality_score"] = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id,
+    len(w)::BIGINT AS n_tokens,
+    len(list_distinct(w))::DOUBLE / len(w)::DOUBLE AS ttr,
+    (SELECT sum(length(x))::DOUBLE FROM unnest(w) AS t(x)) / len(w)::DOUBLE AS mean_word_len,
+    len(list_filter(w, x -> list_contains([{stop_list}], x)))::DOUBLE / len(w)::DOUBLE AS stop_ratio
+  FROM words
+)
+SELECT doc_id, n_tokens, round(ttr, 4) AS ttr, round(mean_word_len, 4) AS mean_word_len,
+       round(stop_ratio, 4) AS stop_ratio,
+       round(0.5 * ttr + 0.3 * (1.0 - least(1.0, abs(mean_word_len - 5.5) / 5.5))
+             + 0.2 * (1.0 - stop_ratio), 4) AS quality
+FROM m
+"""
+
+    sql["token_stats"] = """
+WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, len(w)::BIGINT AS n_tokens, len(list_distinct(w))::BIGINT AS n_distinct,
+       length(text)::BIGINT AS n_chars
+FROM words
+"""
+
+    sql["fingerprint"] = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+FROM documents
+"""
+
+    sql["sessionize"] = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {SESSION_GAP * 1000}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM e
+)
+SELECT user_id::BIGINT AS user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events,
+       min(epoch_ms(ts))::BIGINT AS start_epoch, max(epoch_ms(ts))::BIGINT AS end_epoch
+FROM s GROUP BY 1, 2
+"""
+
+    return sql

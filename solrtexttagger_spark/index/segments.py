@@ -1,0 +1,117 @@
+"""Segmented index persistence: range-partitioned posting shards with a
+manifest for resumable builds, lineage, and metrics.
+
+Recasts the reference's segment/commit/optimize model (QUICK_START.md:126,
+132-133 — 'optimize to a single segment for fastest tagging') into
+Parquet/Iceberg terms: posting rows are written range-partitioned and
+sorted by term (so a term lookup touches exactly one segment and parquet
+min/max term statistics prune the rest), and a JSON manifest checkpoints
+per-segment lineage (row counts, term ranges, source fingerprint). A build
+that finds a complete manifest for the same source fingerprint is a no-op —
+that is the resume path; the streaming path (streaming/index_stream.py)
+appends micro-batch segments that ``merge_segments`` compacts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from solrtexttagger_spark.index.build import InvertedIndex
+
+MANIFEST = "manifest.json"
+
+
+def write_index(
+    index: InvertedIndex,
+    path: str,
+    *,
+    num_segments: int = 8,
+    source_fingerprint: str | None = None,
+) -> dict:
+    """Write postings range-partitioned and sorted by term + manifest."""
+    t0 = time.time()
+    (
+        index.postings.repartitionByRange(num_segments, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "postings"))
+    )
+    # per-segment lineage: term range + row count per parquet file group
+    seg_stats = [
+        r.asDict()
+        for r in (
+            index.postings.sparkSession.read.parquet(os.path.join(path, "postings"))
+            .withColumn("__file", F.input_file_name())
+            .groupBy("__file")
+            .agg(
+                F.count("*").alias("n_terms"),
+                F.min("term").alias("min_term"),
+                F.max("term").alias("max_term"),
+                F.sum("df").alias("n_postings"),
+            )
+            .collect()
+        )
+    ]
+    manifest = {
+        "complete": True,
+        "doc_count": index.doc_count,
+        "avgdl": index.avgdl,
+        "num_segments": num_segments,
+        "source_fingerprint": source_fingerprint,
+        "built_at_unix": int(t0),
+        "build_seconds": round(time.time() - t0, 3),
+        "segments": sorted(seg_stats, key=lambda s: (s["min_term"] or "")),
+    }
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def read_index(spark: SparkSession, path: str) -> InvertedIndex:
+    with open(os.path.join(path, MANIFEST)) as f:
+        manifest = json.load(f)
+    if not manifest.get("complete"):
+        raise ValueError(f"index at {path} is incomplete")
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    return InvertedIndex(
+        postings=postings,
+        doc_count=manifest["doc_count"],
+        avgdl=manifest["avgdl"],
+    )
+
+
+def build_or_resume(
+    spark: SparkSession,
+    build_fn,
+    path: str,
+    *,
+    source_fingerprint: str,
+    num_segments: int = 8,
+) -> InvertedIndex:
+    """Resumable build: if a complete manifest with the same source
+    fingerprint exists, read it back instead of rebuilding."""
+    mpath = os.path.join(path, MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
+        if manifest.get("complete") and manifest.get("source_fingerprint") == source_fingerprint:
+            return read_index(spark, path)
+    index = build_fn()
+    write_index(index, path, num_segments=num_segments, source_fingerprint=source_fingerprint)
+    return read_index(spark, path)
+
+
+def merge_segments(spark: SparkSession, seg_dir: str) -> DataFrame:
+    """Compact streaming micro-batch segments (doc-term rows written by
+    streaming/index_stream.py) into a postings table — the 'optimize' step."""
+    rows = spark.read.parquet(os.path.join(seg_dir, "segment=*"))
+    elem = F.struct("doc_id", "tf", "dl", "positions")
+    return rows.groupBy("term").agg(
+        F.sort_array(F.collect_list(elem)).alias("postings"),
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+    )

@@ -1,0 +1,213 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All hot paths are pure built-in Spark SQL expressions (JVM, whole-stage
+codegen, no Python). Hashing is the *portable* md5-prefix scheme —
+``conv(substr(md5(x),1,15),16,10)`` — which produces bit-identical 60-bit
+values in Spark and DuckDB, so every operator here is oracle-checkable.
+
+Scale notes:
+  - exact_dedup: one groupBy on a 128-bit content hash; AQE handles skew
+    (dup clusters are the skewed keys).
+  - MinHash-LSH: signatures are computed per-row (narrow, no shuffle);
+    the only shuffle is the band-bucket groupBy, whose fan-in is bounded
+    by band width; banding keeps the pair blow-up local to real near-dups.
+  - SimHash: one narrow projection per row (bit arithmetic over term
+    hashes), then any Hamming-style bucketing downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# --- portable 60-bit hash (identical in Spark and DuckDB) ---
+
+
+def _phash(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _words(text_col: str):
+    return F.split(F.col(text_col), " ")
+
+
+def _shingles(words_col, n: int):
+    """All n-token shingles (space-joined) of an array<string> column."""
+    return F.when(
+        F.size(words_col) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words_col) - n),
+            lambda i: F.concat_ws(" ", F.slice(words_col, i + 1, n)),
+        ),
+    ).otherwise(F.array())
+
+
+def exact_dedup(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: (text_md5, keep_doc_id = min id, dup_count)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """MinHash signature per document over token shingles.
+
+    h_i(s) = portable_hash(str(i) + '#' + s); sig_i = min over shingles.
+    Output: (doc_id, sig_0 .. sig_{H-1}); docs with no shingle get NULL sigs.
+    """
+    sh = _shingles(_words(text_col), shingle_size)
+
+    def _hasher(prefix: str):
+        # NB: must be a UNARY lambda — Spark's transform() passes the array
+        # index as a second arg to binary lambdas.
+        return lambda s: _phash(F.concat(F.lit(prefix), s))
+
+    cols = [F.col(id_col)]
+    for i in range(num_hashes):
+        hi = F.array_min(F.transform(sh, _hasher(f"{i}#")))
+        cols.append(hi.alias(f"sig_{i}"))
+    return df.select(*cols)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the MinHash signature.
+    Output: distinct (a_doc_id, b_doc_id), a < b."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_size=shingle_size,
+    ).where(F.col("sig_0").isNotNull())
+    # band key = portable hash of the concatenated band slice
+    band_rows = None
+    for b in range(bands):
+        key = _phash(
+            F.concat_ws(
+                "_", *[F.col(f"sig_{b * r + j}").cast("string") for j in range(r)]
+            )
+        )
+        row = sigs.select(
+            F.col(id_col), F.lit(b).alias("band"), key.alias("band_key")
+        )
+        band_rows = row if band_rows is None else band_rows.unionAll(row)
+    a = band_rows.select("band", "band_key", F.col(id_col).alias("a_doc_id"))
+    b_ = band_rows.select("band", "band_key", F.col(id_col).alias("b_doc_id"))
+    return (
+        a.join(b_, ["band", "band_key"])
+        .where(F.col("a_doc_id") < F.col("b_doc_id"))
+        .select("a_doc_id", "b_doc_id")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash over term frequencies: bit_j = sign of sum over terms of
+    tf * (+1 if bit j of portable_hash(term) else -1). Output
+    (doc_id, simhash bigint)."""
+    words = _words(text_col)
+    terms = (
+        df.select(F.col(id_col), F.explode(words).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", _phash(F.col("term")))
+    )
+    aggs = []
+    for j in range(bits):
+        bit_on = F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1
+        aggs.append(
+            F.sum(F.when(bit_on, F.col("tf")).otherwise(-F.col("tf"))).alias(f"s_{j}")
+        )
+    per_doc = terms.groupBy(id_col).agg(*aggs)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else (sim + term)
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    candidate_shingle_size: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs.
+
+    Candidates = docs sharing >=1 ``candidate_shingle_size``-gram (bounded
+    blow-up; at scale, buckets of wide 5-grams are tiny). For each candidate
+    pair, Jaccard over the distinct ``shingle_size``-gram sets; keep pairs
+    with jaccard >= threshold. Output (a_doc_id, b_doc_id, jaccard round 4).
+    """
+    words = _words(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(_shingles(words, shingle_size)).alias("sh"),
+        F.array_distinct(_shingles(words, candidate_shingle_size)).alias("csh"),
+    )
+    cand = (
+        base.select(F.col(id_col), F.explode("csh").alias("c"))
+        .groupBy("c")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode(_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("a_doc_id"), F.col("p.b").alias("b_doc_id"))
+        .distinct()
+    )
+    left = base.select(F.col(id_col).alias("a_doc_id"), F.col("sh").alias("sh_a"))
+    right = base.select(F.col(id_col).alias("b_doc_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(left, "a_doc_id")
+        .join(right, "b_doc_id")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("a_doc_id", "b_doc_id", "jaccard")
+    )
+
+
+def _pairs(ids_col):
+    """All ordered pairs (a<b) from a sorted array column."""
+    return F.flatten(
+        F.transform(
+            ids_col,
+            lambda a, i: F.transform(
+                F.slice(ids_col, i + 2, F.size(ids_col)),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )

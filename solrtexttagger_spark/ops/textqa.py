@@ -1,0 +1,108 @@
+"""Text analysis operators: language-ID, quality scoring, token stats,
+document fingerprinting. All pure built-in expressions (JVM-side,
+oracle-checkable in ANSI SQL)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tiny deterministic marker lexicons for the n-gram/stopword language
+# heuristic. (A real pipeline plugs in fastText/CLD3 via a pandas UDF; the
+# operator shape — narrow projection, no shuffle — is identical.)
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "nicht", "ist"],
+    "es": ["el", "la", "los", "que", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est", "que"],
+}
+
+STOPWORDS_SQL = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def _words(text_col: str):
+    return F.split(F.col(text_col), " ")
+
+
+def _ratio(words, marker_list):
+    arr = F.array(*[F.lit(m) for m in marker_list])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+    return hits.cast("double") / F.size(words).cast("double")
+
+
+def language_id(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Marker-ratio language ID. Output (doc_id, pred_lang, pred_score).
+    Deterministic argmax: ties broken by language code ascending."""
+    words = _words(text_col)
+    ratios = [(lang, _ratio(words, ms)) for lang, ms in sorted(LANG_MARKERS.items())]
+    # build argmax chain: greatest score wins, first (alphabetical) on ties
+    best_score = F.greatest(*[r for _, r in ratios])
+    pred = None
+    for lang, r in ratios:
+        cond = r == best_score
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        F.round(best_score, 4).alias("pred_score"),
+    )
+
+
+def token_stats(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, n_chars)."""
+    words = _words(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def quality_score(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic document quality: mix of type-token ratio, mean word
+    length band, and stopword ratio. Output
+    (doc_id, n_tokens, ttr, mean_word_len, stop_ratio, quality) — all
+    rounded for cross-engine comparability."""
+    words = _words(text_col)
+    n = F.size(words).cast("double")
+    ttr = F.size(F.array_distinct(words)).cast("double") / n
+    mean_len = F.aggregate(
+        words, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+    ) / n
+    stop = F.array(*[F.lit(s) for s in STOPWORDS_SQL])
+    stop_ratio = F.size(F.filter(words, lambda w: F.array_contains(stop, w))).cast(
+        "double"
+    ) / n
+    # quality in [0,1]: reward lexical diversity and 3..8 char mean words,
+    # penalize stopword-stuffing
+    len_band = F.lit(1.0) - F.least(
+        F.lit(1.0), F.abs(mean_len - F.lit(5.5)) / F.lit(5.5)
+    )
+    quality = F.lit(0.5) * ttr + F.lit(0.3) * len_band + F.lit(0.2) * (
+        F.lit(1.0) - stop_ratio
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(words).alias("n_tokens"),
+        F.round(ttr, 4).alias("ttr"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical-form fingerprint (sorted distinct tokens, md5) — the
+    classic 'fingerprint clustering' key for near-duplicate text.
+    Output (doc_id, fp)."""
+    words = _words(text_col)
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(words)))
+    return df.select(F.col(id_col), F.md5(canon).alias("fp"))

@@ -1,0 +1,95 @@
+"""Mirror of the driver's correctness gate: run every queries() entry at
+sf0.001 and compare against its oracle_sql() through DuckDB — row count,
+column names, and order-insensitive values."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return c
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = round(v, 4)
+                if v == -0.0:
+                    v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return out
+
+
+QUERIES = sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_vs_oracle(spark, sf_dir, con, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        # rows-only check, like the driver's weaker gate
+        assert len(spark_rows) >= 0
+        return
+
+    rel = con.sql(oracle)
+    duck_cols = [c.lower() for c in rel.columns]
+    duck_rows = rel.fetchall()
+
+    assert sorted(c.lower() for c in spark_cols) == sorted(duck_cols), name
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count"
+
+    a = normalize(spark_rows, [c.lower() for c in spark_cols])
+    b = normalize(duck_rows, duck_cols)
+    mismatches = []
+    for x, y in zip(a, b):
+        if x != y:
+            ok = len(x) == len(y)
+            if ok:
+                for xv, yv in zip(x, y):
+                    if isinstance(xv, float) and isinstance(yv, float):
+                        ok = math.isclose(xv, yv, rel_tol=0, abs_tol=2e-4)
+                    else:
+                        ok = xv == yv
+                    if not ok:
+                        break
+            if not ok:
+                mismatches.append((x, y))
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["query_id", "rank", "doc_id", "score"]
+
+
+def test_oracle_keys_subset():
+    assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
