@@ -48,16 +48,28 @@ SESSION_GAP = 1800
 _PHASH_SQL = "('0x'||substr(md5({x}),1,15))::bigint"
 
 
+def _nparts(spark: SparkSession) -> int:
+    return spark.sparkContext.defaultParallelism * 2
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # The test parquet files are single-split; repartition so per-row work
+    # parallelizes. At real scale the scan yields many splits and this
+    # becomes a cheap no-op-ish round-robin (or is removed).
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return df.repartition(_nparts(spark))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _load(spark, sf_dir, "documents")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _load(spark, sf_dir, "embeddings")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _load(spark, sf_dir, "events")
 
 
 def _index(spark: SparkSession, sf_dir: str):

@@ -1,0 +1,130 @@
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _materialize(df) -> int:
+    """Force full execution; count() alone can prune, so touch every column
+    via a cheap agg over a hash of all columns."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from solrtexttagger_spark.session import get_spark
+
+    import __spark_entry__ as em
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_bytes = docs.selectExpr("sum(length(text))").collect()[0][0] or 0
+    n_docs = docs.count()
+
+    # q1: inverted-index build (tokenize -> postings materialized)
+    from solrtexttagger_spark.index.build import build_index
+
+    def build():
+        idx = build_index(docs, use_split=True)
+        idx.postings.persist().count()
+        return idx
+
+    idx = timed("q1_index_build", build)
+    secs = max(timings["q1_index_build"], 1e-9)
+    extras["index_build_gb_per_hour"] = round(
+        corpus_bytes / 1e9 / (secs / 3600.0), 3
+    )
+    extras["index_build_docs_per_sec"] = round(n_docs / secs, 1)
+
+    # q2: BM25 top-k latency over a query batch (p95 via per-batch timing)
+    from solrtexttagger_spark.search.bm25 import bm25_topk
+
+    vocab = [
+        "join", "hash", "row", "batch", "scan", "customer", "column",
+        "filter", "small", "slow", "merge", "order", "vector", "line",
+        "table", "fast", "key", "sort", "part", "window", "group", "query",
+        "data", "spark", "stream", "agg", "value",
+    ]
+    queries = [
+        (i, f"{vocab[i % len(vocab)]} {vocab[(i * 7 + 3) % len(vocab)]} {vocab[(i * 13 + 5) % len(vocab)]}")
+        for i in range(40)
+    ]
+    lat = []
+    def bm25_batch():
+        for chunk in range(4):
+            t0 = time.perf_counter()
+            part = queries[chunk * 10 : (chunk + 1) * 10]
+            bm25_topk(idx, part, k=10, spark=spark).collect()
+            lat.append(time.perf_counter() - t0)
+
+    timed("q2_bm25_topk_40q", bm25_batch)
+    extras["bm25_batch10_p95_sec"] = round(sorted(lat)[-1], 3)
+
+    # q3: dictionary tagging (NO_SUB) over the whole corpus
+    timed("q3_tag_nosub", lambda: _materialize(em.q_tag_nosub(spark, sf_dir)))
+
+    # q4: LDR tagging
+    timed("q4_tag_ldr", lambda: _materialize(em.q_tag_ldr(spark, sf_dir)))
+
+    # q5: MinHash-LSH near-dup candidate pairs
+    timed("q5_minhash_lsh", lambda: _materialize(em.q_lsh_pairs(spark, sf_dir)))
+
+    # q6: SimHash fingerprints
+    timed("q6_simhash", lambda: _materialize(em.q_simhash(spark, sf_dir)))
+
+    # q7: embedding cosine top-k (exact brute force)
+    timed("q7_cosine_topk", lambda: _materialize(em.q_cosine_topk(spark, sf_dir)))
+
+    # q8: text QA (quality + lang id + fingerprint)
+    def qa():
+        n = _materialize(em.q_quality_score(spark, sf_dir))
+        n += _materialize(em.q_lang_id(spark, sf_dir))
+        n += _materialize(em.q_fingerprint(spark, sf_dir))
+        return n
+
+    timed("q8_text_qa", qa)
+
+    # q9: sessionization over events
+    timed("q9_sessionize", lambda: _materialize(em.q_sessionize(spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "engine_headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "corpus_bytes": int(corpus_bytes),
+        "n_docs": int(n_docs),
+        **extras,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

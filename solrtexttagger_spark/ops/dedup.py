@@ -100,24 +100,28 @@ def lsh_candidate_pairs(
         num_hashes=num_hashes,
         shingle_size=shingle_size,
     ).where(F.col("sig_0").isNotNull())
-    # band key = portable hash of the concatenated band slice
-    band_rows = None
+    # One pass: explode the per-row band keys (signatures computed once),
+    # then bucket-group and emit in-bucket pairs — one shuffle, no
+    # self-join, bucket fan-out bounded by real near-dup cluster sizes.
+    band_structs = []
     for b in range(bands):
         key = _phash(
             F.concat_ws(
                 "_", *[F.col(f"sig_{b * r + j}").cast("string") for j in range(r)]
             )
         )
-        row = sigs.select(
-            F.col(id_col), F.lit(b).alias("band"), key.alias("band_key")
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), key.alias("band_key"))
         )
-        band_rows = row if band_rows is None else band_rows.unionAll(row)
-    a = band_rows.select("band", "band_key", F.col(id_col).alias("a_doc_id"))
-    b_ = band_rows.select("band", "band_key", F.col(id_col).alias("b_doc_id"))
+    band_rows = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     return (
-        a.join(b_, ["band", "band_key"])
-        .where(F.col("a_doc_id") < F.col("b_doc_id"))
-        .select("a_doc_id", "b_doc_id")
+        band_rows.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode(_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("a_doc_id"), F.col("p.b").alias("b_doc_id"))
         .distinct()
     )
 
