@@ -102,7 +102,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index(spark, sf_dir)
-    return idx.postings.select(
+    return idx.term_stats.select(
         "term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf")
     )
 
@@ -307,7 +307,9 @@ tok AS (
   WHERE w <> '' GROUP BY 1, 2
 ),
 dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tok GROUP BY 1),
-stats AS (SELECT count(*)::DOUBLE AS n, (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl)
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT sum(tf) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl)
 """
 
 

@@ -6,9 +6,18 @@ Shape of the plan (one shuffle):
   Scan (Parquet/Iceberg, column-pruned to id + text)
     -> MapInPandas tokenize + PER-DOC TERM AGGREGATION   <- map-side combine
          emits (doc_id, term, tf, positions, dl) rows     in Python, so the
-    -> groupBy(term) [optionally salted two-phase]        shuffle carries
-    -> postings(term, df, cf, postings[])                 per-doc-term rows,
-                                                          never raw tokens
+    -> groupBy(term, seg)                                 shuffle carries
+    -> postings(term, seg, df_seg, cf_seg, postings[])    per-doc-term rows,
+    -> term_stats(term, df, cf)  [tiny second-level agg]  never raw tokens
+
+**Postings are SEGMENTED**: seg = hash(doc_id) % num_segments. This is
+Lucene's segment model and simultaneously the salted two-phase aggregation
+the 10^12-file design needs — without it, a stopword-grade term ("the",
+appearing in ~every doc) becomes ONE array row with 10^12 entries (OOM) and
+aggregate parallelism is capped at |vocabulary|. With segments, every
+posting shard is bounded (~corpus/num_segments), parallelism is
+|vocab| x num_segments, and each (term, seg) shard later becomes one
+compressed block with a max-impact score for block-max WAND.
 
 Doc ids: content-addressed 60-bit ids derived from sha2 over the natural-key
 columns — deterministic, stable under any partitioning/parallelism (unlike
@@ -52,15 +61,47 @@ POSTING_ELEM = T.StructType(
 
 @dataclass
 class InvertedIndex:
-    """postings: (term, df, cf, postings array<struct<doc_id,tf,dl,positions>>)
-    doc_count / avgdl: corpus stats needed by BM25."""
+    """postings: (term, seg, df_seg, cf_seg,
+                  postings array<struct<doc_id,tf,dl,positions>>)
+    term_stats: (term, df, cf) — global per-term stats (tiny; broadcastable)
+    doc_count / avgdl: corpus stats needed by BM25.
+
+    avgdl is lazy (total term count is derived from term_stats on first
+    use) so the build itself stays a single tokenize->shuffle->agg job with
+    no extra pass and no corpus-wide cache."""
 
     postings: DataFrame
+    term_stats: DataFrame
     doc_count: int
-    avgdl: float
+    num_segments: int = 1
+    _avgdl: float | None = None
+
+    @property
+    def avgdl(self) -> float:
+        if self._avgdl is None:
+            total = self.term_stats.agg(F.sum("cf")).collect()[0][0] or 0
+            self._avgdl = total / self.doc_count if self.doc_count else 0.0
+        return self._avgdl
 
     def stats(self) -> dict:
-        return {"doc_count": self.doc_count, "avgdl": self.avgdl}
+        return {
+            "doc_count": self.doc_count,
+            "avgdl": self.avgdl,
+            "num_segments": self.num_segments,
+        }
+
+    def merged_postings(self) -> DataFrame:
+        """Global one-row-per-term view (test/debug convenience only —
+        unbounded row size at scale; the engine itself always operates on
+        segmented postings)."""
+        return (
+            self.postings.groupBy("term")
+            .agg(
+                F.array_sort(F.flatten(F.collect_list("postings"))).alias("postings"),
+                F.sum("df_seg").alias("df"),
+                F.sum("cf_seg").alias("cf"),
+            )
+        )
 
 
 def with_doc_ids(df: DataFrame, key_cols: list[str], out_col: str = "doc_id") -> DataFrame:
@@ -155,54 +196,51 @@ def build_index(
     doc_id_col: str = "doc_id",
     lowercase: bool = True,
     use_split: bool = False,
-    salt_buckets: int | None = None,
+    num_segments: int | None = None,
 ) -> InvertedIndex:
-    """Build the inverted index.
+    """Build the segmented inverted index.
 
-    salt_buckets: two-phase salted aggregation for skewed (stopword-heavy)
-    terms — phase 1 groups by (term, hash(doc_id) % salt) bounding any
-    single task's list; phase 2 merges the partial lists per term. With AQE
-    skew handling this is optional below ~1e9 docs; explicit salting is the
-    10^12-scale path (SURVEY.md §4).
+    num_segments: number of doc-hash segments per term (default
+    2 x defaultParallelism). This IS the two-phase salted aggregation for
+    skewed stopword-grade terms (SURVEY.md §4) — kept as the permanent
+    layout instead of re-merged, because bounded shards are also what the
+    query side and the compression blocks want.
     """
+    spark = df.sparkSession
+    if num_segments is None:
+        num_segments = max(2, spark.sparkContext.defaultParallelism * 2)
+
     rows = doc_term_rows(
         df,
         text_col=text_col,
         doc_id_col=doc_id_col,
         lowercase=lowercase,
         use_split=use_split,
-    ).persist()  # one tokenize pass feeds both the stats agg and the postings shuffle
+    )
 
     elem = F.struct("doc_id", "tf", "dl", "positions")
-    if salt_buckets and salt_buckets > 1:
-        partial = (
-            rows.withColumn("__salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets)))
-            .groupBy("term", "__salt")
-            .agg(
-                F.sort_array(F.collect_list(elem)).alias("p_postings"),
-                F.count("*").alias("p_df"),
-                F.sum("tf").alias("p_cf"),
-            )
+    postings = (
+        rows.withColumn(
+            "seg", F.pmod(F.xxhash64("doc_id"), F.lit(num_segments)).cast("int")
         )
-        postings = partial.groupBy("term").agg(
-            F.array_sort(F.flatten(F.collect_list("p_postings"))).alias("postings"),
-            F.sum("p_df").alias("df"),
-            F.sum("p_cf").alias("cf"),
-        )
-    else:
-        postings = rows.groupBy("term").agg(
+        .groupBy("term", "seg")
+        .agg(
             F.sort_array(F.collect_list(elem)).alias("postings"),
-            F.count("*").alias("df"),
-            F.sum("tf").alias("cf"),
+            F.count("*").alias("df_seg"),
+            F.sum("tf").alias("cf_seg"),
         )
+    )
+    term_stats = postings.groupBy("term").agg(
+        F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf")
+    )
 
-    # Corpus stats in one small agg over the persisted rows. N = docs with at
-    # least one token (Lucene's per-field docCount semantics, which BM25 idf
-    # uses); avgdl = total tokens / N.
-    agg = rows.agg(
-        F.sum("tf").alias("total_terms"),
-        F.countDistinct("doc_id").alias("n"),
-    ).collect()[0]
-    n = agg["n"] or 0
-    avgdl = (agg["total_terms"] or 0) / n if n else 0.0
-    return InvertedIndex(postings=postings, doc_count=n, avgdl=float(avgdl))
+    # N = corpus row count (cheap: parquet metadata count or cached input);
+    # avgdl derives lazily from term_stats (sum cf / N), so no second
+    # tokenize pass and no corpus-wide cache.
+    n = df.count()
+    return InvertedIndex(
+        postings=postings,
+        term_stats=term_stats,
+        doc_count=n,
+        num_segments=num_segments,
+    )

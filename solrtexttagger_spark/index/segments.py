@@ -35,10 +35,13 @@ def write_index(
     """Write postings range-partitioned and sorted by term + manifest."""
     t0 = time.time()
     (
-        index.postings.repartitionByRange(num_segments, "term")
-        .sortWithinPartitions("term")
+        index.postings.repartitionByRange(num_segments, "term", "seg")
+        .sortWithinPartitions("term", "seg")
         .write.mode("overwrite")
         .parquet(os.path.join(path, "postings"))
+    )
+    index.term_stats.write.mode("overwrite").parquet(
+        os.path.join(path, "term_stats")
     )
     # per-segment lineage: term range + row count per parquet file group
     seg_stats = [
@@ -51,7 +54,7 @@ def write_index(
                 F.count("*").alias("n_terms"),
                 F.min("term").alias("min_term"),
                 F.max("term").alias("max_term"),
-                F.sum("df").alias("n_postings"),
+                F.sum("df_seg").alias("n_postings"),
             )
             .collect()
         )
@@ -60,6 +63,7 @@ def write_index(
         "complete": True,
         "doc_count": index.doc_count,
         "avgdl": index.avgdl,
+        "index_num_segments": index.num_segments,
         "num_segments": num_segments,
         "source_fingerprint": source_fingerprint,
         "built_at_unix": int(t0),
@@ -77,10 +81,13 @@ def read_index(spark: SparkSession, path: str) -> InvertedIndex:
     if not manifest.get("complete"):
         raise ValueError(f"index at {path} is incomplete")
     postings = spark.read.parquet(os.path.join(path, "postings"))
+    term_stats = spark.read.parquet(os.path.join(path, "term_stats"))
     return InvertedIndex(
         postings=postings,
+        term_stats=term_stats,
         doc_count=manifest["doc_count"],
-        avgdl=manifest["avgdl"],
+        num_segments=manifest.get("index_num_segments", 1),
+        _avgdl=manifest["avgdl"],
     )
 
 
@@ -105,13 +112,22 @@ def build_or_resume(
     return read_index(spark, path)
 
 
-def merge_segments(spark: SparkSession, seg_dir: str) -> DataFrame:
+def merge_segments(
+    spark: SparkSession, seg_dir: str, *, num_segments: int = 8
+) -> DataFrame:
     """Compact streaming micro-batch segments (doc-term rows written by
-    streaming/index_stream.py) into a postings table — the 'optimize' step."""
+    streaming/index_stream.py) into a segmented postings table — the
+    'optimize' step."""
     rows = spark.read.parquet(os.path.join(seg_dir, "segment=*"))
     elem = F.struct("doc_id", "tf", "dl", "positions")
-    return rows.groupBy("term").agg(
-        F.sort_array(F.collect_list(elem)).alias("postings"),
-        F.count("*").alias("df"),
-        F.sum("tf").alias("cf"),
+    return (
+        rows.withColumn(
+            "seg", F.pmod(F.xxhash64("doc_id"), F.lit(num_segments)).cast("int")
+        )
+        .groupBy("term", "seg")
+        .agg(
+            F.sort_array(F.collect_list(elem)).alias("postings"),
+            F.count("*").alias("df_seg"),
+            F.sum("tf").alias("cf_seg"),
+        )
     )

@@ -64,7 +64,10 @@ def bm25_topk(
     n = float(index.doc_count)
     avgdl = float(index.avgdl) if index.avgdl else 1.0
 
-    joined = postings.join(F.broadcast(qdf), "term")
+    # global df comes from the tiny term_stats table; the segmented postings
+    # join stays a broadcast hash join on term
+    qstats = qdf.join(index.term_stats, "term")
+    joined = postings.join(F.broadcast(qstats), "term")
     ex = joined.select(
         "query_id",
         "qtf",

@@ -39,7 +39,7 @@ def py_index(docs):
         dls[doc_id] = len(toks)
         for pos, t in enumerate(toks):
             postings.setdefault(t, {}).setdefault(doc_id, []).append(pos)
-    n = len(dls)
+    n = len(docs)  # corpus count (engine semantics: N = corpus rows)
     avgdl = sum(dls.values()) / n
     return postings, dls, n, avgdl
 
@@ -85,7 +85,7 @@ def test_postings_vs_pandas_reference(index):
             r["cf"],
             [(p["doc_id"], p["tf"], p["dl"], list(p["positions"])) for p in r["postings"]],
         )
-        for r in index.postings.collect()
+        for r in index.merged_postings().collect()
     }
     assert set(got) == set(postings_ref)
     for term, by_doc in postings_ref.items():
@@ -98,17 +98,25 @@ def test_postings_vs_pandas_reference(index):
         assert plist == expected
 
 
-def test_salted_build_identical(docs_df, index):
-    salted = build_index(docs_df, salt_buckets=4)
-    a = {
-        (r["term"], r["df"], r["cf"], tuple((p["doc_id"], p["tf"]) for p in r["postings"]))
-        for r in index.postings.collect()
-    }
-    b = {
-        (r["term"], r["df"], r["cf"], tuple((p["doc_id"], p["tf"]) for p in r["postings"]))
-        for r in salted.postings.collect()
-    }
-    assert a == b
+def test_segment_count_invariant(docs_df, index):
+    # the merged view must be identical regardless of segmentation level
+    other = build_index(docs_df, num_segments=3)
+    assert other.num_segments == 3
+    def merged(ix):
+        return {
+            (r["term"], r["df"], r["cf"],
+             tuple((p["doc_id"], p["tf"]) for p in r["postings"]))
+            for r in ix.merged_postings().collect()
+        }
+    assert merged(index) == merged(other)
+    # every shard is bounded by its segment's doc population
+    seg_rows = other.postings.collect()
+    assert all(r["seg"] in (0, 1, 2) for r in seg_rows)
+    # BM25 results must also be segmentation-invariant
+    a = bm25_topk(index, QUERIES, k=10).collect()
+    b = bm25_topk(other, QUERIES, k=10).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"])
+    assert sorted(map(key, a)) == sorted(map(key, b))
 
 
 def test_bm25_rank_identical(index):

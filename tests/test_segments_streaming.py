@@ -1,0 +1,154 @@
+"""Segment persistence, resumable builds, streaming incremental indexing,
+and multimodal plumbing."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from solrtexttagger_spark.index.build import build_index
+from solrtexttagger_spark.index.segments import (
+    MANIFEST,
+    build_or_resume,
+    merge_segments,
+    read_index,
+    write_index,
+)
+from solrtexttagger_spark.search.bm25 import bm25_topk
+
+DOCS = [
+    (0, "the fast key order sort table scan merge"),
+    (1, "spark group query row data slow small filter the the"),
+    (2, "join a filter window row join stream data group sort merge fast"),
+    (3, "fast column table row filter key fast agg query order join small"),
+]
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _merged(ix):
+    return {
+        (r["term"], r["df"], r["cf"], tuple((p["doc_id"], p["tf"]) for p in r["postings"]))
+        for r in ix.merged_postings().collect()
+    }
+
+
+def test_write_read_roundtrip(spark, docs_df, tmp_path):
+    idx = build_index(docs_df, num_segments=3)
+    manifest = write_index(idx, str(tmp_path / "ix"), source_fingerprint="fp1")
+    assert manifest["complete"] and manifest["doc_count"] == 4
+    assert manifest["segments"], "per-segment lineage must be recorded"
+    assert all(s["n_terms"] > 0 for s in manifest["segments"])
+
+    back = read_index(spark, str(tmp_path / "ix"))
+    assert back.doc_count == idx.doc_count
+    assert back.avgdl == pytest.approx(idx.avgdl)
+    assert _merged(back) == _merged(idx)
+
+    # BM25 over the persisted index is identical to the in-memory one
+    q = [(0, "fast filter"), (1, "the key")]
+    a = sorted((r["query_id"], r["rank"], r["doc_id"]) for r in bm25_topk(idx, q, spark=spark).collect())
+    b = sorted((r["query_id"], r["rank"], r["doc_id"]) for r in bm25_topk(back, q, spark=spark).collect())
+    assert a == b
+
+
+def test_build_or_resume_skips_rebuild(spark, docs_df, tmp_path):
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return build_index(docs_df, num_segments=2)
+
+    p = str(tmp_path / "ix")
+    ix1 = build_or_resume(spark, builder, p, source_fingerprint="abc")
+    assert len(calls) == 1
+    ix2 = build_or_resume(spark, builder, p, source_fingerprint="abc")
+    assert len(calls) == 1, "resume must not rebuild for the same fingerprint"
+    assert _merged(ix1) == _merged(ix2)
+
+    build_or_resume(spark, builder, p, source_fingerprint="other")
+    assert len(calls) == 2, "changed source fingerprint must rebuild"
+
+    # incomplete manifest -> rebuild
+    with open(os.path.join(p, MANIFEST)) as f:
+        m = json.load(f)
+    m["complete"] = False
+    with open(os.path.join(p, MANIFEST), "w") as f:
+        json.dump(m, f)
+    build_or_resume(spark, builder, p, source_fingerprint="other")
+    assert len(calls) == 3
+
+
+def test_streaming_incremental_index(spark, docs_df, tmp_path):
+    from solrtexttagger_spark.streaming.index_stream import incremental_index_stream
+
+    src = str(tmp_path / "src")
+    docs_df.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = str(tmp_path / "segs")
+    q = incremental_index_stream(stream, out, trigger_once=True)
+    q.awaitTermination(120)
+
+    merged = merge_segments(spark, out, num_segments=2)
+    batch = build_index(docs_df, num_segments=2)
+
+    def norm(df):
+        return {
+            (r["term"], tuple((p["doc_id"], p["tf"]) for p in sorted(r["postings"])))
+            for r in df.groupBy("term")
+            .agg(F.array_sort(F.flatten(F.collect_list("postings"))).alias("postings"))
+            .collect()
+        }
+
+    assert norm(merged) == norm(batch.postings)
+
+
+def test_multimodal_meta(spark):
+    from solrtexttagger_spark.ops.multimodal import extract_media_meta, fake_decode_meta
+
+    rows = [(i, bytes([i] * (10 + i))) for i in range(5)]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    out = {r["media_id"]: r for r in extract_media_meta(df).collect()}
+    assert len(out) == 5
+    for i, data in rows:
+        fmt, w, h = fake_decode_meta(data)
+        r = out[i]
+        assert (r["format"], r["width"], r["height"]) == (fmt, w, h)
+        assert r["n_bytes"] == len(data)
+        assert len(r["sha256"]) == 64
+
+
+def test_decode_image_stubbed():
+    from solrtexttagger_spark.ops import multimodal
+
+    if not multimodal._HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"xx")
+
+
+def test_sessionize_stream_plan(spark, tmp_path):
+    """session_window streaming plan builds and runs with availableNow."""
+    from solrtexttagger_spark.streaming.sessionize import sessionize_stream
+
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"), (2, "2024-01-01 01:00:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sess_test").collect()
+    got = {(r["user_id"], r["n_events"]) for r in rows}
+    assert got == {(1, 2), (2, 1)}
