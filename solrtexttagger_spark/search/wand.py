@@ -1,0 +1,218 @@
+"""Block-max WAND top-k over the compressed segmented index.
+
+Key structural fact making distributed pruning EXACT here: documents are
+hash-assigned to exactly one segment (index/build.py), so a document's whole
+BM25 score accumulates inside one segment, and the segment-level upper bound
+  ub(q, seg) = Σ_t idf_t · qtf_t · f(max_tf[t,seg], min_dl[t,seg])
+bounds every document score in that segment. Pruning:
+
+  phase 0 (JVM, metadata only — no block decode): compute ub(q, seg) by
+          joining block metadata with the query terms
+  phase 1 (Python, tiny): score ONLY the highest-ub segment per query ->
+          threshold θ_q = k-th best score found
+  phase 2: decode + score only segments with ub(q, seg) > θ_q; all other
+          segments are provably irrelevant and never decoded
+
+Scoring inside a segment is vectorized numpy (decode blocks, bincount-sum
+contributions per doc, argpartition top-k). Results are rank-identical to
+the exhaustive DataFrame scorer (search/bm25.py) up to float-sum ordering.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+from solrtexttagger_spark.index.compressed import CompressedIndex
+from solrtexttagger_spark.index.compression import (
+    bm25_upper_bound,
+    decode_postings_block,
+)
+from solrtexttagger_spark.search.bm25 import K1, B, analyze_query_terms
+
+_SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def _score_segment(qterms, term_blocks, k):
+    """qterms: [(term, weight=idf*qtf)]; term_blocks: {term: block bytes}.
+    Returns (doc_ids, scores) of the local top-k."""
+    all_docs, all_contrib = [], []
+    for term, weight, k1, b, avgdl in qterms:
+        blk = term_blocks.get(term)
+        if blk is None:
+            continue
+        doc_ids, tfs, dls = decode_postings_block(bytes(blk))
+        tf = tfs.astype(np.float64)
+        dl = dls.astype(np.float64)
+        contrib = weight * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        all_docs.append(doc_ids)
+        all_contrib.append(contrib)
+    if not all_docs:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    docs = np.concatenate(all_docs)
+    contrib = np.concatenate(all_contrib)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    scores = np.bincount(inv, weights=contrib, minlength=len(uniq))
+    if len(uniq) > k:
+        part = np.argpartition(-scores, k - 1)[:k]
+        # deterministic order among the kept candidates
+        order = part[np.lexsort((uniq[part], -scores[part]))]
+    else:
+        order = np.lexsort((uniq, -scores))
+    return uniq[order], scores[order]
+
+
+def wand_topk(
+    cindex: CompressedIndex,
+    queries,
+    *,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    spark: SparkSession | None = None,
+    prune_stats: dict | None = None,
+) -> DataFrame:
+    """Top-k BM25 via block-max segment pruning. queries: [(qid, text)].
+    Returns (query_id, rank, doc_id, score). Pass ``prune_stats={}`` to get
+    back {'segments_total', 'segments_scored'}."""
+    spark = spark or cindex.blocks.sparkSession
+    n = float(cindex.doc_count)
+    avgdl = float(cindex.avgdl) if cindex.avgdl else 1.0
+
+    qbags = {qid: analyze_query_terms(q) for qid, q in queries}
+    terms = sorted({t for bag in qbags.values() for t in bag})
+    if not terms:
+        return spark.createDataFrame([], "query_id long, rank long, doc_id long, score double")
+
+    # global df for idf (tiny collect)
+    df_map = {
+        r["term"]: r["df"]
+        for r in cindex.term_stats.where(F.col("term").isin(terms)).collect()
+    }
+    weights = {}  # (qid, term) -> idf*qtf
+    for qid, bag in qbags.items():
+        for t, qtf in bag.items():
+            if t in df_map:
+                idf = math.log(1.0 + (n - df_map[t] + 0.5) / (df_map[t] + 0.5))
+                weights[(qid, t)] = idf * qtf
+
+    # phase 0: metadata-only upper bounds per (query, seg)
+    meta = (
+        cindex.blocks.where(F.col("term").isin(terms))
+        .select("term", "seg", "max_tf", "min_dl")
+        .collect()
+    )
+    ub: dict[tuple[int, int], float] = {}
+    for r in meta:
+        f_ub = bm25_upper_bound(r["max_tf"], r["min_dl"], avgdl, k1, b)
+        for qid in qbags:
+            w = weights.get((qid, r["term"]))
+            if w is not None:
+                key = (qid, r["seg"])
+                ub[key] = ub.get(key, 0.0) + w * f_ub
+
+    blocks = (
+        cindex.blocks.where(F.col("term").isin(terms))
+        .select("seg", "term", "block")
+        .persist()
+    )
+
+    qterm_list = {
+        qid: [
+            (t, weights[(qid, t)], k1, b, avgdl)
+            for t in sorted(bag)
+            if (qid, t) in weights
+        ]
+        for qid, bag in qbags.items()
+    }
+
+    def run_segments(wanted: dict[int, set[int]]):
+        """wanted: qid -> set of segs to score. Returns scored DataFrame."""
+        seg_to_q: dict[int, list[int]] = {}
+        for qid, segs in wanted.items():
+            for s in segs:
+                seg_to_q.setdefault(s, []).append(qid)
+        if not seg_to_q:
+            return None
+        bc = spark.sparkContext.broadcast((seg_to_q, qterm_list, k))
+
+        def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            seg = int(key[0])
+            seg_to_q_, qterms_, k_ = bc.value
+            qids = seg_to_q_.get(seg, [])
+            term_blocks = dict(zip(pdf["term"], pdf["block"]))
+            out_q, out_d, out_s = [], [], []
+            for qid in qids:
+                docs, scores = _score_segment(qterms_[qid], term_blocks, k_)
+                out_q.extend([qid] * len(docs))
+                out_d.extend(docs.tolist())
+                out_s.extend(scores.tolist())
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "doc_id": pd.Series(out_d, dtype="int64"),
+                    "score": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+        segs_needed = sorted(seg_to_q)
+        return (
+            blocks.where(F.col("seg").isin(segs_needed))
+            .groupBy("seg")
+            .applyInPandas(fn, schema=_SCORE_SCHEMA)
+        )
+
+    # phase 1: the single highest-ub segment per query
+    first_seg = {}
+    for qid in qbags:
+        cands = [(s, v) for (q, s), v in ub.items() if q == qid]
+        if cands:
+            first_seg[qid] = {max(cands, key=lambda sv: sv[1])[0]}
+    phase1 = run_segments(first_seg)
+    if phase1 is not None:
+        phase1 = phase1.persist()  # reused: θ extraction + final union
+    theta: dict[int, float] = {}
+    phase1_rows = phase1.collect() if phase1 is not None else []
+    by_q: dict[int, list[float]] = {}
+    for r in phase1_rows:
+        by_q.setdefault(r["query_id"], []).append(r["score"])
+    for qid, scores in by_q.items():
+        scores.sort(reverse=True)
+        theta[qid] = scores[k - 1] if len(scores) >= k else -math.inf
+
+    # phase 2: only segments whose upper bound beats θ
+    rest = {}
+    scored_segs = {qid: set(first_seg.get(qid, set())) for qid in qbags}
+    for (qid, seg), bound in ub.items():
+        if seg in scored_segs.get(qid, set()):
+            continue
+        if bound > theta.get(qid, -math.inf):
+            rest.setdefault(qid, set()).add(seg)
+            scored_segs[qid].add(seg)
+    phase2 = run_segments(rest)
+
+    if prune_stats is not None:
+        total = sum(1 for _ in ub)
+        scored = sum(len(v) for v in scored_segs.values())
+        prune_stats.update({"segments_total": total, "segments_scored": scored})
+
+    parts = [p for p in (phase1, phase2) if p is not None]
+    if not parts:
+        return spark.createDataFrame([], "query_id long, rank long, doc_id long, score double")
+    allscores = parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        allscores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score")
+    )

@@ -35,4 +35,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle spill directory: prefer the RAM-backed tmpfs when present
+    # (cluster equivalent: NVMe-local scratch). Keeps shuffle I/O from
+    # serializing CPU-bound jobs on slow container overlay disks.
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     return builder.getOrCreate()

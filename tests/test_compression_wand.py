@@ -1,0 +1,155 @@
+"""Codec roundtrips (property-based) + compressed-index equivalence +
+block-max WAND rank-identity vs the exhaustive scorer, with proof that
+pruning actually skips segments."""
+
+import random
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from solrtexttagger_spark.index.build import build_index
+from solrtexttagger_spark.index.compressed import compress_index
+from solrtexttagger_spark.index.compression import (
+    decode_postings_block,
+    encode_postings_block,
+    varint_decode,
+    varint_encode,
+)
+from solrtexttagger_spark.search.bm25 import bm25_topk
+from solrtexttagger_spark.search.wand import wand_topk
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=300
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    enc = varint_encode(arr)
+    dec = varint_decode(enc)
+    assert dec.tolist() == arr.tolist()
+
+
+@given(st.data())
+@settings(max_examples=100, deadline=None)
+def test_postings_block_roundtrip(data):
+    n = data.draw(st.integers(min_value=0, max_value=200))
+    doc_ids = sorted(
+        data.draw(
+            st.sets(st.integers(min_value=0, max_value=2**60), min_size=n, max_size=n)
+        )
+    )
+    tfs = [data.draw(st.integers(min_value=1, max_value=1000)) for _ in range(n)]
+    dls = [data.draw(st.integers(min_value=1, max_value=100000)) for _ in range(n)]
+    blk = encode_postings_block(
+        np.array(doc_ids, dtype=np.int64),
+        np.array(tfs, dtype=np.int64),
+        np.array(dls, dtype=np.int64),
+    )
+    d, t, l = decode_postings_block(blk)
+    assert d.tolist() == doc_ids
+    assert t.tolist() == tfs
+    assert l.tolist() == dls
+
+
+def test_compression_ratio():
+    n = 10000
+    doc_ids = np.cumsum(np.random.RandomState(7).randint(1, 50, n)).astype(np.int64)
+    tfs = np.random.RandomState(8).randint(1, 5, n).astype(np.int64)
+    dls = np.random.RandomState(9).randint(50, 500, n).astype(np.int64)
+    blk = encode_postings_block(doc_ids, tfs, dls)
+    raw = n * (8 + 4 + 4)  # int64 doc + int32 tf + int32 dl
+    assert len(blk) < raw * 0.45, f"block {len(blk)}B vs raw {raw}B"
+
+
+# ---- Spark-level: compressed index + WAND ----
+
+def _random_corpus(n_docs=300, vocab=120, seed=11):
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    # zipf-ish skew: low ids much more frequent (stopword-grade)
+    docs = []
+    for d in range(n_docs):
+        ln = rng.randint(5, 60)
+        toks = [words[min(int(rng.paretovariate(1.1)) - 1, vocab - 1)] for _ in range(ln)]
+        docs.append((d, " ".join(toks)))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def corpus_index(spark):
+    docs = _random_corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = build_index(df, num_segments=8)
+    idx.postings.persist().count()
+    return idx
+
+
+def test_compressed_matches_uncompressed(spark, corpus_index):
+    c = compress_index(corpus_index)
+    rows = {(r["term"], r["seg"]): r for r in c.blocks.collect()}
+    raw = {(r["term"], r["seg"]): r for r in corpus_index.postings.collect()}
+    assert set(rows) == set(raw)
+    for key, r in rows.items():
+        doc_ids, tfs, dls = decode_postings_block(bytes(r["block"]))
+        expected = sorted((p["doc_id"], p["tf"], p["dl"]) for p in raw[key]["postings"])
+        assert list(zip(doc_ids.tolist(), tfs.tolist(), dls.tolist())) == expected
+        assert r["max_tf"] == max(t for _, t, _ in expected)
+        assert r["min_dl"] == min(l for _, _, l in expected)
+
+
+def test_wand_rank_identical_to_exhaustive(spark, corpus_index):
+    c = compress_index(corpus_index)
+    c.blocks.persist().count()
+    queries = [
+        (0, "w0 w1"),
+        (1, "w5 w40 w80"),
+        (2, "w100 w0"),
+        (3, "w7 w7 w13"),
+        (4, "zzz"),
+    ]
+    stats = {}
+    got = wand_topk(c, queries, k=10, spark=spark, prune_stats=stats)
+    exp = bm25_topk(corpus_index, queries, k=10, spark=spark)
+
+    def norm(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], round(r["score"], 9))
+            )
+        return {q: sorted(v) for q, v in out.items()}
+
+    a, b = norm(got), norm(exp)
+    assert set(a) == set(b)
+    for q in a:
+        assert [x[1] for x in a[q]] == [x[1] for x in b[q]], f"q{q} doc order"
+        for (_, _, sa), (_, _, sb) in zip(a[q], b[q]):
+            assert sa == pytest.approx(sb, abs=1e-9)
+
+    # sound pruning never scores more than the metadata admits
+    assert stats["segments_scored"] <= stats["segments_total"], stats
+
+
+def test_wand_pruning_skips_segments(spark):
+    """Deterministic skew: one document dominates the score range, so every
+    segment whose block-max can't beat it must be skipped un-decoded."""
+    docs = [(d, "common " + " ".join(f"f{d}_{i}" for i in range(9))) for d in range(64)]
+    docs.append((999, " ".join(["common"] * 50)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = build_index(df, num_segments=8)
+    c = compress_index(idx)
+    c.blocks.persist().count()
+
+    stats = {}
+    got = wand_topk(c, [(0, "common")], k=1, spark=spark, prune_stats=stats)
+    rows = got.collect()
+    assert [(r["rank"], r["doc_id"]) for r in rows] == [(1, 999)]
+    assert stats["segments_scored"] < stats["segments_total"], stats
+
+    # and identical to the exhaustive scorer
+    exp = bm25_topk(idx, [(0, "common")], k=1, spark=spark).collect()
+    assert [(r["rank"], r["doc_id"]) for r in exp] == [(1, 999)]
