@@ -56,11 +56,22 @@ def tag(
     tags_limit: int | None = 1000,
     min_taggable_len: int | None = None,
     match_text: bool = False,
+    offset_adjust: str | None = None,
+    non_taggable_tags: list[str] | None = None,
+    on_invalid: str = "error",
 ) -> DataFrame:
     """Tag every text against the dictionary.
 
     Returns (qdoc_id, start, end, doc_ids array<long>[, match_text]).
     Use ``translate_ids`` to fan doc_ids out to user ids.
+
+    offset_adjust: None | 'xml' | 'html' — strip markup at query time
+    (offsets preserved) and correct each tag's offsets so inserting an
+    open/close tag pair keeps the document well-formed; tags that cannot be
+    corrected are dropped (reference xmlOffsetAdjust/htmlOffsetAdjust,
+    TaggerRequestHandler.java:126-128, 158-159, 244-276).
+    non_taggable_tags: html-mode element names whose contents can't be
+    tagged. on_invalid: 'error' | 'skip' for invalid XML documents.
     """
     spark = texts_df.sparkSession
 
@@ -79,22 +90,51 @@ def tag(
         live = {r["doc_id"] for r in live_df.select("doc_id").collect()}
         term_dict = term_dict.filtered(live)
 
+    if offset_adjust not in (None, "xml", "html"):
+        raise ValueError(f"offset_adjust must be None|'xml'|'html', got {offset_adjust}")
+
     bc = spark.sparkContext.broadcast(term_dict)
     ov = overlaps
     ig = ignore_stopwords
     lim = tags_limit
     mlen = min_taggable_len
+    adj = offset_adjust
+    ntags = set(non_taggable_tags) if non_taggable_tags else None
+    skip_invalid = on_invalid == "skip"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from solrtexttagger_spark.tagging.offsets import (
+            HtmlOffsetCorrector,
+            XmlOffsetCorrector,
+            html_strip_tokenize,
+        )
+
         d = bc.value
         for pdf in batches:
             out_q, out_s, out_e, out_ids = [], [], [], []
             for qid, text in zip(pdf["__qid"], pdf["__text"]):
                 if text is None:
                     continue
-                tokens = query_analyze(
-                    text, stopwords=stop, min_taggable_len=mlen
-                )
+                corrector = None
+                if adj == "xml":
+                    try:
+                        corrector = XmlOffsetCorrector(text)
+                    except ValueError:
+                        if skip_invalid:
+                            continue
+                        raise
+                    tokens = html_strip_tokenize(
+                        text, stopwords=stop, min_taggable_len=mlen
+                    )
+                elif adj == "html":
+                    corrector = HtmlOffsetCorrector(text, ntags)
+                    tokens = html_strip_tokenize(
+                        text, stopwords=stop, min_taggable_len=mlen
+                    )
+                else:
+                    tokens = query_analyze(
+                        text, stopwords=stop, min_taggable_len=mlen
+                    )
                 for s, e, ids in tag_text(
                     tokens,
                     d,
@@ -102,6 +142,11 @@ def tag(
                     ignore_stopwords=ig,
                     tags_limit=lim,
                 ):
+                    if corrector is not None:
+                        pair = corrector.correct_pair(s, e)
+                        if pair is None:
+                            continue
+                        s, e = pair
                     out_q.append(qid)
                     out_s.append(s)
                     out_e.append(e)
