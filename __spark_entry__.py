@@ -100,6 +100,24 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND path over the compressed segmented index — must be
+    rank- and score-identical to the exhaustive scorer (same oracle SQL)."""
+    from solrtexttagger_spark.index.compressed import compress_index
+    from solrtexttagger_spark.search.wand import wand_topk
+
+    idx = _index(spark, sf_dir)
+    c = compress_index(idx)
+    c.blocks.persist().count()
+    out = wand_topk(c, BM25_QUERIES, k=BM25_K, spark=spark)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index(spark, sf_dir)
     return idx.term_stats.select(
@@ -279,6 +297,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "wand_topk": q_wand_topk,
         "term_stats": q_term_stats,
         "tag_all": q_tag_all,
         "tag_nosub": q_tag_nosub,
@@ -401,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
     sql = {}
 
     sql["bm25_topk"] = _bm25_oracle()
+    sql["wand_topk"] = _bm25_oracle()  # WAND must be rank/score-identical
 
     sql["term_stats"] = f"""
 WITH {_TOK_CTE}
