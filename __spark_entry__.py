@@ -39,6 +39,7 @@ TAG_DICT = [
 COSINE_PROBES = [0, 1, 2, 3, 4]
 MINHASH_H = 8
 MINHASH_BANDS = 4
+LSH_MAX_BUCKET = 200
 SIMHASH_BITS = 32
 JACCARD_SHINGLE = 3
 JACCARD_CAND_SHINGLE = 5
@@ -185,6 +186,7 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=MINHASH_H,
         bands=MINHASH_BANDS,
         shingle_size=JACCARD_SHINGLE,
+        max_bucket_size=LSH_MAX_BUCKET,
     )
 
 
@@ -380,12 +382,15 @@ hits AS (
 
 
 def _minhash_sig_exprs() -> str:
-    return ",\n       ".join(
-        "min("
-        + _PHASH_SQL.format(x=f"'{i}#' || s")
-        + f") AS sig_{i}"
-        for i in range(MINHASH_H)
-    )
+    # mirrors ops/dedup.minhash_signatures: 28-bit slices of md5(s)/md5('x'||s)
+    exprs = []
+    for i in range(MINHASH_H):
+        src = "md5(s)" if i < 4 else "md5('x' || s)"
+        off = 1 + 7 * (i % 4)
+        exprs.append(
+            f"min(('0x' || substr({src}, {off}, 7))::BIGINT) AS sig_{i}"
+        )
+    return ",\n       ".join(exprs)
 
 
 _SHINGLE_CTE = f"""
@@ -464,9 +469,15 @@ FROM sh GROUP BY doc_id
     sql["lsh_pairs"] = f"""
 WITH {_SHINGLE_CTE},
 sigs AS (SELECT doc_id, {_minhash_sig_exprs()} FROM sh GROUP BY doc_id),
-bands AS ({band_union})
+bands AS ({band_union}),
+ok AS (
+  SELECT band, band_key FROM bands GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND {LSH_MAX_BUCKET}
+)
 SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
-FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+FROM bands a
+JOIN ok USING (band, band_key)
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
 """
 

@@ -63,21 +63,34 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document over token shingles.
 
-    h_i(s) = portable_hash(str(i) + '#' + s); sig_i = min over shingles.
+    The ``num_hashes`` independent hash functions are 28-bit slices of just
+    two md5 digests per shingle (md5(s) and md5('x'||s) give 64 hex chars =
+    up to 9 slices of 7), so the per-shingle cost is 2 digests instead of
+    ``num_hashes`` — and the scheme stays bit-identical in DuckDB.
     Output: (doc_id, sig_0 .. sig_{H-1}); docs with no shingle get NULL sigs.
     """
+    assert num_hashes <= 9, "slice scheme supports up to 9 hashes"
     sh = _shingles(_words(text_col), shingle_size)
-
-    def _hasher(prefix: str):
-        # NB: must be a UNARY lambda — Spark's transform() passes the array
-        # index as a second arg to binary lambdas.
-        return lambda s: _phash(F.concat(F.lit(prefix), s))
+    # one pass: per shingle, the two digests
+    digests = F.transform(
+        sh,
+        lambda s: F.struct(
+            F.md5(s).alias("m1"), F.md5(F.concat(F.lit("x"), s)).alias("m2")
+        ),
+    )
+    base = df.select(F.col(id_col), digests.alias("__hs"))
+    def _slicer(field: str, off: int):
+        # factory keeps the lambda UNARY (transform passes the index to
+        # binary lambdas)
+        return lambda h: F.conv(F.substring(h[field], off, 7), 16, 10).cast("long")
 
     cols = [F.col(id_col)]
     for i in range(num_hashes):
-        hi = F.array_min(F.transform(sh, _hasher(f"{i}#")))
+        field = "m1" if i < 4 else "m2"
+        off = 1 + 7 * (i % 4)
+        hi = F.array_min(F.transform(F.col("__hs"), _slicer(field, off)))
         cols.append(hi.alias(f"sig_{i}"))
-    return df.select(*cols)
+    return base.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -88,9 +101,14 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_size: int = 3,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the MinHash signature.
-    Output: distinct (a_doc_id, b_doc_id), a < b."""
+    Output: distinct (a_doc_id, b_doc_id), a < b.
+
+    max_bucket_size: buckets larger than this are dropped as degenerate
+    ("too common to be a dup signal") — standard LSH practice; without it a
+    pathological band key yields O(bucket^2) pairs."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures(
@@ -119,7 +137,7 @@ def lsh_candidate_pairs(
     return (
         band_rows.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-        .where(F.size("ids") >= 2)
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
         .select(F.explode(_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.a").alias("a_doc_id"), F.col("p.b").alias("b_doc_id"))
         .distinct()
