@@ -64,10 +64,18 @@ def bm25_topk(
     n = float(index.doc_count)
     avgdl = float(index.avgdl) if index.avgdl else 1.0
 
-    # global df comes from the tiny term_stats table; the segmented postings
-    # join stays a broadcast hash join on term
-    qstats = qdf.join(index.term_stats, "term")
-    joined = postings.join(F.broadcast(qstats), "term")
+    # One pass over postings: broadcast-join the query terms, then recover
+    # the GLOBAL df per term with a window over that term's segment rows
+    # (tiny group count = |query terms|). Using index.term_stats here
+    # instead would re-derive the whole index when it isn't persisted —
+    # a second full scan+shuffle for a handful of numbers.
+    # join DISTINCT terms first: the window must see each (term, seg) row
+    # exactly once, or terms shared by several queries inflate df
+    qterms = qdf.select("term").distinct()
+    qpost = postings.join(F.broadcast(qterms), "term").withColumn(
+        "df", F.sum("df_seg").over(Window.partitionBy("term"))
+    )
+    joined = qpost.join(F.broadcast(qdf), "term")
     ex = joined.select(
         "query_id",
         "qtf",

@@ -94,10 +94,15 @@ def wand_topk(
     if not terms:
         return spark.createDataFrame([], "query_id long, rank long, doc_id long, score double")
 
-    # global df for idf (tiny collect)
+    # global df for idf — derived from the (usually persisted) blocks
+    # metadata, NOT term_stats, which would re-derive the index when
+    # unpersisted (tiny collect: |query terms| rows)
     df_map = {
         r["term"]: r["df"]
-        for r in cindex.term_stats.where(F.col("term").isin(terms)).collect()
+        for r in cindex.blocks.where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("df_seg").alias("df"))
+        .collect()
     }
     weights = {}  # (qid, term) -> idf*qtf
     for qid, bag in qbags.items():
