@@ -291,6 +291,28 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + sum(value).
+    (Streaming-shaped aggregation exercised in batch; the streaming variant
+    is solrtexttagger_spark/streaming/.)"""
+    ev = _events(spark, sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    win = F.window(ts, "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "sum_value",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -316,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "sessionize": q_sessionize,
+        "event_windows": q_event_windows,
     }
 
 
@@ -602,6 +625,14 @@ SELECT user_id::BIGINT AS user_id, session_id::BIGINT AS session_id,
        count(*)::BIGINT AS n_events,
        min(epoch_ms(ts))::BIGINT AS start_epoch, max(epoch_ms(ts))::BIGINT AS end_epoch
 FROM s GROUP BY 1, 2
+"""
+
+    sql["event_windows"] = """
+SELECT epoch_ms(date_trunc('hour', ts))::BIGINT AS window_start,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
 """
 
     return sql

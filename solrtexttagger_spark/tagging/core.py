@@ -225,6 +225,40 @@ _REDUCERS = {
 }
 
 
+def reduce_spans(spans: list[tuple], overlaps: str) -> list[tuple]:
+    """Apply an overlap reducer to a complete list of matched spans
+    (start, end, value) — the set-oriented (join-path) equivalent of the
+    loop tagger's per-cluster reduction.
+
+    Equivalence argument: in the loop tagger a cluster is exactly a
+    connected component of the overlap relation among value-bearing tags,
+    and both NO_SUB (containment removal) and LONGEST_DOMINANT_RIGHT
+    (greedy by length with early-exit at non-overlap) only ever interact
+    within a component, so reducing the whole sorted list once yields the
+    same survivors as per-cluster reduction. List order replicates the
+    tagger's LL order: start asc, then end asc (for equal starts the
+    shorter tag was inserted earlier, TagLL.addBeforeLL)."""
+    if overlaps == "ALL" or not spans:
+        return list(spans)
+    spans = sorted(spans, key=lambda t: (t[0], t[1]))
+    head = [None]
+    prev = None
+    for s, e, v in spans:
+        t = _Tag(head, None, s, e, v)
+        if prev is None:
+            head[0] = t
+        else:
+            prev.add_after(t)
+        prev = t
+    _REDUCERS[overlaps](head)
+    out = []
+    t = head[0]
+    while t is not None:
+        out.append((t.start, t.end, t.value))
+        t = t.next
+    return out
+
+
 def tag_text(
     tokens: list[Token],
     d: TermDict,

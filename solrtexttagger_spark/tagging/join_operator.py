@@ -1,0 +1,182 @@
+"""Join-based tagging — the set-oriented alternative to the broadcast
+tagger (SURVEY.md §2.3 M4 'set-oriented equivalent'), for dictionaries too
+large to broadcast (beyond ~1e8 names).
+
+Plan shape:
+
+  texts  -> mapInPandas(tokenize + emit n-grams 1..max_phrase_len)
+         -> JOIN dictionary terms (sort-merge on term; Catalyst broadcasts
+            automatically if the dictionary is small)
+         -> matched spans (qdoc_id, start, end, doc_ids)
+         -> overlap resolution:
+              ALL     pass-through
+              NO_SUB  pure window SQL (containment removal)
+              LDR     applyInPandas greedy per document (reduce_spans)
+
+Trade-off vs the broadcast tagger: no driver collect and no broadcast, but
+the corpus fans out ×max_phrase_len n-gram rows through a shuffle — choose
+by dictionary size. Semantics match the loop tagger for whole-mode
+dictionaries (verified against it in tests); stopword cluster breaks are
+honored by never emitting n-grams across a position gap.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from solrtexttagger_spark.analysis.core import (
+    ENGLISH_STOP_WORDS,
+    index_analyze_whole,
+    query_analyze,
+)
+from solrtexttagger_spark.tagging.core import reduce_spans
+
+_NGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("qdoc_id", T.LongType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+    ]
+)
+
+_SPAN_SCHEMA = T.StructType(
+    [
+        T.StructField("qdoc_id", T.LongType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("doc_ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def build_dict_terms(
+    names_df: DataFrame,
+    *,
+    name_col: str = "name",
+    id_col: str = "id",
+    stopwords=None,
+    use_english_stopwords: bool = False,
+) -> DataFrame:
+    """Distributed dictionary build (whole mode): (term, n_words, doc_ids)
+    with dense deterministic doc ids — never collected to the driver."""
+    if use_english_stopwords and stopwords is None:
+        stopwords = ENGLISH_STOP_WORDS
+    stop = frozenset(stopwords) if stopwords else None
+
+    @F.pandas_udf(T.StringType())
+    def analyze(names: pd.Series) -> pd.Series:
+        return names.map(lambda s: index_analyze_whole(s, stopwords=stop) if s else "")
+
+    w = Window.orderBy(F.col(id_col).cast("string"))
+    docs = names_df.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
+    return (
+        docs.select("doc_id", analyze(F.col(name_col)).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("doc_ids"))
+        .withColumn("n_words", F.size(F.split("term", " ")))
+    )
+
+
+def tag_join(
+    texts_df: DataFrame,
+    dict_terms: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "qdoc_id",
+    overlaps: str = "NO_SUB",
+    ignore_stopwords: bool = True,
+    stopwords=None,
+    min_taggable_len: int | None = None,
+    max_phrase_len: int | None = None,
+) -> DataFrame:
+    """Tag texts by joining exploded token n-grams against the dictionary.
+    Returns (qdoc_id, start, end, doc_ids), same contract as tag()."""
+    if max_phrase_len is None:
+        max_phrase_len = dict_terms.agg(F.max("n_words")).collect()[0][0] or 1
+    stop = frozenset(stopwords) if stopwords else None
+    mlen = min_taggable_len
+    maxn = int(max_phrase_len)
+    ig = ignore_stopwords
+
+    def emit_ngrams(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_q, out_t, out_s, out_e = [], [], [], []
+            for qid, text in zip(pdf["__qid"], pdf["__text"]):
+                if text is None:
+                    continue
+                toks = query_analyze(text, stopwords=stop, min_taggable_len=mlen)
+                n = len(toks)
+                for i in range(n):
+                    if not toks[i].taggable:
+                        continue  # a tag can only START at a taggable token
+                    terms = []
+                    for j in range(i, min(i + maxn, n)):
+                        if j > i and not ig and toks[j].pos_inc > 1:
+                            break  # stopword gap: cluster break (no span crosses)
+                        terms.append(toks[j].term)
+                        out_q.append(qid)
+                        out_t.append(" ".join(terms))
+                        out_s.append(toks[i].start)
+                        out_e.append(toks[j].end)
+            yield pd.DataFrame(
+                {
+                    "qdoc_id": pd.Series(out_q, dtype="int64"),
+                    "term": pd.Series(out_t, dtype="object"),
+                    "start": pd.Series(out_s, dtype="int32"),
+                    "end": pd.Series(out_e, dtype="int32"),
+                }
+            )
+
+    narrowed = texts_df.select(
+        F.col(id_col).cast("long").alias("__qid"), F.col(text_col).alias("__text")
+    )
+    ngrams = narrowed.mapInPandas(emit_ngrams, schema=_NGRAM_SCHEMA)
+    spans = ngrams.join(dict_terms.select("term", "doc_ids"), "term").select(
+        "qdoc_id", "start", "end", "doc_ids"
+    )
+
+    if overlaps == "ALL":
+        return spans
+    if overlaps == "NO_SUB":
+        # containment removal in pure window SQL: order (start asc, end
+        # desc); a span is a sub-tag iff some previous row's end >= its end
+        w = (
+            Window.partitionBy("qdoc_id")
+            .orderBy(F.col("start").asc(), F.col("end").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            spans.withColumn("__pmax", F.max("end").over(w))
+            .where(F.col("__pmax").isNull() | (F.col("__pmax") < F.col("end")))
+            .drop("__pmax")
+        )
+    if overlaps == "LONGEST_DOMINANT_RIGHT":
+
+        def reduce_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+            out_rows = {"qdoc_id": [], "start": [], "end": [], "doc_ids": []}
+            for qid, grp in pdf.groupby("qdoc_id"):
+                span_list = [
+                    (int(s), int(e), v)
+                    for s, e, v in zip(grp["start"], grp["end"], grp["doc_ids"])
+                ]
+                for s, e, v in reduce_spans(span_list, "LONGEST_DOMINANT_RIGHT"):
+                    out_rows["qdoc_id"].append(qid)
+                    out_rows["start"].append(s)
+                    out_rows["end"].append(e)
+                    out_rows["doc_ids"].append(list(v))
+            return pd.DataFrame(
+                {
+                    "qdoc_id": pd.Series(out_rows["qdoc_id"], dtype="int64"),
+                    "start": pd.Series(out_rows["start"], dtype="int32"),
+                    "end": pd.Series(out_rows["end"], dtype="int32"),
+                    "doc_ids": pd.Series(out_rows["doc_ids"], dtype="object"),
+                }
+            )
+
+        return spans.groupBy("qdoc_id").applyInPandas(reduce_doc, schema=_SPAN_SCHEMA)
+    raise ValueError(f"unknown overlaps mode {overlaps}")

@@ -43,6 +43,10 @@ _TAG_SCHEMA = T.StructType(
     ]
 )
 
+_TAG_SCHEMA_MT = T.StructType(
+    _TAG_SCHEMA.fields + [T.StructField("match_text", T.StringType())]
+)
+
 
 def tag(
     texts_df: DataFrame,
@@ -102,6 +106,8 @@ def tag(
     ntags = set(non_taggable_tags) if non_taggable_tags else None
     skip_invalid = on_invalid == "skip"
 
+    emit_match_text = match_text
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from solrtexttagger_spark.tagging.offsets import (
             HtmlOffsetCorrector,
@@ -111,7 +117,7 @@ def tag(
 
         d = bc.value
         for pdf in batches:
-            out_q, out_s, out_e, out_ids = [], [], [], []
+            out_q, out_s, out_e, out_ids, out_mt = [], [], [], [], []
             for qid, text in zip(pdf["__qid"], pdf["__text"]):
                 if text is None:
                     continue
@@ -151,35 +157,26 @@ def tag(
                     out_s.append(s)
                     out_e.append(e)
                     out_ids.append(list(ids))
-            yield pd.DataFrame(
-                {
-                    "qdoc_id": pd.Series(out_q, dtype="int64"),
-                    "start": pd.Series(out_s, dtype="int32"),
-                    "end": pd.Series(out_e, dtype="int32"),
-                    "doc_ids": pd.Series(out_ids, dtype="object"),
-                }
-            )
+                    if emit_match_text:
+                        out_mt.append(text[s:e])
+            cols = {
+                "qdoc_id": pd.Series(out_q, dtype="int64"),
+                "start": pd.Series(out_s, dtype="int32"),
+                "end": pd.Series(out_e, dtype="int32"),
+                "doc_ids": pd.Series(out_ids, dtype="object"),
+            }
+            if emit_match_text:
+                cols["match_text"] = pd.Series(out_mt, dtype="object")
+            yield pd.DataFrame(cols)
 
     narrowed = texts_df.select(
         F.col(id_col).cast("long").alias("__qid"), F.col(text_col).alias("__text")
     )
-    tags = narrowed.mapInPandas(run, schema=_TAG_SCHEMA)
-
-    if match_text:
-        # matchText = inputString.substring(start, end) (java:192-193),
-        # computed JVM-side via a join back to the (already partitioned)
-        # input — no second Python pass.
-        texts = texts_df.select(
-            F.col(id_col).cast("long").alias("qdoc_id"), F.col(text_col).alias("__t")
-        )
-        tags = (
-            tags.join(texts, "qdoc_id")
-            .withColumn(
-                "match_text", F.expr("substring(__t, start + 1, end - start)")
-            )
-            .drop("__t")
-        )
-    return tags
+    # matchText = inputString.substring(start, end) (java:192-193), emitted
+    # directly by the UDF which already holds the text — joining back to the
+    # corpus would shuffle the BIG side on qdoc_id for a substring.
+    schema = _TAG_SCHEMA_MT if match_text else _TAG_SCHEMA
+    return narrowed.mapInPandas(run, schema=schema)
 
 
 def translate_ids(tags: DataFrame, dictionary: TagDictionary) -> DataFrame:

@@ -1,0 +1,122 @@
+"""Join-based tagging path must be output-identical to the broadcast loop
+tagger across overlap modes (whole-mode dictionaries)."""
+
+import random
+
+import pytest
+
+from solrtexttagger_spark.tagging.core import reduce_spans
+from solrtexttagger_spark.tagging.dictionary import build_tag_dictionary
+from solrtexttagger_spark.tagging.join_operator import build_dict_terms, tag_join
+from solrtexttagger_spark.tagging.operator import tag
+
+N = ["London", "London Business School", "Boston", "City of London", "of", "the"]
+
+
+def names_df(spark, names):
+    return spark.createDataFrame(
+        [(str(i), n) for i, n in enumerate(names)], "id string, name string"
+    )
+
+
+def collect_tags(df):
+    return {
+        (r["qdoc_id"], r["start"], r["end"], frozenset(r["doc_ids"]))
+        for r in df.collect()
+    }
+
+
+def test_reduce_spans_matches_reducer_semantics():
+    spans = [(0, 10, (1,)), (0, 5, (2,)), (2, 6, (3,)), (12, 20, (4,)), (15, 25, (5,))]
+    assert set(reduce_spans(spans, "NO_SUB")) == {
+        (0, 10, (1,)),
+        (12, 20, (4,)),
+        (15, 25, (5,)),
+    }
+    # LDR: longest (ties right-most) dominates per overlap component
+    assert set(reduce_spans(spans, "LONGEST_DOMINANT_RIGHT")) == {
+        (0, 10, (1,)),
+        (15, 25, (5,)),  # ties 8 vs 10: (15,25) len 10 wins, (12,20) overlaps
+    }
+
+
+@pytest.mark.parametrize("overlaps", ["ALL", "NO_SUB", "LONGEST_DOMINANT_RIGHT"])
+def test_join_path_equals_loop_tagger(spark, overlaps):
+    names = names_df(spark, N)
+    d = build_tag_dictionary(names)
+    terms = build_dict_terms(names)
+    texts = spark.createDataFrame(
+        [
+            (0, "City of London Business School in Boston"),
+            (1, "of London Business School"),
+            (2, "London Business magazine"),
+            (3, "school City of the the London"),
+            (4, ""),
+        ],
+        "qdoc_id long, text string",
+    )
+    a = collect_tags(tag(texts, d, overlaps=overlaps, tags_limit=None))
+    b = collect_tags(tag_join(texts, terms, overlaps=overlaps))
+    assert a == b, f"{overlaps}"
+
+
+@pytest.mark.parametrize("overlaps", ["ALL", "NO_SUB", "LONGEST_DOMINANT_RIGHT"])
+def test_join_path_randomized(spark, overlaps):
+    rng = random.Random(99)
+    words = [f"w{i}" for i in range(12)]
+    names = []
+    for _ in range(14):
+        k = rng.randint(1, 3)
+        nm = " ".join(rng.choice(words) for _ in range(k))
+        if nm not in names:
+            names.append(nm)
+    texts = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(4, 30))))
+        for i in range(25)
+    ]
+    ndf = names_df(spark, names)
+    d = build_tag_dictionary(ndf)
+    terms = build_dict_terms(ndf)
+    tdf = spark.createDataFrame(texts, "qdoc_id long, text string")
+    a = collect_tags(tag(tdf, d, overlaps=overlaps, tags_limit=None))
+    b = collect_tags(tag_join(tdf, terms, overlaps=overlaps))
+    assert a == b
+
+
+def test_join_path_stopword_modes(spark):
+    ndf = names_df(spark, ["South of Wales", "A City A"])
+    d = build_tag_dictionary(ndf, use_english_stopwords=True)
+    terms = build_dict_terms(ndf, use_english_stopwords=True)
+    texts = spark.createDataFrame(
+        [(0, "South of Wales"), (1, "A City A")], "qdoc_id long, text string"
+    )
+    from solrtexttagger_spark.analysis.core import ENGLISH_STOP_WORDS
+
+    a = collect_tags(tag(texts, d))  # ignore_stopwords defaults True here
+    b = collect_tags(
+        tag_join(texts, terms, stopwords=ENGLISH_STOP_WORDS, ignore_stopwords=True)
+    )
+    assert a == b
+    a2 = collect_tags(tag(texts, d, ignore_stopwords=False))
+    b2 = collect_tags(
+        tag_join(texts, terms, stopwords=ENGLISH_STOP_WORDS, ignore_stopwords=False)
+    )
+    assert a2 == b2
+
+
+def test_join_path_taggable(spark):
+    ndf = names_df(spark, ["in", "San", "San Francisco", "Francisco"])
+    d = build_tag_dictionary(ndf)
+    terms = build_dict_terms(ndf)
+    texts = spark.createDataFrame(
+        [(0, "He lived in San Francisco.")], "qdoc_id long, text string"
+    )
+    a = collect_tags(
+        tag(texts, d, overlaps="LONGEST_DOMINANT_RIGHT", min_taggable_len=4)
+    )
+    b = collect_tags(
+        tag_join(
+            texts, terms, overlaps="LONGEST_DOMINANT_RIGHT", min_taggable_len=4
+        )
+    )
+    assert a == b
