@@ -291,6 +291,19 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE_QUERY = "hash join"
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase matching via positional postings intersection."""
+    from solrtexttagger_spark.search.phrase import phrase_match
+
+    out = phrase_match(_index(spark, sf_dir), PHRASE_QUERY)
+    return out.select(
+        "doc_id", F.col("n_occurrences").cast("long").alias("n_occurrences")
+    )
+
+
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event_type: count + sum(value).
     (Streaming-shaped aggregation exercised in batch; the streaming variant
@@ -339,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
+        "phrase_match": q_phrase_match,
     }
 
 
@@ -625,6 +639,16 @@ SELECT user_id::BIGINT AS user_id, session_id::BIGINT AS session_id,
        count(*)::BIGINT AS n_events,
        min(epoch_ms(ts))::BIGINT AS start_epoch, max(epoch_ms(ts))::BIGINT AS end_epoch
 FROM s GROUP BY 1, 2
+"""
+
+    sql["phrase_match"] = f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents
+)
+SELECT doc_id, count(*)::BIGINT AS n_occurrences
+FROM pos
+WHERE substr(' ' || text || ' ', i, {len(PHRASE_QUERY) + 2}) = ' {PHRASE_QUERY} '
+GROUP BY doc_id
 """
 
     sql["event_windows"] = """

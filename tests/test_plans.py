@@ -1,0 +1,101 @@
+"""Physical-plan shape regression tests: the properties that make the
+operators scale must stay visible in the plan — broadcast joins stay
+broadcast, scans stay pruned, per-row paths stay shuffle-free, top-k stays
+group-limited."""
+
+import pytest
+
+from solrtexttagger_spark.index.build import build_index
+from solrtexttagger_spark.search.bm25 import bm25_topk
+from solrtexttagger_spark.search.phrase import phrase_match
+
+DOCS = [(i, f"w{i % 5} w{(i * 3) % 7} common") for i in range(50)]
+
+
+def plan_str(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def index(docs_df):
+    idx = build_index(docs_df, num_segments=4)
+    idx.postings.persist().count()
+    return idx
+
+
+def n_exchanges(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+
+def test_tag_plan_has_no_shuffle(spark, docs_df):
+    from solrtexttagger_spark.tagging.dictionary import build_tag_dictionary
+    from solrtexttagger_spark.tagging.operator import tag
+
+    d = build_tag_dictionary(
+        spark.createDataFrame([("0", "common")], "id string, name string")
+    )
+    plan = plan_str(tag(docs_df, d, id_col="doc_id"))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "MapInArrow" in plan
+
+
+def test_bm25_plan_broadcasts_queries_and_group_limits(spark, index):
+    plan = plan_str(bm25_topk(index, [(0, "common w1")], k=5, spark=spark))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan  # top-k pushed below the final sort
+    # the persisted postings feed the plan — no rebuild from the raw corpus
+    assert "InMemoryTableScan" in plan
+
+
+def test_phrase_plan_broadcasts_terms(spark, index):
+    plan = plan_str(phrase_match(index, "common w1"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scan_pruning_column_projection(spark, tmp_path):
+    """A narrow operator over a wide parquet table must scan only its
+    columns (ReadSchema pruning)."""
+    from solrtexttagger_spark.ops.textqa import token_stats
+
+    wide = spark.createDataFrame(
+        [(i, f"text {i}", "pad", i * 1.0, "extra") for i in range(10)],
+        "doc_id long, text string, pad string, value double, extra string",
+    )
+    p = str(tmp_path / "wide")
+    wide.write.parquet(p)
+    df = token_stats(spark.read.parquet(p))
+    plan = plan_str(df)
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "doc_id" in scan and "text" in scan
+    assert "pad" not in scan and "extra" not in scan, scan
+
+
+def test_dedup_exact_single_shuffle(spark, docs_df):
+    from solrtexttagger_spark.ops.dedup import exact_dedup
+
+    plan = plan_str(exact_dedup(docs_df))
+    assert n_exchanges(plan) == 1, plan  # the one groupBy
+
+
+def test_cosine_plan_broadcasts_probes(spark):
+    from solrtexttagger_spark.ops.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = plan_str(cosine_topk(emb, [0, 1], k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
