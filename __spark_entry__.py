@@ -262,6 +262,12 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrtexttagger_spark.ops.textqa import rolling_hash
+
+    return rolling_hash(_docs(spark, sf_dir))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -350,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
+        "rolling_hash": q_rolling_hash,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
         "phrase_match": q_phrase_match,
@@ -617,6 +624,15 @@ FROM words
     sql["fingerprint"] = """
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+FROM documents
+"""
+
+    sql["rolling_hash"] = """
+SELECT doc_id,
+       CASE WHEN length(text) > 0 THEN
+         list_reduce(list_transform(string_split(text, ''), c -> ascii(c)::BIGINT),
+                     (a, b) -> (a * 31 + b) % 2147483647)
+       END AS rhash
 FROM documents
 """
 

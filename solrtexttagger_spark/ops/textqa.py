@@ -97,6 +97,29 @@ def quality_score(
     )
 
 
+ROLLING_HASH_MOD = 2147483647  # 2^31 - 1
+ROLLING_HASH_BASE = 31
+
+
+def rolling_hash(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rabin-Karp-style rolling content hash, fully JVM-side:
+    h = fold over char codes of (h * 31 + code) mod (2^31 - 1), seeded with
+    the first char's code. Output (doc_id, rhash). Empty text -> NULL."""
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
+    h = F.aggregate(
+        F.slice(codes, 2, F.greatest(F.size(codes) - 1, F.lit(0))),
+        F.element_at(codes, 1),
+        lambda acc, x: (acc * ROLLING_HASH_BASE + x) % ROLLING_HASH_MOD,
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(F.size(codes) > 0, h).alias("rhash"),
+    )
+
+
 def fingerprint(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
