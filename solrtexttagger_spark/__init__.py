@@ -16,15 +16,27 @@ Public API (mirrors the reference surface, SURVEY.md §2):
 """
 
 from solrtexttagger_spark.session import get_spark
-from solrtexttagger_spark.index.build import build_index
+from solrtexttagger_spark.index.build import build_index, with_doc_ids
+from solrtexttagger_spark.index.compressed import compress_index
 from solrtexttagger_spark.search.bm25 import bm25_topk
+from solrtexttagger_spark.search.phrase import phrase_match
+from solrtexttagger_spark.search.wand import wand_topk
 from solrtexttagger_spark.tagging.dictionary import build_tag_dictionary
-from solrtexttagger_spark.tagging.operator import tag
+from solrtexttagger_spark.tagging.join_operator import build_dict_terms, tag_join
+from solrtexttagger_spark.tagging.operator import matched_docs, tag, translate_ids
 
 __all__ = [
     "get_spark",
     "build_index",
+    "with_doc_ids",
+    "compress_index",
     "bm25_topk",
+    "wand_topk",
+    "phrase_match",
     "build_tag_dictionary",
     "tag",
+    "translate_ids",
+    "matched_docs",
+    "build_dict_terms",
+    "tag_join",
 ]

@@ -152,3 +152,35 @@ def test_sessionize_stream_plan(spark, tmp_path):
     rows = spark.sql("select * from sess_test").collect()
     got = {(r["user_id"], r["n_events"]) for r in rows}
     assert got == {(1, 2), (2, 1)}
+
+
+def test_tag_operator_on_stream(spark, tmp_path):
+    """tag() is mapInPandas-based, so the same operator runs unchanged on a
+    Structured Streaming source (reference equivalent: tagging requests as
+    they arrive)."""
+    from solrtexttagger_spark.tagging.dictionary import build_tag_dictionary
+    from solrtexttagger_spark.tagging.operator import tag
+
+    d = build_tag_dictionary(
+        spark.createDataFrame(
+            [("0", "London"), ("1", "City of London")], "id string, name string"
+        )
+    )
+    src = str(tmp_path / "texts")
+    spark.createDataFrame(
+        [(0, "in the City of London today"), (1, "nothing here")],
+        "qdoc_id long, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("qdoc_id long, text string").parquet(src)
+    out = tag(stream, d, overlaps="NO_SUB")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tag_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from tag_stream_test").collect()
+    got = {(r["qdoc_id"], r["start"], r["end"], frozenset(r["doc_ids"])) for r in rows}
+    assert got == {(0, 7, 21, frozenset([1]))}
