@@ -145,3 +145,24 @@ def test_with_doc_ids_deterministic(spark):
     }
     assert a == b and len(a) == 2
     assert all(x >= 0 for x in a)
+
+
+def test_bm25_edge_cases(spark, index):
+    # query with no matching terms -> empty result
+    out = bm25_topk(index, [(0, "zzz qqq")], k=5).collect()
+    assert out == []
+    # empty query list -> empty result frame with correct schema
+    out2 = bm25_topk(index, [], k=5, spark=spark)
+    assert out2.count() == 0
+    # k larger than corpus
+    out3 = bm25_topk(index, [(0, "fast")], k=10_000).collect()
+    assert 0 < len(out3) <= len(DOCS)
+
+
+def test_wand_edge_cases(spark, index):
+    from solrtexttagger_spark.index.compressed import compress_index
+    from solrtexttagger_spark.search.wand import wand_topk
+
+    c = compress_index(index)
+    assert wand_topk(c, [(0, "zzz")], k=5, spark=spark).count() == 0
+    assert wand_topk(c, [], k=5, spark=spark).count() == 0
