@@ -150,6 +150,26 @@ def q_tag_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tag_translated(spark, sf_dir, "ALL")
 
 
+def q_tag_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-matching mode (index-time shingles, reference field type
+    'tagPartial'): any word n-gram of a dictionary name tags, NO_SUB."""
+    from solrtexttagger_spark.tagging.dictionary import build_tag_dictionary
+    from solrtexttagger_spark.tagging.operator import tag, translate_ids
+
+    names = spark.createDataFrame(TAG_DICT, "id string, name string")
+    d = build_tag_dictionary(names, mode="partial")
+    tags = tag(
+        _docs(spark, sf_dir), d, text_col="text", id_col="doc_id",
+        overlaps="NO_SUB", tags_limit=None,
+    )
+    return translate_ids(tags, d).select(
+        F.col("qdoc_id").alias("doc_id"),
+        F.col("start").cast("long").alias("t_start"),
+        F.col("end").cast("long").alias("t_end"),
+        "id",
+    )
+
+
 def q_tag_nosub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tag_translated(spark, sf_dir, "NO_SUB")
 
@@ -343,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk": q_wand_topk,
         "term_stats": q_term_stats,
         "tag_all": q_tag_all,
+        "tag_partial": q_tag_partial,
         "tag_nosub": q_tag_nosub,
         "tag_ldr": q_tag_ldr,
         "dedup_exact": q_dedup_exact,
@@ -477,6 +498,39 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tok GROUP BY ter
 """
 
     sql["tag_all"] = f"WITH {_tag_hits_cte()} SELECT doc_id, t_start, t_end, id FROM hits"
+
+    from solrtexttagger_spark.analysis.core import index_analyze_shingles
+
+    shingle_rows = sorted(
+        {
+            (i, sh)
+            for i, n in TAG_DICT
+            for sh in index_analyze_shingles(n)
+        }
+    )
+    shingle_vals = ", ".join(f"('{i}', '{sh}')" for i, sh in shingle_rows)
+    sql["tag_partial"] = f"""
+WITH dict(id, name) AS (VALUES {shingle_vals}),
+pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents),
+hits AS (
+  SELECT DISTINCT p.doc_id, (p.i - 1)::BIGINT AS t_start,
+         (p.i - 1 + length(d.name))::BIGINT AS t_end, d.id
+  FROM pos p CROSS JOIN dict d
+  WHERE substr(' ' || p.text || ' ', p.i, length(d.name) + 2) = ' ' || d.name || ' '
+),
+spans AS (SELECT DISTINCT doc_id, t_start, t_end FROM hits),
+keep AS (
+  SELECT s.doc_id, s.t_start, s.t_end FROM spans s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans u
+    WHERE u.doc_id = s.doc_id AND u.t_start <= s.t_start AND u.t_end >= s.t_end
+      AND (u.t_start <> s.t_start OR u.t_end <> s.t_end)
+  )
+)
+SELECT h.doc_id, h.t_start, h.t_end, h.id
+FROM hits h JOIN keep k
+  ON h.doc_id = k.doc_id AND h.t_start = k.t_start AND h.t_end = k.t_end
+"""
 
     sql["tag_nosub"] = f"""
 WITH {_tag_hits_cte()}
