@@ -58,23 +58,41 @@ def build_dict_terms(
     *,
     name_col: str = "name",
     id_col: str = "id",
+    mode: str = "whole",
+    max_shingle: int = 10,
     stopwords=None,
     use_english_stopwords: bool = False,
 ) -> DataFrame:
-    """Distributed dictionary build (whole mode): (term, n_words, doc_ids)
-    with dense deterministic doc ids — never collected to the driver."""
+    """Distributed dictionary build: (term, n_words, doc_ids) with dense
+    deterministic doc ids — never collected to the driver.
+    mode='whole' -> one concatenated phrase term per name;
+    mode='partial' -> all 1..max_shingle word shingles (tagPartial)."""
     if use_english_stopwords and stopwords is None:
         stopwords = ENGLISH_STOP_WORDS
     stop = frozenset(stopwords) if stopwords else None
+    if mode not in ("whole", "partial"):
+        raise ValueError(f"mode must be whole|partial, got {mode}")
 
-    @F.pandas_udf(T.StringType())
+    from solrtexttagger_spark.analysis.core import index_analyze_shingles
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
     def analyze(names: pd.Series) -> pd.Series:
-        return names.map(lambda s: index_analyze_whole(s, stopwords=stop) if s else "")
+        if mode == "whole":
+            return names.map(
+                lambda s: [index_analyze_whole(s, stopwords=stop)] if s else []
+            )
+        return names.map(
+            lambda s: index_analyze_shingles(
+                s, max_shingle=max_shingle, stopwords=stop
+            )
+            if s
+            else []
+        )
 
     w = Window.orderBy(F.col(id_col).cast("string"))
     docs = names_df.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
     return (
-        docs.select("doc_id", analyze(F.col(name_col)).alias("term"))
+        docs.select("doc_id", F.explode(analyze(F.col(name_col))).alias("term"))
         .where(F.col("term") != "")
         .groupBy("term")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("doc_ids"))

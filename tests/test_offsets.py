@@ -171,3 +171,51 @@ def test_spark_operator_xml_mode(spark):
     # invalid xml: skip mode drops the doc, error mode raises
     bad = spark.createDataFrame([(0, "notXml <<<")], "qdoc_id long, text string")
     assert tag(bad, d, offset_adjust="xml", on_invalid="skip").count() == 0
+
+
+# --- randomized structural property (recast of XmlInterpolationTest's
+# validating-parser round trip): for random well-formed XML around random
+# dictionary text, every corrected tag insertion must stay well-formed ---
+import random as _random
+
+
+def _random_xml(rng):
+    words = ["start", "end", "alpha", "beta", "gamma", "x1"]
+    tags = ["a", "b", "em", "p"]
+
+    def element(depth):
+        name = rng.choice(tags)
+        attrs = " id='%d'" % rng.randint(0, 9) if rng.random() < 0.3 else ""
+        n = rng.randint(0, 3 if depth < 2 else 0)
+        inner = []
+        for _ in range(rng.randint(1, 4)):
+            inner.append(" ".join(rng.choice(words) for _ in range(rng.randint(0, 3))))
+        children = [element(depth + 1) for _ in range(n)]
+        rng.shuffle(children)
+        body_parts = inner + children
+        rng.shuffle(body_parts)
+        if rng.random() < 0.15:
+            body_parts.insert(rng.randrange(len(body_parts) + 1), "<!-- c -->")
+        if rng.random() < 0.1:
+            body_parts.insert(rng.randrange(len(body_parts) + 1), "<br/>")
+        return f"<{name}{attrs}>" + " ".join(body_parts) + f"</{name}>"
+
+    return "<doc>" + element(0) + "</doc>"
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_random_xml_interpolation_property(seed):
+    rng = _random.Random(1000 + seed)
+    doc = _random_xml(rng)
+    d = TermDict.from_pairs(
+        [("start end", 0), ("alpha", 1), ("beta gamma", 2), ("end", 3)]
+    )
+    tokens = html_strip_tokenize(doc)
+    corrector = XmlOffsetCorrector(doc)
+    for s, e, _ids in tag_text(tokens, d, overlaps="ALL", tags_limit=None):
+        pair = corrector.correct_pair(s, e)
+        if pair is None:
+            continue
+        cs, ce = pair
+        anchored = doc[:cs] + "<A>" + doc[cs:ce] + "</A>" + doc[ce:]
+        validate_xml(anchored)  # raises if the insertion broke the document

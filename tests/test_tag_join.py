@@ -120,3 +120,22 @@ def test_join_path_taggable(spark):
         )
     )
     assert a == b
+
+
+@pytest.mark.parametrize("overlaps", ["ALL", "NO_SUB", "LONGEST_DOMINANT_RIGHT"])
+def test_join_path_partial_mode(spark, overlaps):
+    ndf = names_df(spark, N)
+    d = build_tag_dictionary(ndf, mode="partial")
+    terms = build_dict_terms(ndf, mode="partial")
+    texts = spark.createDataFrame(
+        [
+            (0, "school City"),
+            (1, "City of London Business School"),
+            (2, "the"),
+            (3, "a school a of London"),
+        ],
+        "qdoc_id long, text string",
+    )
+    a = collect_tags(tag(texts, d, overlaps=overlaps, tags_limit=None))
+    b = collect_tags(tag_join(texts, terms, overlaps=overlaps))
+    assert a == b, overlaps
