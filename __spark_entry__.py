@@ -251,6 +251,15 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBED_DUP_THRESHOLD = 0.42
+
+
+def q_embed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrtexttagger_spark.ops.similarity import cosine_dup_pairs
+
+    return cosine_dup_pairs(_emb(spark, sf_dir), threshold=EMBED_DUP_THRESHOLD)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solrtexttagger_spark.ops.textqa import language_id
 
@@ -373,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "embed_dup_pairs": q_embed_dup_pairs,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
@@ -623,6 +633,17 @@ ranked AS (
   FROM scored
 )
 SELECT probe_id, rank::BIGINT AS rank, vec_id, cos FROM ranked WHERE rank <= 10
+"""
+
+    sql["embed_dup_pairs"] = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+      >= {EMBED_DUP_THRESHOLD}
 """
 
     from solrtexttagger_spark.ops.textqa import LANG_MARKERS, STOPWORDS_SQL

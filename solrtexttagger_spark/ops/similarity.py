@@ -59,6 +59,36 @@ def cosine_topk(
     )
 
 
+def cosine_dup_pairs(
+    emb_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a_vec_id, b_vec_id, cos) with
+    cos >= threshold, a < b. Exact all-pairs baseline (oracle-checkable);
+    at 1e8+ vectors swap in the hyperplane-bucketed candidate generation of
+    lsh_cosine_topk (equi-join on bucket) before the exact rescoring."""
+    base = emb_df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = base.select(
+        F.col("vec_id").alias("a_vec_id"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("b_vec_id"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_to)
+    return (
+        a.join(b, F.col("a_vec_id") < F.col("b_vec_id"))
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= threshold)
+        .select("a_vec_id", "b_vec_id", "cos")
+    )
+
+
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component in [-1, 1) from md5 —
     reproducible across engines and runs (no RNG state)."""

@@ -347,3 +347,19 @@ def test_tags_limit():
     tokens = query_analyze(doc)
     assert len(tag_text(tokens, d, tags_limit=7)) == 7
     assert len(tag_text(tokens, d, tags_limit=None)) == 50
+
+
+def test_alt_token_handling():
+    """posInc==0 (alternate tokens, e.g. synonym expansion): skipped under
+    skip_alt_tokens, error otherwise (Tagger.java:107-126)."""
+    from solrtexttagger_spark.analysis.core import Token
+
+    d = build_dict(["London"])
+    tokens = [
+        Token("london", 1, 0, 6, True),
+        Token("synonym", 0, 0, 6, True),  # alternate token at same position
+    ]
+    out = tag_text(tokens, d, overlaps="ALL", skip_alt_tokens=True)
+    assert [(s, e) for s, e, _ in out] == [(0, 6)]
+    with pytest.raises(ValueError):
+        tag_text(tokens, d, skip_alt_tokens=False)
