@@ -101,8 +101,26 @@ def main() -> None:
         lambda: wand_topk(cix, queries[:10], k=10, spark=spark).collect(),
     )
 
+    # q2c: single-query p50/p95 latency over the warm compressed index
+    # (BASELINE.md target metric: top-k query p95)
+    singles = []
+    def single_queries():
+        for i in range(20):
+            t0 = time.perf_counter()
+            wand_topk(cix, [queries[i]], k=10, spark=spark).collect()
+            singles.append(time.perf_counter() - t0)
+
+    timed("q2c_wand_20_single_queries", single_queries)
+    srt = sorted(singles)
+    extras["wand_single_query_p50_sec"] = round(srt[len(srt) // 2], 3)
+    extras["wand_single_query_p95_sec"] = round(srt[int(len(srt) * 0.95)], 3)
+
     # q3: dictionary tagging (NO_SUB) over the whole corpus
-    timed("q3_tag_nosub", lambda: _materialize(em.q_tag_nosub(spark, sf_dir)))
+    t0 = time.perf_counter()
+    n_tagged = _materialize(em.q_tag_nosub(spark, sf_dir))
+    timings["q3_tag_nosub"] = round(time.perf_counter() - t0, 3)
+    extras["tag_docs_per_sec"] = round(n_docs / timings["q3_tag_nosub"], 1)
+    extras["tag_rows_emitted"] = int(n_tagged)
 
     # q4: LDR tagging
     timed("q4_tag_ldr", lambda: _materialize(em.q_tag_ldr(spark, sf_dir)))

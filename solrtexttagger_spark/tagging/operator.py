@@ -190,6 +190,28 @@ def translate_ids(tags: DataFrame, dictionary: TagDictionary) -> DataFrame:
     )
 
 
+def tag_response(
+    tags: DataFrame,
+    dictionary: TagDictionary,
+    *,
+    rows: int = 10000,
+    fl: list[str] | None = None,
+) -> dict:
+    """Assemble the reference's response shape (S4,
+    TaggerRequestHandler.java:235-241): tagsCount, the tags (ids
+    translated), and the matched-docs list limited to ``rows`` with ``fl``
+    column projection. Returns {'tags_count', 'tags', 'response'} with
+    DataFrames left lazy except the count."""
+    docs = matched_docs(tags, dictionary, rows)
+    if fl:
+        docs = docs.select(*fl)
+    return {
+        "tags_count": tags.count(),
+        "tags": translate_ids(tags, dictionary),
+        "response": docs,
+    }
+
+
 def matched_docs(
     tags: DataFrame, dictionary: TagDictionary, rows: int = 10000
 ) -> DataFrame:

@@ -142,3 +142,20 @@ def test_tags_limit(spark, whole_dict):
     doc = " ".join(["Boston"] * 20)
     out = tag(texts_df(spark, [doc]), whole_dict, tags_limit=5)
     assert out.count() == 5
+
+
+def test_tag_response_shape(spark, whole_dict):
+    from solrtexttagger_spark.tagging.operator import tag_response
+
+    doc = "City of London Business School"
+    out = tag(
+        texts_df(spark, [doc]),
+        whole_dict,
+        overlaps="ALL",
+        fq="name not in ('of', 'the')",
+    )
+    rsp = tag_response(out, whole_dict, rows=10, fl=["id", "name"])
+    assert rsp["tags_count"] == 3
+    assert {r["id"] for r in rsp["tags"].collect()} == {"0", "1", "3"}
+    assert rsp["response"].columns == ["id", "name"]
+    assert rsp["response"].count() == 3
