@@ -81,10 +81,17 @@ def wand_topk(
     b: float = B,
     spark: SparkSession | None = None,
     prune_stats: dict | None = None,
+    local_threshold_postings: int = 100_000,
 ) -> DataFrame:
     """Top-k BM25 via block-max segment pruning. queries: [(qid, text)].
     Returns (query_id, rank, doc_id, score). Pass ``prune_stats={}`` to get
-    back {'segments_total', 'segments_scored'}."""
+    back {'segments_total', 'segments_scored'}.
+
+    local_threshold_postings: when the query terms' total df is below this,
+    the matching blocks are collected and scored driver-side in one job —
+    the low-latency serving path (reference: sub-ms QTime against the
+    in-memory FST, QUICK_START.md:146-163). Distributed pruning handles
+    everything larger; set 0 to force the distributed path."""
     spark = spark or cindex.blocks.sparkSession
     n = float(cindex.doc_count)
     avgdl = float(cindex.avgdl) if cindex.avgdl else 1.0
@@ -111,6 +118,47 @@ def wand_topk(
                 idf = math.log(1.0 + (n - df_map[t] + 0.5) / (df_map[t] + 0.5))
                 weights[(qid, t)] = idf * qtf
 
+    # driver-local serving path for small posting volumes: one collect,
+    # numpy scoring, no executor round-trips
+    total_df = sum(df_map.values())
+    if total_df <= local_threshold_postings:
+        rows = (
+            cindex.blocks.where(F.col("term").isin(terms))
+            .select("seg", "term", "block")
+            .collect()
+        )
+        by_seg: dict[int, dict] = {}
+        for r in rows:
+            by_seg.setdefault(r["seg"], {})[r["term"]] = r["block"]
+        out = []
+        for qid, bag in qbags.items():
+            qterms = [
+                (t, weights[(qid, t)], k1, b, avgdl)
+                for t in sorted(bag)
+                if (qid, t) in weights
+            ]
+            if not qterms:
+                continue
+            cand_docs, cand_scores = [], []
+            for term_blocks in by_seg.values():
+                docs, scores = _score_segment(qterms, term_blocks, k)
+                cand_docs.extend(docs.tolist())
+                cand_scores.extend(scores.tolist())
+            order = sorted(
+                range(len(cand_docs)),
+                key=lambda i: (-cand_scores[i], cand_docs[i]),
+            )[:k]
+            for rank, i in enumerate(order, start=1):
+                out.append((qid, rank, cand_docs[i], float(cand_scores[i])))
+        if prune_stats is not None:
+            n_segs = sum(len(v) for v in by_seg.values())
+            prune_stats.update(
+                {"segments_total": n_segs, "segments_scored": n_segs, "local": True}
+            )
+        return spark.createDataFrame(
+            out, "query_id long, rank long, doc_id long, score double"
+        )
+
     # phase 0: metadata-only upper bounds per (query, seg)
     meta = (
         cindex.blocks.where(F.col("term").isin(terms))
@@ -126,10 +174,11 @@ def wand_topk(
                 key = (qid, r["seg"])
                 ub[key] = ub.get(key, 0.0) + w * f_ub
 
-    blocks = (
-        cindex.blocks.where(F.col("term").isin(terms))
-        .select("seg", "term", "block")
-        .persist()
+    # NB: no persist here — cindex.blocks is expected to be persisted by the
+    # caller; per-call persist of a per-query filtered plan would pile up
+    # distinct cache entries across a query workload.
+    blocks = cindex.blocks.where(F.col("term").isin(terms)).select(
+        "seg", "term", "block"
     )
 
     qterm_list = {

@@ -101,7 +101,8 @@ def test_compressed_matches_uncompressed(spark, corpus_index):
         assert r["min_dl"] == min(l for _, _, l in expected)
 
 
-def test_wand_rank_identical_to_exhaustive(spark, corpus_index):
+@pytest.mark.parametrize("local_threshold", [0, 100_000], ids=["distributed", "local"])
+def test_wand_rank_identical_to_exhaustive(spark, corpus_index, local_threshold):
     c = compress_index(corpus_index)
     c.blocks.persist().count()
     queries = [
@@ -112,7 +113,8 @@ def test_wand_rank_identical_to_exhaustive(spark, corpus_index):
         (4, "zzz"),
     ]
     stats = {}
-    got = wand_topk(c, queries, k=10, spark=spark, prune_stats=stats)
+    got = wand_topk(c, queries, k=10, spark=spark, prune_stats=stats,
+                    local_threshold_postings=local_threshold)
     exp = bm25_topk(corpus_index, queries, k=10, spark=spark)
 
     def norm(df):
@@ -145,7 +147,8 @@ def test_wand_pruning_skips_segments(spark):
     c.blocks.persist().count()
 
     stats = {}
-    got = wand_topk(c, [(0, "common")], k=1, spark=spark, prune_stats=stats)
+    got = wand_topk(c, [(0, "common")], k=1, spark=spark, prune_stats=stats,
+                    local_threshold_postings=0)
     rows = got.collect()
     assert [(r["rank"], r["doc_id"]) for r in rows] == [(1, 999)]
     assert stats["segments_scored"] < stats["segments_total"], stats
