@@ -115,6 +115,22 @@ def main() -> None:
     extras["wand_single_query_p50_sec"] = round(srt[len(srt) // 2], 3)
     extras["wand_single_query_p95_sec"] = round(srt[int(len(srt) * 0.95)], 3)
 
+    # q2d: warm in-memory serving (reference's warmed-searcher QTime shape)
+    from solrtexttagger_spark.search.wand import LocalSearcher
+
+    searcher = timed("q2d_local_searcher_warmup", lambda: LocalSearcher(cix))
+    lat_ms = []
+    def serve():
+        for i in range(200):
+            t0 = time.perf_counter()
+            searcher.search(queries[i % len(queries)][1], k=10)
+            lat_ms.append((time.perf_counter() - t0) * 1000)
+
+    timed("q2e_local_200_queries", serve)
+    srt_ms = sorted(lat_ms)
+    extras["serve_query_p50_ms"] = round(srt_ms[len(srt_ms) // 2], 2)
+    extras["serve_query_p95_ms"] = round(srt_ms[int(len(srt_ms) * 0.95)], 2)
+
     # q3: dictionary tagging (NO_SUB) over the whole corpus
     t0 = time.perf_counter()
     n_tagged = _materialize(em.q_tag_nosub(spark, sf_dir))

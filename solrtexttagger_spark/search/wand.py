@@ -72,6 +72,74 @@ def _score_segment(qterms, term_blocks, k):
     return uniq[order], scores[order]
 
 
+class LocalSearcher:
+    """Warm in-memory serving layer over the compressed index — the
+    analogue of the reference's warmed searcher (FST in memory, QTime ~1 ms;
+    QUICK_START.md:66-67, solrconfig.xml firstSearcher warm-up).
+
+    Collects the (term, seg, block) rows once (optionally restricted to a
+    term subset for huge indexes) and answers top-k queries in pure
+    numpy — no Spark jobs per query. Rank-identical to wand_topk/bm25_topk.
+    """
+
+    def __init__(self, cindex: CompressedIndex, terms: list[str] | None = None):
+        blocks = cindex.blocks
+        if terms is not None:
+            blocks = blocks.where(F.col("term").isin(list(terms)))
+        raw: dict[str, list] = {}
+        df_acc: dict[str, int] = {}
+        for r in blocks.select("term", "block", "df_seg").collect():
+            raw.setdefault(r["term"], []).append(bytes(r["block"]))
+            df_acc[r["term"]] = df_acc.get(r["term"], 0) + r["df_seg"]
+        self.df = df_acc
+        self.n = float(cindex.doc_count)
+        self.avgdl = float(cindex.avgdl) if cindex.avgdl else 1.0
+        # warm-up: decode once, store (doc_ids, score_factor) per term —
+        # the per-doc BM25 factor is query-independent, only idf*qtf varies
+        k1, b = K1, B
+        self.term_postings: dict[str, tuple] = {}
+        for term, blks in raw.items():
+            docs_parts, factor_parts = [], []
+            for blk in blks:
+                doc_ids, tfs, dls = decode_postings_block(blk)
+                tf = tfs.astype(np.float64)
+                dl = dls.astype(np.float64)
+                factor_parts.append(
+                    tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
+                )
+                docs_parts.append(doc_ids)
+            self.term_postings[term] = (
+                np.concatenate(docs_parts),
+                np.concatenate(factor_parts),
+            )
+
+    def search(self, query: str, k: int = 10, k1: float = K1, b: float = B):
+        """-> [(rank, doc_id, score)]. k1/b are fixed at warm-up."""
+        bag = analyze_query_terms(query)
+        all_docs, all_contrib = [], []
+        for term in sorted(bag):
+            entry = self.term_postings.get(term)
+            if entry is None:
+                continue
+            df = self.df[term]
+            idf = math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+            weight = idf * bag[term]
+            doc_ids, factor = entry
+            all_docs.append(doc_ids)
+            all_contrib.append(weight * factor)
+        if not all_docs:
+            return []
+        docs = np.concatenate(all_docs)
+        contrib = np.concatenate(all_contrib)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        scores = np.bincount(inv, weights=contrib, minlength=len(uniq))
+        order = np.lexsort((uniq, -scores))[:k]
+        return [
+            (rank, int(uniq[i]), float(scores[i]))
+            for rank, i in enumerate(order, start=1)
+        ]
+
+
 def wand_topk(
     cindex: CompressedIndex,
     queries,

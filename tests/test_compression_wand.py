@@ -156,3 +156,20 @@ def test_wand_pruning_skips_segments(spark):
     # and identical to the exhaustive scorer
     exp = bm25_topk(idx, [(0, "common")], k=1, spark=spark).collect()
     assert [(r["rank"], r["doc_id"]) for r in exp] == [(1, 999)]
+
+
+def test_local_searcher_rank_identical(spark, corpus_index):
+    from solrtexttagger_spark.search.wand import LocalSearcher
+
+    c = compress_index(corpus_index)
+    searcher = LocalSearcher(c)
+    queries = [(0, "w0 w1"), (1, "w5 w40 w80"), (2, "zzz")]
+    exp = {}
+    for r in bm25_topk(corpus_index, queries, k=10, spark=spark).collect():
+        exp.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in queries:
+        got = searcher.search(q, k=10)
+        want = sorted(exp.get(qid, []))
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want]
+        for (_, _, sa), (_, _, sb) in zip(got, want):
+            assert sa == pytest.approx(sb, abs=1e-9)
