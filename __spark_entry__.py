@@ -635,6 +635,46 @@ ranked AS (
 SELECT probe_id, rank::BIGINT AS rank, vec_id, cos FROM ranked WHERE rank <= 10
 """
 
+    from solrtexttagger_spark.ops.similarity import _hyperplane
+
+    dim = 64  # embeddings table dimension
+    n_planes = 8
+    plane_vals = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            p, ", ".join(repr(x) for x in _hyperplane(dim, p))
+        )
+        for p in range(n_planes)
+    )
+    sql["lsh_cosine_topk"] = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes(p, pv) AS (VALUES {plane_vals}),
+bucketed AS (
+  SELECT b.vec_id,
+         sum(CASE WHEN list_dot_product(b.v, pl.pv) > 0 THEN (1::BIGINT << pl.p) ELSE 0 END)::BIGINT AS bucket
+  FROM base b CROSS JOIN planes pl GROUP BY b.vec_id
+),
+probes AS (
+  SELECT bk.vec_id AS probe_id, b.v AS pv, bk.bucket
+  FROM bucketed bk JOIN base b ON b.vec_id = bk.vec_id
+  WHERE bk.vec_id IN ({probe_list})
+),
+scored AS (
+  SELECT p.probe_id, b.vec_id,
+         round(list_dot_product(p.pv, b.v) /
+               (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+  FROM probes p
+  JOIN bucketed bk ON bk.bucket = p.bucket
+  JOIN base b ON b.vec_id = bk.vec_id
+  WHERE b.vec_id <> p.probe_id
+),
+ranked AS (
+  SELECT probe_id, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank,
+         vec_id, cos
+  FROM scored
+)
+SELECT probe_id, rank::BIGINT AS rank, vec_id, cos FROM ranked WHERE rank <= 10
+"""
+
     sql["embed_dup_pairs"] = f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id,
