@@ -184,3 +184,41 @@ def test_tag_operator_on_stream(spark, tmp_path):
     rows = spark.sql("select * from tag_stream_test").collect()
     got = {(r["qdoc_id"], r["start"], r["end"], frozenset(r["doc_ids"])) for r in rows}
     assert got == {(0, 7, 21, frozenset([1]))}
+
+
+def test_stateful_running_user_stats(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: state persists
+    across micro-batches (two input files -> two batches with maxFilesPerTrigger)."""
+    from solrtexttagger_spark.streaming.stateful import running_user_stats
+
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(1, "click", 1.0), (1, "view", 2.0), (2, "click", 5.0)],
+        "user_id long, event_type string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    spark.createDataFrame(
+        [(1, "click", 3.0), (2, "buy", 7.0)],
+        "user_id long, event_type string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b*")
+    )
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from stateful_test").collect()
+    # the LAST update per user must reflect the full accumulated state
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], r["sum_value"], r["n_event_types"])
+    assert final[1] == (3, 6.0, 2)
+    assert final[2] == (2, 12.0, 2)
