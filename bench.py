@@ -138,6 +138,18 @@ def main() -> None:
     extras["tag_docs_per_sec"] = round(n_docs / timings["q3_tag_nosub"], 1)
     extras["tag_rows_emitted"] = int(n_tagged)
 
+    # q3b: join-path tagging (set-oriented alternative), same dictionary
+    from solrtexttagger_spark.tagging.join_operator import build_dict_terms, tag_join
+
+    def tag_join_run():
+        names = spark.createDataFrame(em.TAG_DICT, "id string, name string")
+        terms = build_dict_terms(names)
+        return _materialize(
+            tag_join(docs, terms, text_col="text", id_col="doc_id", overlaps="NO_SUB")
+        )
+
+    timed("q3b_tag_join_nosub", tag_join_run)
+
     # q4: LDR tagging
     timed("q4_tag_ldr", lambda: _materialize(em.q_tag_ldr(spark, sf_dir)))
 
