@@ -33,11 +33,15 @@ class TermDict:
     seek then 'pretends NOT_FOUND' exactly like TermPrefixCursor.java:117-129.
     """
 
-    __slots__ = ("terms", "postings")
+    __slots__ = ("terms", "postings", "first_words")
 
     def __init__(self, terms: list[str], postings: dict[str, tuple]):
         self.terms = terms
         self.postings = postings
+        # the reference's wished-for bloom filter (TermPrefixCursor.java:43
+        # TODO): O(1) membership of words that can START any dictionary
+        # term — skips the binary search for the common non-matching token
+        self.first_words = frozenset(t.split(SEPARATOR, 1)[0] for t in terms)
 
     @classmethod
     def from_pairs(cls, pairs):
@@ -313,7 +317,7 @@ def tag_text(
 
         process_cluster_if_done(term, tok.end if term is not None else -1)
 
-        if tok.taggable and term is not None:
+        if tok.taggable and term is not None and term in d.first_words:
             cursor = _Cursor(d)
             if cursor.advance(term):
                 new_tail = _Tag(head, cursor, tok.start, tok.end, None)
