@@ -601,10 +601,14 @@ base AS (
        FROM unnest(range(1, len(w) - {JACCARD_CAND_SHINGLE - 2})) AS t(i)) AS csh
   FROM words
 ),
+cgrams AS (SELECT doc_id, unnest(csh) AS c FROM base),
+ok AS (
+  SELECT c FROM cgrams GROUP BY c
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND {LSH_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
-  FROM (SELECT doc_id, unnest(csh) AS c FROM base) a
-  JOIN (SELECT doc_id, unnest(csh) AS c FROM base) b ON a.c = b.c
+  FROM cgrams a JOIN ok USING (c) JOIN cgrams b ON a.c = b.c
   WHERE a.doc_id < b.doc_id
 ),
 j AS (

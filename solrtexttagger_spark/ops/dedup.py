@@ -186,13 +186,16 @@ def ngram_jaccard_pairs(
     shingle_size: int = 3,
     candidate_shingle_size: int = 5,
     threshold: float = 0.2,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs.
 
     Candidates = docs sharing >=1 ``candidate_shingle_size``-gram (bounded
-    blow-up; at scale, buckets of wide 5-grams are tiny). For each candidate
-    pair, Jaccard over the distinct ``shingle_size``-gram sets; keep pairs
-    with jaccard >= threshold. Output (a_doc_id, b_doc_id, jaccard round 4).
+    blow-up; at scale, buckets of wide 5-grams are tiny; degenerate grams
+    shared by more than ``max_bucket_size`` docs are dropped as non-signal,
+    same policy as LSH banding). For each candidate pair, Jaccard over the
+    distinct ``shingle_size``-gram sets; keep pairs with jaccard >=
+    threshold. Output (a_doc_id, b_doc_id, jaccard round 4).
     """
     words = _words(text_col)
     base = df.select(
@@ -204,7 +207,7 @@ def ngram_jaccard_pairs(
         base.select(F.col(id_col), F.explode("csh").alias("c"))
         .groupBy("c")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-        .where(F.size("ids") >= 2)
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
         .select(F.explode(_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.a").alias("a_doc_id"), F.col("p.b").alias("b_doc_id"))
         .distinct()
