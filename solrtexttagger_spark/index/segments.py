@@ -61,6 +61,7 @@ def write_index(
     ]
     manifest = {
         "complete": True,
+        "version": _next_version(path),
         "doc_count": index.doc_count,
         "avgdl": index.avgdl,
         "index_num_segments": index.num_segments,
@@ -70,9 +71,40 @@ def write_index(
         "build_seconds": round(time.time() - t0, 3),
         "segments": sorted(seg_stats, key=lambda s: (s["min_term"] or "")),
     }
+    # snapshot history (Iceberg-metadata style): every build version is
+    # retained under manifests/, manifest.json is the current pointer
+    hist_dir = os.path.join(path, "manifests")
+    os.makedirs(hist_dir, exist_ok=True)
+    with open(os.path.join(hist_dir, f"manifest-v{manifest['version']}.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
+
+
+def _next_version(path: str) -> int:
+    hist_dir = os.path.join(path, "manifests")
+    if not os.path.isdir(hist_dir):
+        return 1
+    versions = [
+        int(f[len("manifest-v") : -len(".json")])
+        for f in os.listdir(hist_dir)
+        if f.startswith("manifest-v") and f.endswith(".json")
+    ]
+    return (max(versions) + 1) if versions else 1
+
+
+def manifest_history(path: str) -> list[dict]:
+    """All retained build snapshots, oldest first (lineage/time travel)."""
+    hist_dir = os.path.join(path, "manifests")
+    if not os.path.isdir(hist_dir):
+        return []
+    out = []
+    for f in sorted(os.listdir(hist_dir)):
+        if f.startswith("manifest-v") and f.endswith(".json"):
+            with open(os.path.join(hist_dir, f)) as fh:
+                out.append(json.load(fh))
+    return sorted(out, key=lambda m: m["version"])
 
 
 def read_index(spark: SparkSession, path: str) -> InvertedIndex:

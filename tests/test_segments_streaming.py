@@ -222,3 +222,22 @@ def test_stateful_running_user_stats(spark, tmp_path):
         final[r["user_id"]] = (r["n_events"], r["sum_value"], r["n_event_types"])
     assert final[1] == (3, 6.0, 2)
     assert final[2] == (2, 12.0, 2)
+
+
+def test_manifest_versioning(spark, docs_df, tmp_path):
+    from solrtexttagger_spark.index.segments import manifest_history
+
+    p = str(tmp_path / "ix")
+    idx = build_index(docs_df, num_segments=2)
+    write_index(idx, p, source_fingerprint="v1-src")
+    write_index(idx, p, source_fingerprint="v2-src")
+    hist = manifest_history(p)
+    assert [m["version"] for m in hist] == [1, 2]
+    assert [m["source_fingerprint"] for m in hist] == ["v1-src", "v2-src"]
+    # current pointer is the latest snapshot
+    with open(os.path.join(p, MANIFEST)) as f:
+        cur = json.load(f)
+    assert cur["version"] == 2 and cur["source_fingerprint"] == "v2-src"
+    # resume still reads the current snapshot
+    back = read_index(spark, p)
+    assert back.doc_count == idx.doc_count
