@@ -299,6 +299,12 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrtexttagger_spark.ops.textqa import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), top_k=3)
+
+
 def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solrtexttagger_spark.ops.textqa import rolling_hash
 
@@ -395,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
+        "tfidf_keywords": q_tfidf_keywords,
         "rolling_hash": q_rolling_hash,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -752,6 +759,27 @@ FROM words
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
 FROM documents
+"""
+
+    sql["tfidf_keywords"] = """
+WITH tok2 AS (
+  SELECT doc_id, w AS term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok2 GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, round(t.tf * ln(n.n / d.df), 4) AS tfidf
+  FROM tok2 t JOIN dfreq d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank,
+         term, tfidf
+  FROM scored
+)
+SELECT doc_id, rank::BIGINT AS rank, term, tfidf FROM ranked WHERE rank <= 3
 """
 
     sql["rolling_hash"] = """

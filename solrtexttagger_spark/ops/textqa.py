@@ -97,6 +97,51 @@ def quality_score(
     )
 
 
+def tfidf_keywords(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: top_k terms by
+    tf * ln(N / df), ties broken by term. Output
+    (doc_id, rank, term, tfidf round 4). All built-in expressions; the
+    only shuffles are the doc-term count and the tiny df aggregate."""
+    from pyspark.sql import Window
+
+    words = _words(text_col)
+    n = df.count()
+    tok = (
+        df.select(F.col(id_col), F.explode(words).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tok.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    scored = tok.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n)) / F.col("df").cast("double")),
+            4,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            "tfidf",
+        )
+    )
+
+
 ROLLING_HASH_MOD = 2147483647  # 2^31 - 1
 ROLLING_HASH_BASE = 31
 
