@@ -1,0 +1,32 @@
+"""Operator facade — the engine's relational/custom operators in one
+namespace (canonical homes: tagging/, search/, ops/, streaming/)."""
+
+from solrtexttagger_spark.ops.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from solrtexttagger_spark.ops.multimodal import extract_media_meta
+from solrtexttagger_spark.ops.similarity import (
+    cosine_dup_pairs,
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from solrtexttagger_spark.search.bm25 import bm25_topk
+from solrtexttagger_spark.search.phrase import phrase_match
+from solrtexttagger_spark.search.wand import LocalSearcher, wand_topk
+from solrtexttagger_spark.streaming.sessionize import sessionize_batch, sessionize_stream
+from solrtexttagger_spark.streaming.stateful import running_user_stats
+from solrtexttagger_spark.tagging.join_operator import tag_join
+from solrtexttagger_spark.tagging.operator import matched_docs, tag, tag_response, translate_ids
+
+__all__ = [
+    "exact_dedup", "lsh_candidate_pairs", "minhash_signatures",
+    "ngram_jaccard_pairs", "simhash", "extract_media_meta",
+    "cosine_dup_pairs", "cosine_topk", "lsh_cosine_topk",
+    "bm25_topk", "phrase_match", "LocalSearcher", "wand_topk",
+    "sessionize_batch", "sessionize_stream", "running_user_stats",
+    "tag_join", "matched_docs", "tag", "tag_response", "translate_ids",
+]

@@ -1,0 +1,49 @@
+"""Plan diagnostics: capture and sanity-check the physical plans of the
+engine's operators (the shapes tests/test_plans.py pins).
+
+No custom Catalyst rules exist or are needed (SURVEY.md §4): every operator
+is an explicit DataFrame program whose desired physical properties —
+broadcast joins for small sides, pruned scans, shuffle-free map paths,
+WindowGroupLimit top-k — fall out of Catalyst given the right plan shape.
+This module makes those properties inspectable at runtime.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def plan_summary(df: DataFrame) -> dict:
+    """Counts of the plan features the scale design cares about."""
+    plan = plan_string(df)
+    return {
+        "exchanges": len(re.findall(r"^\(\d+\) Exchange", plan, re.M)),
+        "broadcast_joins": plan.count("BroadcastHashJoin")
+        + plan.count("BroadcastNestedLoopJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "python_stages": plan.count("MapInPandas")
+        + plan.count("ArrowEvalPython")
+        + plan.count("FlatMapGroupsInPandas"),
+        "window_group_limits": plan.count("WindowGroupLimit"),
+        "scans": len(re.findall(r"^\(\d+\) Scan", plan, re.M)),
+    }
+
+
+def assert_plan(df: DataFrame, **expectations) -> None:
+    """assert_plan(df, exchanges=0, broadcast_joins=1, ...) — raises
+    AssertionError naming the offending feature."""
+    got = plan_summary(df)
+    for key, want in expectations.items():
+        if got.get(key) != want:
+            raise AssertionError(f"plan {key}={got.get(key)}, expected {want}\n{plan_string(df)}")

@@ -99,3 +99,19 @@ def test_cosine_plan_broadcasts_probes(spark):
     )
     plan = plan_str(cosine_topk(emb, [0, 1], k=3))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_facades_and_plan_summary(spark, docs_df):
+    """operators/functions facades import cleanly; plans.plan_summary and
+    assert_plan report the pinned shapes."""
+    import solrtexttagger_spark.functions as fns
+    import solrtexttagger_spark.operators as ops
+    from solrtexttagger_spark.plans import assert_plan, plan_summary
+
+    assert callable(ops.tag) and callable(fns.tokenize)
+
+    s = plan_summary(ops.exact_dedup(docs_df))
+    assert s["exchanges"] == 1 and s["python_stages"] == 0
+    assert_plan(ops.exact_dedup(docs_df), exchanges=1)
+    with pytest.raises(AssertionError):
+        assert_plan(ops.exact_dedup(docs_df), exchanges=0)
