@@ -299,7 +299,7 @@ def brute_force_tags(input_text, names):
     return out
 
 
-@pytest.mark.parametrize("seed", range(10))
+@pytest.mark.parametrize("seed", range(25))
 def test_randomized_brute_force(seed):
     rng = random.Random(42 + seed)
 
