@@ -22,7 +22,8 @@ BLOCK_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType()),
         T.StructField("seg", T.IntegerType()),
-        T.StructField("df_seg", T.LongType()),
+        T.StructField("blk", T.IntegerType()),  # block ordinal within the shard
+        T.StructField("df_seg", T.LongType()),  # postings in THIS block
         T.StructField("cf_seg", T.LongType()),
         T.StructField("max_tf", T.IntegerType()),
         T.StructField("min_dl", T.IntegerType()),
@@ -47,36 +48,40 @@ class CompressedIndex:
         return self._avgdl
 
 
-def compress_index(index: InvertedIndex) -> CompressedIndex:
-    """Encode each (term, seg) shard into one block + block-max metadata."""
+def compress_index(
+    index: InvertedIndex, *, max_block_postings: int | None = None
+) -> CompressedIndex:
+    """Encode each (term, seg) shard into delta+varint blocks with per-block
+    block-max metadata. With max_block_postings=None the shard is one block;
+    otherwise it is split into chunks of that size (finer pruning bounds for
+    very large shards — each block's (max_tf, min_dl) is tight for its doc
+    range)."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k.name: [] for k in BLOCK_SCHEMA.fields}
-            for term, seg, df_seg, cf_seg, postings in zip(
-                pdf["term"], pdf["seg"], pdf["df_seg"], pdf["cf_seg"], pdf["postings"]
-            ):
+            for term, seg, postings in zip(pdf["term"], pdf["seg"], pdf["postings"]):
+                n = len(postings)
                 doc_ids = np.fromiter(
-                    (p["doc_id"] for p in postings), dtype=np.int64, count=len(postings)
+                    (p["doc_id"] for p in postings), dtype=np.int64, count=n
                 )
-                tfs = np.fromiter(
-                    (p["tf"] for p in postings), dtype=np.int64, count=len(postings)
-                )
-                dls = np.fromiter(
-                    (p["dl"] for p in postings), dtype=np.int64, count=len(postings)
-                )
-                out["term"].append(term)
-                out["seg"].append(seg)
-                out["df_seg"].append(df_seg)
-                out["cf_seg"].append(cf_seg)
-                out["max_tf"].append(int(tfs.max()))
-                out["min_dl"].append(int(dls.min()))
-                out["block"].append(encode_postings_block(doc_ids, tfs, dls))
+                tfs = np.fromiter((p["tf"] for p in postings), dtype=np.int64, count=n)
+                dls = np.fromiter((p["dl"] for p in postings), dtype=np.int64, count=n)
+                step = max_block_postings or n or 1
+                for blk, lo in enumerate(range(0, n, step)):
+                    hi = min(lo + step, n)
+                    d, t, l = doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi]
+                    out["term"].append(term)
+                    out["seg"].append(seg)
+                    out["blk"].append(blk)
+                    out["df_seg"].append(hi - lo)
+                    out["cf_seg"].append(int(t.sum()))
+                    out["max_tf"].append(int(t.max()))
+                    out["min_dl"].append(int(l.min()))
+                    out["block"].append(encode_postings_block(d, t, l))
             yield pd.DataFrame(out)
 
-    narrowed = index.postings.select(
-        "term", "seg", "df_seg", "cf_seg", "postings"
-    )
+    narrowed = index.postings.select("term", "seg", "postings")
     blocks = narrowed.mapInPandas(encode, schema=BLOCK_SCHEMA)
     return CompressedIndex(
         blocks=blocks,

@@ -44,19 +44,22 @@ _SCORE_SCHEMA = T.StructType(
 
 
 def _score_segment(qterms, term_blocks, k):
-    """qterms: [(term, weight=idf*qtf)]; term_blocks: {term: block bytes}.
+    """qterms: [(term, weight=idf*qtf)]; term_blocks: {term: [block bytes]}.
     Returns (doc_ids, scores) of the local top-k."""
     all_docs, all_contrib = [], []
     for term, weight, k1, b, avgdl in qterms:
-        blk = term_blocks.get(term)
-        if blk is None:
+        blks = term_blocks.get(term)
+        if not blks:
             continue
-        doc_ids, tfs, dls = decode_postings_block(bytes(blk))
-        tf = tfs.astype(np.float64)
-        dl = dls.astype(np.float64)
-        contrib = weight * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-        all_docs.append(doc_ids)
-        all_contrib.append(contrib)
+        for blk in blks:
+            doc_ids, tfs, dls = decode_postings_block(bytes(blk))
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            contrib = (
+                weight * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            )
+            all_docs.append(doc_ids)
+            all_contrib.append(contrib)
     if not all_docs:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
     docs = np.concatenate(all_docs)
@@ -197,7 +200,9 @@ def wand_topk(
         )
         by_seg: dict[int, dict] = {}
         for r in rows:
-            by_seg.setdefault(r["seg"], {})[r["term"]] = r["block"]
+            by_seg.setdefault(r["seg"], {}).setdefault(r["term"], []).append(
+                r["block"]
+            )
         out = []
         for qid, bag in qbags.items():
             qterms = [
@@ -227,19 +232,26 @@ def wand_topk(
             out, "query_id long, rank long, doc_id long, score double"
         )
 
-    # phase 0: metadata-only upper bounds per (query, seg)
+    # phase 0: metadata-only upper bounds per (query, seg). A doc lives in
+    # exactly ONE block of a (term, seg) shard, so the per-term bound is the
+    # MAX over that shard's blocks, then summed across the query's terms.
     meta = (
         cindex.blocks.where(F.col("term").isin(terms))
         .select("term", "seg", "max_tf", "min_dl")
         .collect()
     )
-    ub: dict[tuple[int, int], float] = {}
+    shard_ub: dict[tuple[str, int], float] = {}
     for r in meta:
         f_ub = bm25_upper_bound(r["max_tf"], r["min_dl"], avgdl, k1, b)
+        key = (r["term"], r["seg"])
+        if f_ub > shard_ub.get(key, 0.0):
+            shard_ub[key] = f_ub
+    ub: dict[tuple[int, int], float] = {}
+    for (term, seg), f_ub in shard_ub.items():
         for qid in qbags:
-            w = weights.get((qid, r["term"]))
+            w = weights.get((qid, term))
             if w is not None:
-                key = (qid, r["seg"])
+                key = (qid, seg)
                 ub[key] = ub.get(key, 0.0) + w * f_ub
 
     # NB: no persist here — cindex.blocks is expected to be persisted by the
@@ -272,7 +284,9 @@ def wand_topk(
             seg = int(key[0])
             seg_to_q_, qterms_, k_ = bc.value
             qids = seg_to_q_.get(seg, [])
-            term_blocks = dict(zip(pdf["term"], pdf["block"]))
+            term_blocks: dict[str, list] = {}
+            for term, blk in zip(pdf["term"], pdf["block"]):
+                term_blocks.setdefault(term, []).append(blk)
             out_q, out_d, out_s = [], [], []
             for qid in qids:
                 docs, scores = _score_segment(qterms_[qid], term_blocks, k_)

@@ -173,3 +173,40 @@ def test_local_searcher_rank_identical(spark, corpus_index):
         assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want]
         for (_, _, sa), (_, _, sb) in zip(got, want):
             assert sa == pytest.approx(sb, abs=1e-9)
+
+
+def test_multi_block_shards(spark, corpus_index):
+    """max_block_postings splits shards into multiple blocks; reassembly
+    matches the single-block layout and WAND stays rank-identical."""
+    c1 = compress_index(corpus_index)
+    cm = compress_index(corpus_index, max_block_postings=7)
+
+    def reassemble(ci):
+        out = {}
+        for r in ci.blocks.collect():
+            d, t, l = decode_postings_block(bytes(r["block"]))
+            key = (r["term"], r["seg"])
+            out.setdefault(key, []).append(
+                (r["blk"], list(zip(d.tolist(), t.tolist(), l.tolist())))
+            )
+        return {
+            k: [p for _, chunk in sorted(v) for p in chunk] for k, v in out.items()
+        }
+
+    a, b = reassemble(c1), reassemble(cm)
+    assert a == b
+    # at least one shard actually split
+    assert any(r["blk"] > 0 for r in cm.blocks.collect())
+
+    cm.blocks.persist().count()
+    queries = [(0, "w0 w1"), (1, "w5 w40 w80")]
+    stats = {}
+    got = wand_topk(cm, queries, k=10, spark=spark, prune_stats=stats,
+                    local_threshold_postings=0)
+    exp = bm25_topk(corpus_index, queries, k=10, spark=spark)
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, exp.collect()))
+
+    # local path too
+    got2 = wand_topk(cm, queries, k=10, spark=spark)
+    assert sorted(map(key, got2.collect())) == sorted(map(key, exp.collect()))
