@@ -472,10 +472,11 @@ hits AS (
 
 
 def _minhash_sig_exprs() -> str:
-    # mirrors ops/dedup.minhash_signatures: 28-bit slices of md5(s)/md5('x'||s)
+    # mirrors ops/dedup.minhash_signatures: 28-bit slices of
+    # md5(s) / md5('x'||s) / md5('y'||s), 4 slices per digest
     exprs = []
     for i in range(MINHASH_H):
-        src = "md5(s)" if i < 4 else "md5('x' || s)"
+        src = ("md5(s)", "md5('x' || s)", "md5('y' || s)")[i // 4]
         off = 1 + 7 * (i % 4)
         exprs.append(
             f"min(('0x' || substr({src}, {off}, 7))::BIGINT) AS sig_{i}"
@@ -555,6 +556,44 @@ keep AS (
 SELECT h.doc_id, h.t_start, h.t_end, h.id
 FROM hits h JOIN keep k
   ON h.doc_id = k.doc_id AND h.t_start = k.t_start AND h.t_end = k.t_end
+"""
+
+    # LONGEST_DOMINANT_RIGHT as SQL: the reference's greedy
+    # (TagClusterReducer.java:59-102, tie-break '>=' at :71) is equivalent to
+    # "iterate spans by (length desc, start desc); keep iff no overlap with a
+    # previously kept span" (validated against an independent Python greedy
+    # on 20k randomized cases). The iteration is a recursive CTE walking each
+    # document's spans in that order, carrying the kept list.
+    sql["tag_ldr"] = f"""
+WITH RECURSIVE {_tag_hits_cte()},
+spans AS (SELECT DISTINCT doc_id, t_start, t_end FROM hits),
+ordered AS (
+  SELECT doc_id, t_start, t_end,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY (t_end - t_start) DESC, t_start DESC
+         ) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM spans
+),
+walk(doc_id, rn, n, kept) AS (
+  SELECT doc_id, 0::BIGINT, n, []::BIGINT[][]
+  FROM (SELECT DISTINCT doc_id, n FROM ordered)
+  UNION ALL
+  SELECT w.doc_id, o.rn, w.n,
+         CASE WHEN len(list_filter(w.kept, x -> x[1] < o.t_end AND o.t_start < x[2])) = 0
+              THEN list_append(w.kept, [o.t_start, o.t_end])
+              ELSE w.kept END
+  FROM walk w
+  JOIN ordered o ON o.doc_id = w.doc_id AND o.rn = w.rn + 1
+),
+survivors AS (
+  SELECT doc_id, unnest(kept) AS span FROM walk WHERE rn = n
+)
+SELECT h.doc_id, h.t_start, h.t_end, h.id
+FROM hits h
+JOIN survivors s
+  ON s.doc_id = h.doc_id AND s.span[1] = h.t_start AND s.span[2] = h.t_end
 """
 
     sql["tag_nosub"] = f"""

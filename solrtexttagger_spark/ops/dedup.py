@@ -63,20 +63,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document over token shingles.
 
-    The ``num_hashes`` independent hash functions are 28-bit slices of just
-    two md5 digests per shingle (md5(s) and md5('x'||s) give 64 hex chars =
-    up to 9 slices of 7), so the per-shingle cost is 2 digests instead of
-    ``num_hashes`` — and the scheme stays bit-identical in DuckDB.
+    The ``num_hashes`` independent hash functions are 28-bit slices of a few
+    md5 digests per shingle (md5(s), md5('x'||s), md5('y'||s)): each 32-hex
+    digest yields 4 non-overlapping 7-char slices, so H<=4 costs one digest,
+    H<=8 two, H<=12 three — and the scheme stays bit-identical in DuckDB.
     Output: (doc_id, sig_0 .. sig_{H-1}); docs with no shingle get NULL sigs.
     """
-    assert num_hashes <= 9, "slice scheme supports up to 9 hashes"
+    assert num_hashes <= 12, "slice scheme supports up to 12 hashes (3 digests x 4 slices)"
     sh = _shingles(_words(text_col), shingle_size)
-    # one pass: per shingle, the two digests
+    # one pass: per shingle, only the digests this H actually needs
+    fields = {"m1": lambda s: F.md5(s)}
+    if num_hashes > 4:
+        fields["m2"] = lambda s: F.md5(F.concat(F.lit("x"), s))
+    if num_hashes > 8:
+        fields["m3"] = lambda s: F.md5(F.concat(F.lit("y"), s))
     digests = F.transform(
         sh,
-        lambda s: F.struct(
-            F.md5(s).alias("m1"), F.md5(F.concat(F.lit("x"), s)).alias("m2")
-        ),
+        lambda s: F.struct(*[fn(s).alias(name) for name, fn in fields.items()]),
     )
     base = df.select(F.col(id_col), digests.alias("__hs"))
     def _slicer(field: str, off: int):
@@ -86,7 +89,7 @@ def minhash_signatures(
 
     cols = [F.col(id_col)]
     for i in range(num_hashes):
-        field = "m1" if i < 4 else "m2"
+        field = ("m1", "m2", "m3")[i // 4]
         off = 1 + 7 * (i % 4)
         hi = F.array_min(F.transform(F.col("__hs"), _slicer(field, off)))
         cols.append(hi.alias(f"sig_{i}"))

@@ -67,9 +67,14 @@ def _score_segment(qterms, term_blocks, k):
     uniq, inv = np.unique(docs, return_inverse=True)
     scores = np.bincount(inv, weights=contrib, minlength=len(uniq))
     if len(uniq) > k:
-        part = np.argpartition(-scores, k - 1)[:k]
-        # deterministic order among the kept candidates
-        order = part[np.lexsort((uniq[part], -scores[part]))]
+        # keep k PLUS everything tied with the k-th score: argpartition alone
+        # selects arbitrarily among k-th ties, which could drop the
+        # doc_id-preferred candidate before the final (score desc, doc_id asc)
+        # window. Identical (tf, dl) pairs score bit-identically, so float
+        # equality is the right tie test here.
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        keep = np.nonzero(scores >= kth)[0]
+        order = keep[np.lexsort((uniq[keep], -scores[keep]))]
     else:
         order = np.lexsort((uniq, -scores))
     return uniq[order], scores[order]
@@ -85,7 +90,14 @@ class LocalSearcher:
     numpy — no Spark jobs per query. Rank-identical to wand_topk/bm25_topk.
     """
 
-    def __init__(self, cindex: CompressedIndex, terms: list[str] | None = None):
+    def __init__(
+        self,
+        cindex: CompressedIndex,
+        terms: list[str] | None = None,
+        *,
+        k1: float = K1,
+        b: float = B,
+    ):
         blocks = cindex.blocks
         if terms is not None:
             blocks = blocks.where(F.col("term").isin(list(terms)))
@@ -98,8 +110,9 @@ class LocalSearcher:
         self.n = float(cindex.doc_count)
         self.avgdl = float(cindex.avgdl) if cindex.avgdl else 1.0
         # warm-up: decode once, store (doc_ids, score_factor) per term —
-        # the per-doc BM25 factor is query-independent, only idf*qtf varies
-        k1, b = K1, B
+        # the per-doc BM25 factor is query-independent, only idf*qtf varies.
+        # k1/b are baked into the factor here, so search() pins them.
+        self.k1, self.b = float(k1), float(b)
         self.term_postings: dict[str, tuple] = {}
         for term, blks in raw.items():
             docs_parts, factor_parts = [], []
@@ -116,8 +129,20 @@ class LocalSearcher:
                 np.concatenate(factor_parts),
             )
 
-    def search(self, query: str, k: int = 10, k1: float = K1, b: float = B):
-        """-> [(rank, doc_id, score)]. k1/b are fixed at warm-up."""
+    def search(self, query: str, k: int = 10, k1: float | None = None, b: float | None = None):
+        """-> [(rank, doc_id, score)]. k1/b were baked into the per-doc
+        factors at warm-up; passing different values here would silently
+        score with the warm-up parameters, so it raises instead."""
+        if k1 is not None and float(k1) != self.k1:
+            raise ValueError(
+                f"k1={k1} differs from warm-up k1={self.k1}; rebuild the "
+                "LocalSearcher with the desired parameters"
+            )
+        if b is not None and float(b) != self.b:
+            raise ValueError(
+                f"b={b} differs from warm-up b={self.b}; rebuild the "
+                "LocalSearcher with the desired parameters"
+            )
         bag = analyze_query_terms(query)
         all_docs, all_contrib = [], []
         for term in sorted(bag):
@@ -315,8 +340,10 @@ def wand_topk(
         if cands:
             first_seg[qid] = {max(cands, key=lambda sv: sv[1])[0]}
     phase1 = run_segments(first_seg)
-    if phase1 is not None:
-        phase1 = phase1.persist()  # reused: θ extraction + final union
+    # phase-1 output is tiny (<= k + ties rows per query) and is needed
+    # driver-side for θ anyway — collect once and re-inject it as a LOCAL
+    # DataFrame for the final union. No persist => nothing accumulates in
+    # executor storage across a long-lived query workload.
     theta: dict[int, float] = {}
     phase1_rows = phase1.collect() if phase1 is not None else []
     by_q: dict[int, list[float]] = {}
@@ -325,14 +352,24 @@ def wand_topk(
     for qid, scores in by_q.items():
         scores.sort(reverse=True)
         theta[qid] = scores[k - 1] if len(scores) >= k else -math.inf
+    phase1_local = (
+        spark.createDataFrame(
+            [(r["query_id"], r["doc_id"], r["score"]) for r in phase1_rows],
+            _SCORE_SCHEMA,
+        )
+        if phase1_rows
+        else None
+    )
 
-    # phase 2: only segments whose upper bound beats θ
+    # phase 2: only segments whose upper bound can reach θ. >= (not >): a
+    # segment whose bound EQUALS θ may hold a doc scoring exactly θ with a
+    # smaller doc_id, which wins the (score desc, doc_id asc) tie-break.
     rest = {}
     scored_segs = {qid: set(first_seg.get(qid, set())) for qid in qbags}
     for (qid, seg), bound in ub.items():
         if seg in scored_segs.get(qid, set()):
             continue
-        if bound > theta.get(qid, -math.inf):
+        if bound >= theta.get(qid, -math.inf):
             rest.setdefault(qid, set()).add(seg)
             scored_segs[qid].add(seg)
     phase2 = run_segments(rest)
@@ -342,7 +379,7 @@ def wand_topk(
         scored = sum(len(v) for v in scored_segs.values())
         prune_stats.update({"segments_total": total, "segments_scored": scored})
 
-    parts = [p for p in (phase1, phase2) if p is not None]
+    parts = [p for p in (phase1_local, phase2) if p is not None]
     if not parts:
         return spark.createDataFrame([], "query_id long, rank long, doc_id long, score double")
     allscores = parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])

@@ -141,18 +141,27 @@ def tag(
                     tokens = query_analyze(
                         text, stopwords=stop, min_taggable_len=mlen
                     )
+                # With offset correction active, the limit must count only
+                # tags that SURVIVE correct_pair — the reference checks
+                # tags.size() >= tagsLimit at emission, where uncorrectable
+                # tags never enter the list (TaggerRequestHandler.java:176,
+                # 244-276). So run the loop unlimited and cap afterwards.
+                n_emitted = 0
                 for s, e, ids in tag_text(
                     tokens,
                     d,
                     overlaps=ov,
                     ignore_stopwords=ig,
-                    tags_limit=lim,
+                    tags_limit=None if corrector is not None else lim,
                 ):
                     if corrector is not None:
                         pair = corrector.correct_pair(s, e)
                         if pair is None:
                             continue
+                        if lim is not None and n_emitted >= lim:
+                            break
                         s, e = pair
+                    n_emitted += 1
                     out_q.append(qid)
                     out_s.append(s)
                     out_e.append(e)

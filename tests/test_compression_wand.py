@@ -210,3 +210,15 @@ def test_multi_block_shards(spark, corpus_index):
     # local path too
     got2 = wand_topk(cm, queries, k=10, spark=spark)
     assert sorted(map(key, got2.collect())) == sorted(map(key, exp.collect()))
+
+
+def test_local_searcher_rejects_mismatched_params(spark, corpus_index):
+    from solrtexttagger_spark.search.wand import LocalSearcher
+
+    c = compress_index(corpus_index)
+    searcher = LocalSearcher(c, k1=1.2, b=0.75)
+    searcher.search("w0", k=3, k1=1.2, b=0.75)  # matching values: fine
+    with pytest.raises(ValueError):
+        searcher.search("w0", k=3, k1=0.9)
+    with pytest.raises(ValueError):
+        searcher.search("w0", k=3, b=0.5)

@@ -159,3 +159,23 @@ def test_tag_response_shape(spark, whole_dict):
     assert {r["id"] for r in rsp["tags"].collect()} == {"0", "1", "3"}
     assert rsp["response"].columns == ["id", "name"]
     assert rsp["response"].count() == 3
+
+
+def test_tags_limit_with_offset_adjust(spark):
+    """tagsLimit must count only tags that survive offset correction —
+    uncorrectable spans never enter the list (reference checks
+    tags.size() >= tagsLimit at emission, TaggerRequestHandler.java:176)."""
+    d = build_tag_dictionary(names_df(spark, ["start end"]))
+    # first occurrence straddles </p> (uncorrectable); two later ones valid
+    doc = "<doc><p>a start</p> end start end start end</doc>"
+    out = tag(
+        texts_df(spark, [doc]), d, overlaps="ALL", offset_adjust="xml",
+        tags_limit=2,
+    )
+    assert out.count() == 2
+    # unlimited: still exactly the 2 correctable tags (sanity)
+    out_all = tag(
+        texts_df(spark, [doc]), d, overlaps="ALL", offset_adjust="xml",
+        tags_limit=None,
+    )
+    assert out_all.count() == 2
