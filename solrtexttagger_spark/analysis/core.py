@@ -163,6 +163,14 @@ def index_analyze_shingles(
     max_shingle: int = 10,
     stopwords: frozenset | None = None,
     lowercase: bool = True,
+    ascii_fold: bool = False,
+    possessive: bool = False,
 ) -> list[str]:
-    toks = query_analyze(name, lowercase=lowercase, stopwords=stopwords)
+    toks = query_analyze(
+        name,
+        lowercase=lowercase,
+        stopwords=stopwords,
+        ascii_fold=ascii_fold,
+        possessive=possessive,
+    )
     return shingles([t.term for t in toks], max_shingle)

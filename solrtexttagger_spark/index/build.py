@@ -118,6 +118,28 @@ def with_doc_ids(df: DataFrame, key_cols: list[str], out_col: str = "doc_id") ->
     )
 
 
+def dense_doc_ids(df: DataFrame, order_by, out_col: str = "doc_id", num_partitions: int | None = None) -> DataFrame:
+    """Dense deterministic ids 0..n-1 in ``order_by`` order WITHOUT a global
+    single-partition window: range-partition on the key, sort within
+    partitions (together a total sort), then ``zipWithIndex`` (one extra
+    O(#partitions) pass for the per-partition offsets). Deterministic as
+    long as the order key is unique — the id is the row's global rank.
+
+    This is the big-dictionary-safe replacement for
+    ``Window.orderBy(key)`` + ``row_number()``, which funnels every row
+    through one task (the exact regime the join-path tagger exists for).
+    """
+    spark = df.sparkSession
+    n = num_partitions or max(2, spark.sparkContext.defaultParallelism)
+    col = F.col(order_by) if isinstance(order_by, str) else order_by
+    shaped = df.repartitionByRange(n, col).sortWithinPartitions(col)
+    out_schema = T.StructType(
+        shaped.schema.fields + [T.StructField(out_col, T.LongType(), False)]
+    )
+    rdd = shaped.rdd.zipWithIndex().map(lambda t: t[0] + (t[1],))
+    return spark.createDataFrame(rdd, out_schema)
+
+
 def _tokenize_rows(text_col: str, doc_id_col: str, lowercase: bool):
     """mapInPandas fn: tokenize + per-document term aggregation."""
 

@@ -41,19 +41,43 @@ class TagDictionary:
     id_col: str = "id"
     name_col: str = "name"
     attrs: list = field(default_factory=list)
+    # analysis-chain flags recorded so tag() applies the SAME chain at query
+    # time (reference: the query analyzer must mirror the index analyzer,
+    # QUICK_START.md:83-93 recommended ASCIIFolding/EnglishPossessive chain)
+    ascii_fold: bool = False
+    possessive: bool = False
 
 
-def _make_analyze_udf(mode: str, stopwords, max_shingle: int):
+def _make_analyze_udf(
+    mode: str, stopwords, max_shingle: int, ascii_fold: bool, possessive: bool
+):
     stop = frozenset(stopwords) if stopwords else None
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def analyze(names: pd.Series) -> pd.Series:
         if mode == "whole":
             return names.map(
-                lambda s: ([index_analyze_whole(s, stopwords=stop)] if s else [])
+                lambda s: (
+                    [
+                        index_analyze_whole(
+                            s,
+                            stopwords=stop,
+                            ascii_fold=ascii_fold,
+                            possessive=possessive,
+                        )
+                    ]
+                    if s
+                    else []
+                )
             )
         return names.map(
-            lambda s: index_analyze_shingles(s, max_shingle=max_shingle, stopwords=stop)
+            lambda s: index_analyze_shingles(
+                s,
+                max_shingle=max_shingle,
+                stopwords=stop,
+                ascii_fold=ascii_fold,
+                possessive=possessive,
+            )
             if s
             else []
         )
@@ -70,12 +94,18 @@ def build_tag_dictionary(
     stopwords=None,
     use_english_stopwords: bool = False,
     max_shingle: int = 10,
+    ascii_fold: bool = False,
+    possessive: bool = False,
 ) -> TagDictionary:
     """Build a TagDictionary from a DataFrame of names.
 
     mode='whole'   -> one concatenated phrase term per name (field type 'tag')
     mode='partial' -> all 1..max_shingle word shingles   (field type 'tagPartial')
     stopword filtering at index time models field type 'tagStop'.
+    ascii_fold / possessive: the reference's recommended gazetteer chain
+    (ASCIIFoldingFilter + EnglishPossessiveFilter, QUICK_START.md:83,93,
+    README.md:95,104); recorded on the dictionary so tag() mirrors them
+    at query time.
     """
     if use_english_stopwords and stopwords is None:
         stopwords = ENGLISH_STOP_WORDS
@@ -84,18 +114,22 @@ def build_tag_dictionary(
 
     attrs = [c for c in names_df.columns if c not in (name_col, id_col)]
 
-    # Deterministic dense doc_id by id order. Window over a single ORDER BY
-    # is driver-friendly only for dictionary-sized inputs; the engine's
-    # 10^12-file corpus path uses content-hash doc ids (index/build.py).
-    from pyspark.sql import Window
+    # Deterministic dense doc_id by id order, assigned distributed (range
+    # partition + zipWithIndex — shared with the never-broadcast join path;
+    # no single-partition window even at gazetteer scale). The engine's
+    # 10^12-file corpus path uses content-hash doc ids (with_doc_ids).
+    from solrtexttagger_spark.index.build import dense_doc_ids
 
-    w = Window.orderBy(F.col(id_col).cast("string"))
-    docs_df = names_df.withColumn("doc_id", F.row_number().over(w) - F.lit(1)).select(
-        "doc_id", F.col(id_col).cast("string").alias("id"),
-        F.col(name_col).alias("name"), *attrs
-    )
+    docs_df = dense_doc_ids(
+        names_df.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(name_col).alias("name"),
+            *attrs,
+        ),
+        "id",
+    ).select("doc_id", "id", "name", *attrs)
 
-    analyze = _make_analyze_udf(mode, stopwords, max_shingle)
+    analyze = _make_analyze_udf(mode, stopwords, max_shingle, ascii_fold, possessive)
     pairs = (
         docs_df.select("doc_id", F.explode(analyze(F.col("name"))).alias("term"))
         .where(F.col("term") != "")
@@ -114,4 +148,6 @@ def build_tag_dictionary(
         id_col=id_col,
         name_col=name_col,
         attrs=attrs,
+        ascii_fold=ascii_fold,
+        possessive=possessive,
     )

@@ -89,8 +89,14 @@ def build_dict_terms(
             else []
         )
 
-    w = Window.orderBy(F.col(id_col).cast("string"))
-    docs = names_df.withColumn("doc_id", F.row_number().over(w) - F.lit(1))
+    # Dense ids in id order without a single-partition global window —
+    # this path exists precisely for dictionaries too big to broadcast,
+    # so id assignment must parallelize (range-partition + zipWithIndex).
+    from solrtexttagger_spark.index.build import dense_doc_ids
+
+    docs = dense_doc_ids(
+        names_df.withColumn("__ord", F.col(id_col).cast("string")), "__ord"
+    ).drop("__ord")
     return (
         docs.select("doc_id", F.explode(analyze(F.col(name_col))).alias("term"))
         .where(F.col("term") != "")

@@ -314,6 +314,8 @@ def html_strip_tokenize(
     lowercase: bool = True,
     stopwords=None,
     min_taggable_len: int | None = None,
+    ascii_fold: bool = False,
+    possessive: bool = False,
 ) -> list[Token]:
     """Query-time chain for xml/html inputs: markup stripped, entities
     decoded, offsets preserved into the ORIGINAL text (reference field type
@@ -327,7 +329,15 @@ def html_strip_tokenize(
         w = m.group(0)
         if lowercase:
             w = w.lower()
-        if stopwords is not None and w in stopwords:
+        if ascii_fold:
+            from solrtexttagger_spark.analysis.core import fold_ascii
+
+            w = fold_ascii(w)
+        if possessive:
+            from solrtexttagger_spark.analysis.core import strip_possessive
+
+            w = strip_possessive(w)
+        if (stopwords is not None and w in stopwords) or not w:
             pos_inc += 1
             continue
         s = starts[m.start()]

@@ -63,11 +63,17 @@ def tag(
     offset_adjust: str | None = None,
     non_taggable_tags: list[str] | None = None,
     on_invalid: str = "error",
+    skip_alt_tokens: bool = False,
 ) -> DataFrame:
     """Tag every text against the dictionary.
 
     Returns (qdoc_id, start, end, doc_ids array<long>[, match_text]).
     Use ``translate_ids`` to fan doc_ids out to user ids.
+
+    skip_alt_tokens: silently drop alternate tokens (posInc==0, e.g. from a
+    synonym-expanding analyzer); when False (the reference default,
+    TaggerRequestHandler.java:123) an alternate token raises, because the
+    tagger cannot honor stacked positions.
 
     offset_adjust: None | 'xml' | 'html' — strip markup at query time
     (offsets preserved) and correct each tag's offsets so inserting an
@@ -105,6 +111,10 @@ def tag(
     adj = offset_adjust
     ntags = set(non_taggable_tags) if non_taggable_tags else None
     skip_invalid = on_invalid == "skip"
+    skip_alt = skip_alt_tokens
+    # query analysis mirrors the dictionary's index chain flags
+    afold = dictionary.ascii_fold
+    aposs = dictionary.possessive
 
     emit_match_text = match_text
 
@@ -130,16 +140,19 @@ def tag(
                             continue
                         raise
                     tokens = html_strip_tokenize(
-                        text, stopwords=stop, min_taggable_len=mlen
+                        text, stopwords=stop, min_taggable_len=mlen,
+                        ascii_fold=afold, possessive=aposs,
                     )
                 elif adj == "html":
                     corrector = HtmlOffsetCorrector(text, ntags)
                     tokens = html_strip_tokenize(
-                        text, stopwords=stop, min_taggable_len=mlen
+                        text, stopwords=stop, min_taggable_len=mlen,
+                        ascii_fold=afold, possessive=aposs,
                     )
                 else:
                     tokens = query_analyze(
-                        text, stopwords=stop, min_taggable_len=mlen
+                        text, stopwords=stop, min_taggable_len=mlen,
+                        ascii_fold=afold, possessive=aposs,
                     )
                 # With offset correction active, the limit must count only
                 # tags that SURVIVE correct_pair — the reference checks
@@ -152,6 +165,7 @@ def tag(
                     d,
                     overlaps=ov,
                     ignore_stopwords=ig,
+                    skip_alt_tokens=skip_alt,
                     tags_limit=None if corrector is not None else lim,
                 ):
                     if corrector is not None:

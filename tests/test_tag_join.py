@@ -139,3 +139,23 @@ def test_join_path_partial_mode(spark, overlaps):
     a = collect_tags(tag(texts, d, overlaps=overlaps, tags_limit=None))
     b = collect_tags(tag_join(texts, terms, overlaps=overlaps))
     assert a == b, overlaps
+
+
+def test_dict_doc_ids_distributed_no_global_window(spark):
+    """Doc-id assignment in the big-dictionary path must not funnel all rows
+    through one task (no partition-less Window). Ids stay dense & id-ordered."""
+    from solrtexttagger_spark.index.build import dense_doc_ids
+    from solrtexttagger_spark.plans import plan_string
+
+    ndf = names_df(spark, N)
+    terms = build_dict_terms(ndf)
+    assert "Window" not in plan_string(terms)
+
+    ids = dense_doc_ids(ndf, "id")
+    assert "Window" not in plan_string(ids)
+    got = {r["id"]: r["doc_id"] for r in ids.collect()}
+    assert got == {str(i): i for i in range(len(N))}  # dense, id-ordered
+
+    # repartitioning the input must not change the assignment
+    ids2 = {r["id"]: r["doc_id"] for r in dense_doc_ids(ndf.repartition(7), "id").collect()}
+    assert ids2 == got

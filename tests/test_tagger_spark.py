@@ -179,3 +179,87 @@ def test_tags_limit_with_offset_adjust(spark):
         tags_limit=None,
     )
     assert out_all.count() == 2
+
+
+def test_ascii_fold_possessive_dictionary_chain(spark):
+    """The reference's recommended gazetteer chain (QUICK_START.md:83,93:
+    ASCIIFolding + EnglishPossessive) exposed on build_tag_dictionary and
+    mirrored by tag() at query time: 'Göteborg' tags by 'goteborg' and
+    possessives fold on both sides."""
+    d = build_tag_dictionary(
+        names_df(spark, ["Göteborg", "London's Eye"]),
+        ascii_fold=True,
+        possessive=True,
+    )
+    texts = texts_df(
+        spark,
+        [
+            "visiting goteborg today",      # folded text vs accented name
+            "then Göteborg's harbour",      # accented + possessive text
+            "the london's eye at night",    # possessive inside phrase
+        ],
+    )
+    out = translate_ids(tag(texts, d, overlaps="ALL", tags_limit=None), d)
+    got = {(r["qdoc_id"], r["start"], r["end"], r["id"]) for r in out.collect()}
+    assert got == {
+        (0, 9, 17, "0"),   # goteborg
+        (1, 5, 15, "0"),   # Göteborg's (possessive stripped query-side)
+        (2, 4, 16, "1"),   # london's eye
+    }
+    # without the flags the accent/possessive mismatches are missed ("the
+    # london's eye" still tags: apostrophes survive tokenization unfolded)
+    d_plain = build_tag_dictionary(names_df(spark, ["Göteborg", "London's Eye"]))
+    plain = {
+        (r["qdoc_id"], r["start"], r["end"])
+        for r in tag(texts, d_plain, overlaps="ALL", tags_limit=None).collect()
+    }
+    assert plain == {(2, 4, 16)}
+
+
+def test_skip_alt_tokens_error_mode(spark, whole_dict):
+    """Reference default skipAltTokens=false: a posInc==0 (stacked/synonym)
+    token must raise (TaggerRequestHandler.java:123); skip mode drops it."""
+    from solrtexttagger_spark.analysis.core import Token
+    from solrtexttagger_spark.tagging.core import tag_text
+
+    toks = [
+        Token("boston", 1, 0, 6),
+        Token("bean", 0, 0, 6),  # alternate token at the same position
+        Token("town", 1, 7, 11),
+    ]
+    with pytest.raises(ValueError, match="alternate token"):
+        tag_text(toks, whole_dict.term_dict, skip_alt_tokens=False)
+    got = tag_text(toks, whole_dict.term_dict, skip_alt_tokens=True)
+    assert [(s, e) for s, e, _ in got] == [(0, 6)]
+
+    # the flag must reach the distributed operator (default False = reference
+    # default; our analyzers emit no alt tokens, so both settings tag plain
+    # text identically)
+    texts = texts_df(spark, ["Boston and London"])
+    a = collect_tags(tag(texts, whole_dict, skip_alt_tokens=False))
+    b = collect_tags(tag(texts, whole_dict, skip_alt_tokens=True))
+    assert a == b and len(a) == 2
+
+
+def test_ldr_with_xml_offset_adjust(spark):
+    """Partial-mode dictionary + LONGEST_DOMINANT_RIGHT + xmlOffsetAdjust
+    combined (reference XmlInterpolationTest semantics on the reduced set):
+    surviving spans corrected; the uncorrectable survivor dropped."""
+    d = build_tag_dictionary(
+        names_df(spark, ["london business school", "business school"]),
+        mode="partial",
+    )
+    doc = (
+        "<doc>at London Business School today,"
+        " <p>plus Business</p> School later</doc>"
+    )
+    out = tag(
+        texts_df(spark, [doc]), d,
+        overlaps="LONGEST_DOMINANT_RIGHT", offset_adjust="xml", tags_limit=None,
+    )
+    got = sorted((r["start"], r["end"]) for r in out.collect())
+    # LDR keeps 'London Business School' (len 22) and the second
+    # 'Business ... School' (partial shingle, len spans the </p> boundary ->
+    # uncorrectable, dropped by offset adjustment)
+    assert got == [(8, 30)]
+    assert doc[8:30] == "London Business School"
