@@ -260,12 +260,26 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBED_DUP_THRESHOLD = 0.42
+EMBED_BANDS = 16
+EMBED_BAND_PLANES = 6
+EMBED_MAX_BUCKET = 1000
+EMBED_DIM = 64
 
 
 def q_embed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via banded hyperplane LSH + exact rescore (the 100 TB
+    plan shape — no all-pairs theta-join; oracle mirrors the banding)."""
     from solrtexttagger_spark.ops.similarity import cosine_dup_pairs
 
-    return cosine_dup_pairs(_emb(spark, sf_dir), threshold=EMBED_DUP_THRESHOLD)
+    return cosine_dup_pairs(
+        _emb(spark, sf_dir),
+        threshold=EMBED_DUP_THRESHOLD,
+        method="lsh",
+        bands=EMBED_BANDS,
+        band_planes=EMBED_BAND_PLANES,
+        dim=EMBED_DIM,
+        max_bucket_size=EMBED_MAX_BUCKET,
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -733,15 +747,46 @@ ranked AS (
 SELECT probe_id, rank::BIGINT AS rank, vec_id, cos FROM ranked WHERE rank <= 10
 """
 
+    # mirrors ops/similarity.cosine_dup_pairs(method='lsh'): banded
+    # hyperplane signs -> band-key buckets -> in-bucket candidate pairs ->
+    # exact cosine rescore. Same deterministic md5 hyperplanes both sides.
+    n_dup_planes = EMBED_BANDS * EMBED_BAND_PLANES
+    dup_plane_vals = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            p, ", ".join(repr(x) for x in _hyperplane(EMBED_DIM, p))
+        )
+        for p in range(n_dup_planes)
+    )
+    _dup_cos = (
+        "round(list_dot_product(x.v, y.v) / "
+        "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4)"
+    )
     sql["embed_dup_pairs"] = f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id,
-       round(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
-FROM base a JOIN base b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
-      >= {EMBED_DUP_THRESHOLD}
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes(p, pv) AS (VALUES {dup_plane_vals}),
+bits AS (
+  SELECT b.vec_id, (pl.p // {EMBED_BAND_PLANES}) AS band,
+         CASE WHEN list_dot_product(b.v, pl.pv) > 0
+              THEN (1::BIGINT << (pl.p % {EMBED_BAND_PLANES})) ELSE 0 END AS t
+  FROM base b CROSS JOIN planes pl
+),
+bands AS (SELECT vec_id, band, sum(t)::BIGINT AS band_key FROM bits GROUP BY 1, 2),
+ok AS (
+  SELECT band, band_key FROM bands GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND {EMBED_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id
+  FROM bands a
+  JOIN ok USING (band, band_key)
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.a_vec_id, c.b_vec_id, {_dup_cos} AS cos
+FROM cand c
+JOIN base x ON x.vec_id = c.a_vec_id
+JOIN base y ON y.vec_id = c.b_vec_id
+WHERE {_dup_cos} >= {EMBED_DUP_THRESHOLD}
 """
 
     from solrtexttagger_spark.ops.textqa import LANG_MARKERS, STOPWORDS_SQL

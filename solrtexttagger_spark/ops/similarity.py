@@ -66,14 +66,90 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     round_to: int = 4,
+    method: str = "lsh",
+    bands: int = 16,
+    band_planes: int = 6,
+    dim: int | None = None,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a_vec_id, b_vec_id, cos) with
-    cos >= threshold, a < b. Exact all-pairs baseline (oracle-checkable);
-    at 1e8+ vectors swap in the hyperplane-bucketed candidate generation of
-    lsh_cosine_topk (equi-join on bucket) before the exact rescoring."""
+    cos >= threshold, a < b.
+
+    method='lsh' (default, the 100 TB shape): banded random-hyperplane LSH —
+    vectors sharing ANY band of ``band_planes`` sign bits become candidates
+    (one equi-shuffle on the band key, in-bucket pair explosion capped at
+    ``max_bucket_size``), then candidates are exactly rescored. Same plan
+    family as minhash LSH banding (ops/dedup.lsh_candidate_pairs): no
+    theta-join, no BroadcastNestedLoop/cartesian anywhere. Deterministic
+    (md5-derived hyperplanes), so the operator is oracle-checkable
+    end-to-end. Recall vs the exact operator rises with bands and with the
+    pair's cosine; near-dup-grade pairs (cos >= ~0.9) are caught with high
+    probability at the defaults, while pairs barely above a loose threshold
+    may be missed — bench.py reports measured recall.
+
+    method='exact': the all-pairs theta-join baseline — O(n^2) compare, only
+    for test-scale inputs and as the recall oracle.
+    """
     base = emb_df.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+    if method == "exact":
+        a = base.select(
+            F.col("vec_id").alias("a_vec_id"), F.col("v").alias("va"), F.col("norm").alias("na")
+        )
+        b = base.select(
+            F.col("vec_id").alias("b_vec_id"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+        )
+        cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_to)
+        return (
+            a.join(b, F.col("a_vec_id") < F.col("b_vec_id"))
+            .withColumn("cos", cos)
+            .where(F.col("cos") >= threshold)
+            .select("a_vec_id", "b_vec_id", "cos")
+        )
+    if method != "lsh":
+        raise ValueError(f"method must be 'lsh'|'exact', got {method}")
+
+    if dim is None:
+        dim = len(emb_df.select(vec_col).first()[0])
+    n_planes = bands * band_planes
+    planes_lit = F.array(
+        *[
+            F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+            for p in range(n_planes)
+        ]
+    )
+    # one pass: all plane sign bits per vector (JVM loop over the literal
+    # plane matrix), then per-band integer keys from bit slices
+    bits = F.transform(
+        planes_lit,
+        lambda pl: F.when(_dot(F.col("v"), pl) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_bits = base.withColumn("bits", bits)
+    band_structs = []
+    for b in range(bands):
+        key = None
+        for j in range(band_planes):
+            term = F.element_at("bits", b * band_planes + j + 1).cast("long") * F.lit(
+                1 << j
+            )
+            key = term if key is None else (key + term)
+        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    band_rows = with_bits.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+    from solrtexttagger_spark.ops.dedup import _pairs
+
+    cand = (
+        band_rows.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_set("vec_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+        .select(F.explode(_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("a_vec_id"), F.col("p.b").alias("b_vec_id"))
+        .distinct()
+    )
     a = base.select(
         F.col("vec_id").alias("a_vec_id"), F.col("v").alias("va"), F.col("norm").alias("na")
     )
@@ -82,7 +158,8 @@ def cosine_dup_pairs(
     )
     cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_to)
     return (
-        a.join(b, F.col("a_vec_id") < F.col("b_vec_id"))
+        cand.join(a, "a_vec_id")
+        .join(b, "b_vec_id")
         .withColumn("cos", cos)
         .where(F.col("cos") >= threshold)
         .select("a_vec_id", "b_vec_id", "cos")

@@ -115,3 +115,28 @@ def test_facades_and_plan_summary(spark, docs_df):
     assert_plan(ops.exact_dedup(docs_df), exchanges=1)
     with pytest.raises(AssertionError):
         assert_plan(ops.exact_dedup(docs_df), exchanges=0)
+
+
+def test_cosine_dup_pairs_no_nested_loop(spark):
+    """The shipped near-dup operator must be LSH-bucketed: no all-pairs
+    theta-join (BroadcastNestedLoopJoin/Cartesian) anywhere in the plan."""
+    from solrtexttagger_spark.ops.similarity import cosine_dup_pairs
+    from solrtexttagger_spark.plans import plan_string
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, -0.5, float(i)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    lsh = cosine_dup_pairs(emb, threshold=0.9, dim=4, bands=4, band_planes=4)
+    p = plan_string(lsh)
+    assert "BroadcastNestedLoopJoin" not in p and "Cartesian" not in p
+
+    # the exact method IS the theta-join baseline — and must stay available
+    exact = cosine_dup_pairs(emb, threshold=0.9, method="exact")
+    pe = plan_string(exact)
+    assert "BroadcastNestedLoopJoin" in pe or "Cartesian" in pe
+
+    # LSH output is a subset of exact (candidates only drop, never invent)
+    got = {(r["a_vec_id"], r["b_vec_id"], r["cos"]) for r in lsh.collect()}
+    want = {(r["a_vec_id"], r["b_vec_id"], r["cos"]) for r in exact.collect()}
+    assert got <= want and len(want) > 0
