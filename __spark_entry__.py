@@ -730,11 +730,18 @@ probes AS (
   FROM bucketed bk JOIN base b ON b.vec_id = bk.vec_id
   WHERE bk.vec_id IN ({probe_list})
 ),
+masks(m) AS (VALUES {", ".join(f"({m})" for m in range(n_planes + 1))}),
+pbuckets AS (
+  SELECT p.probe_id, p.pv,
+         CASE WHEN m.m = 0 THEN p.bucket
+              ELSE xor(p.bucket, (1::BIGINT << (m.m - 1))) END AS bucket
+  FROM probes p CROSS JOIN masks m
+),
 scored AS (
   SELECT p.probe_id, b.vec_id,
          round(list_dot_product(p.pv, b.v) /
                (sqrt(list_dot_product(p.pv, p.pv)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
-  FROM probes p
+  FROM pbuckets p
   JOIN bucketed bk ON bk.bucket = p.bucket
   JOIN base b ON b.vec_id = bk.vec_id
   WHERE b.vec_id <> p.probe_id

@@ -61,8 +61,11 @@ vocab = ["join","hash","row","batch","scan","customer","column","filter",
          "small","slow","merge","order","vector","line","table","fast"]
 queries = [(i, f"{vocab[i % 16]} {vocab[(i*7+3) % 16]}") for i in range(40)]
 t0 = time.perf_counter()
-bm25_topk(idx, queries, k=10, spark=spark).collect()
+bm25_topk(idx, queries, k=10, spark=spark).collect()  # segmented (default)
 t_query = time.perf_counter() - t0
+t0 = time.perf_counter()
+bm25_topk(idx, queries, k=10, spark=spark, strategy="exploded").collect()
+t_query_exploded = time.perf_counter() - t0
 
 from solrtexttagger_spark.index.compressed import compress_index
 from solrtexttagger_spark.search.wand import wand_topk
@@ -90,6 +93,7 @@ t_tag = time.perf_counter() - t0
 
 print(json.dumps({"cpus": cpus, "n_docs": n, "corpus_bytes": corpus_bytes,
                   "t_build": round(t_build, 3), "t_query": round(t_query, 3),
+                  "t_query_exploded": round(t_query_exploded, 3),
                   "t_compress": round(t_compress, 3), "t_wand": round(t_wand, 3),
                   "t_tag": round(t_tag, 3), "n_tags": n_tags,
                   "tag_docs_per_sec": round(n / t_tag, 1),
@@ -122,6 +126,7 @@ def main() -> None:
     big = run(N_BIG)
     eff_build = (small["t_build"] / big["t_build"]) / (N_BIG / N_SMALL)
     eff_query = (small["t_query"] / big["t_query"]) / (N_BIG / N_SMALL)
+    eff_query_ex = (small["t_query_exploded"] / big["t_query_exploded"]) / (N_BIG / N_SMALL)
     eff_wand = (small["t_wand"] / big["t_wand"]) / (N_BIG / N_SMALL)
     eff_tag = (small["t_tag"] / big["t_tag"]) / (N_BIG / N_SMALL)
     summary = {
@@ -131,6 +136,7 @@ def main() -> None:
         "big": big,
         "scaling_efficiency_build": round(eff_build, 3),
         "scaling_efficiency_query": round(eff_query, 3),
+        "scaling_efficiency_query_exploded": round(eff_query_ex, 3),
         "scaling_efficiency_wand": round(eff_wand, 3),
         "scaling_efficiency_tag": round(eff_tag, 3),
     }
@@ -144,10 +150,10 @@ identical input: sf0.1 documents replicated ×{REPLICATE} = {small["n_docs"]} do
 
 ## Scaling efficiency (north rule: >= 0.8 between N and 4N)
 
-| config | index build (s) | build GB/h | docs/s | BM25 40q (s) | compress (s) | WAND 40q (s) | tag 640k docs (s) | tag docs/s |
-|---|---|---|---|---|---|---|---|---|
-| local[{N_SMALL}]  | {small["t_build"]} | {small["build_gb_per_hour"]} | {small["build_docs_per_sec"]} | {small["t_query"]} | {small["t_compress"]} | {small["t_wand"]} | {small["t_tag"]} | {small["tag_docs_per_sec"]} |
-| local[{N_BIG}] | {big["t_build"]} | {big["build_gb_per_hour"]} | {big["build_docs_per_sec"]} | {big["t_query"]} | {big["t_compress"]} | {big["t_wand"]} | {big["t_tag"]} | {big["tag_docs_per_sec"]} |
+| config | index build (s) | build GB/h | docs/s | BM25 seg 40q (s) | BM25 exploded 40q (s) | compress (s) | WAND 40q (s) | tag 640k docs (s) | tag docs/s |
+|---|---|---|---|---|---|---|---|---|---|
+| local[{N_SMALL}]  | {small["t_build"]} | {small["build_gb_per_hour"]} | {small["build_docs_per_sec"]} | {small["t_query"]} | {small["t_query_exploded"]} | {small["t_compress"]} | {small["t_wand"]} | {small["t_tag"]} | {small["tag_docs_per_sec"]} |
+| local[{N_BIG}] | {big["t_build"]} | {big["build_gb_per_hour"]} | {big["build_docs_per_sec"]} | {big["t_query"]} | {big["t_query_exploded"]} | {big["t_compress"]} | {big["t_wand"]} | {big["t_tag"]} | {big["tag_docs_per_sec"]} |
 
 - **Index-build scaling efficiency (N -> 4N): {eff_build:.3f}**
   (speedup {small["t_build"] / big["t_build"]:.2f}x over a 4x core increase)
@@ -155,12 +161,13 @@ identical input: sf0.1 documents replicated ×{REPLICATE} = {small["n_docs"]} do
   multiprocessing of the identical tag loop on this VM scales at only
   ~0.56 (2 -> 8 workers) — the loop is allocation-bandwidth-bound, so this
   is the hardware ceiling for the operator here, not a Spark property.
-- BM25 exhaustive query-batch efficiency: {eff_query:.3f}; block-max WAND
-  batch efficiency: {eff_wand:.3f}. The exhaustive path's shuffle carries a
-  near-unique (query, doc) key set (little map-side reduction), so it is
-  memory-bandwidth-bound on this VM; WAND is the scale path for queries —
-  segment-pruned, python-scored per segment, shuffle-free except the final
-  per-query top-k merge. (The 16-word benchmark vocabulary is all
+- **Exhaustive BM25 batch efficiency — segmented (default): {eff_query:.3f};
+  exploded (pure-JVM groupBy): {eff_query_ex:.3f}**; block-max WAND batch
+  efficiency: {eff_wand:.3f}. The segmented scorer shuffles only the
+  query-term-filtered postings on seg (positions pruned away) and does all
+  scoring vectorized in numpy per segment, so the exchange that capped the
+  exploded path's scaling (a near-unique (query, doc) key set with ~no
+  map-side reduction) is gone. (The 16-word benchmark vocabulary is all
   stopword-grade, the worst case for pruning.)
 
 ## Hardware ceiling of this sandbox (why N=2 vs 4N=8)

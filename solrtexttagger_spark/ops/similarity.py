@@ -188,10 +188,18 @@ def lsh_cosine_topk(
     num_planes: int = 8,
     dim: int | None = None,
     round_to: int | None = 4,
+    multi_probe: bool | int = True,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane LSH bucketing, exact
-    cosine within the probe's bucket only. At 1e9+ vectors this replaces the
-    crossJoin with an equi-join on the bucket key."""
+    cosine within the candidate buckets only. At 1e9+ vectors this replaces
+    the crossJoin with an equi-join on the bucket key.
+
+    multi_probe: Hamming probing radius (True == 1). Radius 1 probes the
+    probe's own bucket plus the ``num_planes`` buckets reachable by flipping
+    one sign bit (the planes a near neighbor most plausibly disagrees on);
+    radius 2 adds the C(num_planes, 2) two-bit flips. Candidate volume grows
+    with the binomial neighborhood while recall rises steeply; each vector
+    still lives in exactly one bucket, so no dedup is needed."""
     if dim is None:
         dim = len(emb_df.select(vec_col).first()[0])
     planes = [_hyperplane(dim, p) for p in range(num_planes)]
@@ -213,6 +221,19 @@ def lsh_cosine_topk(
         F.col("norm").alias("pnorm"),
         F.col("bucket"),
     )
+    radius = int(multi_probe)
+    if radius:
+        masks = [0] + [1 << p for p in range(num_planes)]
+        if radius >= 2:
+            masks += [
+                (1 << p) | (1 << q)
+                for p in range(num_planes)
+                for q in range(p + 1, num_planes)
+            ]
+        cand_buckets = F.array(
+            *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
+        )
+        probes = probes.withColumn("bucket", F.explode(cand_buckets))
     cos = _dot(F.col("pv"), F.col("v")) / (F.col("pnorm") * F.col("norm"))
     if round_to is not None:
         cos = F.round(cos, round_to)

@@ -18,15 +18,27 @@ Deterministic tie-break (score desc, doc_id asc) for rank-identical output.
 
 from __future__ import annotations
 
+import math
 from collections import Counter
+from typing import Iterator
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from solrtexttagger_spark.analysis.core import tokenize
 from solrtexttagger_spark.index.build import InvertedIndex
 
 K1 = 1.2
 B = 0.75
+
+_SCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
 
 
 def analyze_query_terms(query: str, lowercase: bool = True) -> dict[str, int]:
@@ -51,10 +63,26 @@ def bm25_topk(
     k1: float = K1,
     b: float = B,
     spark: SparkSession | None = None,
+    strategy: str = "segmented",
 ) -> DataFrame:
     """Top-k BM25 per query. ``queries`` is a list[(query_id, text)] or a
     DataFrame(query_id, term, qtf). Returns
-    (query_id, rank, doc_id, score double)."""
+    (query_id, rank, doc_id, score double).
+
+    strategy='segmented' (default): segment-aligned scorer — the filtered
+    postings shuffle ONCE on seg (tiny: |query terms| x segments array
+    rows), each segment scores all queries vectorized in numpy, emitting
+    only per-segment top-k(+ties); the final window sees O(k x segments)
+    rows. Docs are hash-assigned to exactly one segment, so per-segment
+    top-k is exact.
+    strategy='exploded': the pure-JVM whole-stage-codegen path — explode
+    postings, one groupBy(query_id, doc_id) shuffle. Simple and entirely
+    JVM-side, but the shuffle key set is near-unique (~one row per
+    (query, matching doc)), which caps scaling on large corpora; prefer
+    'segmented' for batch workloads at scale.
+    """
+    if strategy == "segmented" and not isinstance(queries, DataFrame):
+        return _bm25_topk_segmented(index, queries, k=k, k1=k1, b=b, spark=spark)
     postings = index.postings
     if isinstance(queries, DataFrame):
         qdf = queries
@@ -104,4 +132,121 @@ def bm25_topk(
         scores.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _local_topk_with_ties(uniq: np.ndarray, scores: np.ndarray, k: int):
+    """Deterministic per-segment top-k keeping everything tied with the
+    k-th score (ties must reach the final doc_id-asc window)."""
+    if len(uniq) > k:
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        keep = np.nonzero(scores >= kth)[0]
+        order = keep[np.lexsort((uniq[keep], -scores[keep]))]
+    else:
+        order = np.lexsort((uniq, -scores))
+    return uniq[order], scores[order]
+
+
+def _bm25_topk_segmented(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    *,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Exhaustive BM25, segment-aligned (block-max WAND minus the pruning):
+    one shuffle of the query-term-filtered postings on seg, vectorized numpy
+    scoring per segment, per-segment top-k(+ties), global window. Exact
+    because a document's postings live entirely in one segment
+    (seg = hash(doc_id) % num_segments, index/build.py)."""
+    spark = spark or index.postings.sparkSession
+    qbags = {int(qid): analyze_query_terms(q) for qid, q in queries}
+    terms = sorted({t for bag in qbags.values() for t in bag})
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, score double"
+        )
+    n = float(index.doc_count)
+    avgdl = float(index.avgdl) if index.avgdl else 1.0
+    df_map = {
+        r["term"]: r["df"]
+        for r in index.postings.where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("df_seg").alias("df"))
+        .collect()
+    }
+    qterm_list = {}
+    for qid, bag in qbags.items():
+        lst = []
+        for t in sorted(bag):
+            df = df_map.get(t)
+            if df is not None:
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                lst.append((t, idf * bag[t]))
+        if lst:
+            qterm_list[qid] = lst
+    bc = spark.sparkContext.broadcast((qterm_list, k, k1, b, avgdl))
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        qterms_, k_, k1_, b_, avgdl_ = bc.value
+        term_arrays: dict[str, tuple] = {}
+        for term, postings in zip(pdf["term"], pdf["postings"]):
+            m = len(postings)
+            docs = np.fromiter((p["doc_id"] for p in postings), np.int64, m)
+            tf = np.fromiter((p["tf"] for p in postings), np.float64, m)
+            dl = np.fromiter((p["dl"] for p in postings), np.float64, m)
+            term_arrays[term] = (docs, tf, dl)
+        out_q, out_d, out_s = [], [], []
+        for qid, qterms in qterms_.items():
+            all_docs, all_contrib = [], []
+            for t, w in qterms:
+                e = term_arrays.get(t)
+                if e is None:
+                    continue
+                docs, tf, dl = e
+                contrib = (
+                    w * tf * (k1_ + 1.0) / (tf + k1_ * (1.0 - b_ + b_ * dl / avgdl_))
+                )
+                all_docs.append(docs)
+                all_contrib.append(contrib)
+            if not all_docs:
+                continue
+            docs = np.concatenate(all_docs)
+            contrib = np.concatenate(all_contrib)
+            uniq, inv = np.unique(docs, return_inverse=True)
+            scores = np.bincount(inv, weights=contrib, minlength=len(uniq))
+            top_d, top_s = _local_topk_with_ties(uniq, scores, k_)
+            out_q.extend([qid] * len(top_d))
+            out_d.extend(top_d.tolist())
+            out_s.extend(top_s.tolist())
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "score": pd.Series(out_s, dtype="float64"),
+            }
+        )
+
+    # positions are projected AWAY before the shuffle — BM25 never reads
+    # them, and they dominate the postings payload
+    narrowed = index.postings.where(F.col("term").isin(terms)).select(
+        "seg",
+        "term",
+        F.transform(
+            "postings",
+            lambda p: F.struct(
+                p["doc_id"].alias("doc_id"), p["tf"].alias("tf"), p["dl"].alias("dl")
+            ),
+        ).alias("postings"),
+    )
+    scored = narrowed.groupBy("seg").applyInPandas(fn, schema=_SCORE_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score")
     )

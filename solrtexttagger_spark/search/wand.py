@@ -43,16 +43,62 @@ _SCORE_SCHEMA = T.StructType(
 )
 
 
-def _score_segment(qterms, term_blocks, k):
-    """qterms: [(term, weight=idf*qtf)]; term_blocks: {term: [block bytes]}.
-    Returns (doc_ids, scores) of the local top-k."""
+_THETA_EPS = 1e-9  # ulp slack: bounds may be computed JVM-side, scores in numpy
+
+
+def _score_segment(
+    qterms,
+    term_blocks,
+    k,
+    *,
+    theta: float = -math.inf,
+    shard_f: dict | None = None,
+    cache: dict | None = None,
+    stats: dict | None = None,
+):
+    """qterms: [(term, weight=idf*qtf, k1, b, avgdl)];
+    term_blocks: {term: [block bytes | (block bytes, f_ub_block)]}.
+    Returns (doc_ids, scores) of the local top-k (+ k-th ties).
+
+    Intra-segment block skipping (sound): a block B of term t can be skipped
+    for this query when  w_t*f_ub(B) + Σ_{t'≠t} w_t'*f_ub(t', seg) < θ — no
+    doc whose t-posting lies in B can reach θ, and every doc with true score
+    >= θ has ALL its blocks' bounds >= its score, so its score stays exact.
+    Docs emitted with partial scores are all provably < θ and rank below the
+    final top-k. ``cache`` shares decoded blocks across the segment's
+    queries; ``stats`` accumulates {'blocks_total', 'blocks_skipped'}."""
     all_docs, all_contrib = [], []
     for term, weight, k1, b, avgdl in qterms:
         blks = term_blocks.get(term)
         if not blks:
             continue
-        for blk in blks:
-            doc_ids, tfs, dls = decode_postings_block(bytes(blk))
+        others = 0.0
+        if shard_f is not None and theta != -math.inf:
+            for t2, w2, *_ in qterms:
+                if t2 != term and t2 in shard_f:
+                    others += w2 * shard_f[t2]
+        for i, entry in enumerate(blks):
+            f_blk = None
+            blk = entry
+            if isinstance(entry, tuple):
+                blk, f_blk = entry
+            if stats is not None:
+                stats["blocks_total"] = stats.get("blocks_total", 0) + 1
+            if (
+                f_blk is not None
+                and theta != -math.inf
+                and weight * f_blk + others < theta - _THETA_EPS
+            ):
+                if stats is not None:
+                    stats["blocks_skipped"] = stats.get("blocks_skipped", 0) + 1
+                continue
+            key = (term, i)
+            decoded = cache.get(key) if cache is not None else None
+            if decoded is None:
+                decoded = decode_postings_block(bytes(blk))
+                if cache is not None:
+                    cache[key] = decoded
+            doc_ids, tfs, dls = decoded
             tf = tfs.astype(np.float64)
             dl = dls.astype(np.float64)
             contrib = (
@@ -260,17 +306,20 @@ def wand_topk(
     # phase 0: metadata-only upper bounds per (query, seg). A doc lives in
     # exactly ONE block of a (term, seg) shard, so the per-term bound is the
     # MAX over that shard's blocks, then summed across the query's terms.
-    meta = (
-        cindex.blocks.where(F.col("term").isin(terms))
-        .select("term", "seg", "max_tf", "min_dl")
+    # The max-over-blocks runs JVM-side (groupBy agg over the block-max
+    # expression), so the driver collects one row per (term, seg) — not one
+    # per block, which becomes a driver hotspot at 1e5 segments x
+    # multi-block shards.
+    _tf = F.col("max_tf").cast("double")
+    _dl = F.col("min_dl").cast("double")
+    _f_ub_expr = _tf * (k1 + 1.0) / (_tf + k1 * (1.0 - b + b * _dl / avgdl))
+    shard_ub: dict[tuple[str, int], float] = {
+        (r["term"], r["seg"]): r["f_ub"]
+        for r in cindex.blocks.where(F.col("term").isin(terms))
+        .groupBy("term", "seg")
+        .agg(F.max(_f_ub_expr).alias("f_ub"))
         .collect()
-    )
-    shard_ub: dict[tuple[str, int], float] = {}
-    for r in meta:
-        f_ub = bm25_upper_bound(r["max_tf"], r["min_dl"], avgdl, k1, b)
-        key = (r["term"], r["seg"])
-        if f_ub > shard_ub.get(key, 0.0):
-            shard_ub[key] = f_ub
+    }
     ub: dict[tuple[int, int], float] = {}
     for (term, seg), f_ub in shard_ub.items():
         for qid in qbags:
@@ -283,7 +332,7 @@ def wand_topk(
     # caller; per-call persist of a per-query filtered plan would pile up
     # distinct cache entries across a query workload.
     blocks = cindex.blocks.where(F.col("term").isin(terms)).select(
-        "seg", "term", "block"
+        "seg", "term", "block", "max_tf", "min_dl"
     )
 
     qterm_list = {
@@ -295,29 +344,57 @@ def wand_topk(
         for qid, bag in qbags.items()
     }
 
-    def run_segments(wanted: dict[int, set[int]]):
-        """wanted: qid -> set of segs to score. Returns scored DataFrame."""
+    blocks_total_acc = spark.sparkContext.accumulator(0)
+    blocks_skipped_acc = spark.sparkContext.accumulator(0)
+
+    def run_segments(wanted: dict[int, set[int]], thetas: dict[int, float] | None = None):
+        """wanted: qid -> set of segs to score; thetas: per-query pruning
+        thresholds enabling intra-segment block skipping (phase 2 only).
+        Returns scored DataFrame."""
         seg_to_q: dict[int, list[int]] = {}
         for qid, segs in wanted.items():
             for s in segs:
                 seg_to_q.setdefault(s, []).append(qid)
         if not seg_to_q:
             return None
-        bc = spark.sparkContext.broadcast((seg_to_q, qterm_list, k))
+        # per-seg shard bounds travel with the broadcast: {seg: {term: f_ub}}
+        shard_f_by_seg: dict[int, dict[str, float]] = {}
+        for (term, seg), f_ub in shard_ub.items():
+            if seg in seg_to_q:
+                shard_f_by_seg.setdefault(seg, {})[term] = f_ub
+        bc = spark.sparkContext.broadcast(
+            (seg_to_q, qterm_list, k, thetas or {}, shard_f_by_seg, k1, b, avgdl)
+        )
 
         def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
             seg = int(key[0])
-            seg_to_q_, qterms_, k_ = bc.value
+            seg_to_q_, qterms_, k_, thetas_, shard_f_by_seg_, k1_, b_, avgdl_ = bc.value
             qids = seg_to_q_.get(seg, [])
+            shard_f = shard_f_by_seg_.get(seg, {})
             term_blocks: dict[str, list] = {}
-            for term, blk in zip(pdf["term"], pdf["block"]):
-                term_blocks.setdefault(term, []).append(blk)
+            for term, blk, mtf, mdl in zip(
+                pdf["term"], pdf["block"], pdf["max_tf"], pdf["min_dl"]
+            ):
+                f_blk = bm25_upper_bound(int(mtf), int(mdl), avgdl_, k1_, b_)
+                term_blocks.setdefault(term, []).append((blk, f_blk))
             out_q, out_d, out_s = [], [], []
+            cache: dict = {}  # decoded blocks shared across the batch's queries
+            stats: dict = {}
             for qid in qids:
-                docs, scores = _score_segment(qterms_[qid], term_blocks, k_)
+                docs, scores = _score_segment(
+                    qterms_[qid],
+                    term_blocks,
+                    k_,
+                    theta=thetas_.get(qid, -math.inf),
+                    shard_f=shard_f,
+                    cache=cache,
+                    stats=stats,
+                )
                 out_q.extend([qid] * len(docs))
                 out_d.extend(docs.tolist())
                 out_s.extend(scores.tolist())
+            blocks_total_acc.add(stats.get("blocks_total", 0))
+            blocks_skipped_acc.add(stats.get("blocks_skipped", 0))
             return pd.DataFrame(
                 {
                     "query_id": pd.Series(out_q, dtype="int64"),
@@ -372,12 +449,21 @@ def wand_topk(
         if bound >= theta.get(qid, -math.inf):
             rest.setdefault(qid, set()).add(seg)
             scored_segs[qid].add(seg)
-    phase2 = run_segments(rest)
+    phase2 = run_segments(rest, theta)
 
     if prune_stats is not None:
         total = sum(1 for _ in ub)
         scored = sum(len(v) for v in scored_segs.values())
-        prune_stats.update({"segments_total": total, "segments_scored": scored})
+        # the block accumulators populate once the returned DataFrame is
+        # materialized (they count phase-1+2 task-side decode work)
+        prune_stats.update(
+            {
+                "segments_total": total,
+                "segments_scored": scored,
+                "blocks_total_acc": blocks_total_acc,
+                "blocks_skipped_acc": blocks_skipped_acc,
+            }
+        )
 
     parts = [p for p in (phase1_local, phase2) if p is not None]
     if not parts:

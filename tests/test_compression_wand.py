@@ -222,3 +222,31 @@ def test_local_searcher_rejects_mismatched_params(spark, corpus_index):
         searcher.search("w0", k=3, k1=0.9)
     with pytest.raises(ValueError):
         searcher.search("w0", k=3, b=0.5)
+
+
+def test_wand_intra_segment_block_skipping(spark):
+    """Multi-block shards + per-block bounds: phase-2 must skip decoding
+    blocks whose bound can't reach theta, while staying rank-identical."""
+    # several equally-dominant docs spread over segments: phase-2 must score
+    # the other strong segments (their shard bound beats theta), and inside
+    # them the weak low-tf blocks are provably below theta -> skipped
+    docs = [(d, "common " + " ".join(f"f{d}_{i}" for i in range(9))) for d in range(96)]
+    strong = " ".join(["common"] * 50)
+    docs += [(996, strong), (997, strong), (998, strong), (999, strong)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = build_index(df, num_segments=4)
+    c = compress_index(idx, max_block_postings=4)  # many blocks per shard
+    c.blocks.persist().count()
+
+    stats = {}
+    got = wand_topk(c, [(0, "common")], k=1, spark=spark, prune_stats=stats,
+                    local_threshold_postings=0)
+    rows = got.collect()  # materialize -> accumulators populate
+    assert [(r["rank"], r["doc_id"]) for r in rows] == [(1, 996)]  # tie -> min id
+    skipped = stats["blocks_skipped_acc"].value
+    total = stats["blocks_total_acc"].value
+    assert total > 0 and skipped > 0, (total, skipped)
+
+    exp = bm25_topk(idx, [(0, "common")], k=1, spark=spark).collect()
+    assert [(r["rank"], r["doc_id"]) for r in exp] == [(1, 996)]
+    c.blocks.unpersist()
