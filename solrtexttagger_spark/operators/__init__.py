@@ -12,6 +12,8 @@ from solrtexttagger_spark.ops.multimodal import extract_media_meta
 from solrtexttagger_spark.ops.similarity import (
     cosine_dup_pairs,
     cosine_topk,
+    ivf_cosine_topk,
+    ivf_fit_centroids,
     lsh_cosine_topk,
 )
 from solrtexttagger_spark.search.bm25 import bm25_topk
@@ -25,7 +27,8 @@ from solrtexttagger_spark.tagging.operator import matched_docs, tag, tag_respons
 __all__ = [
     "exact_dedup", "lsh_candidate_pairs", "minhash_signatures",
     "ngram_jaccard_pairs", "simhash", "extract_media_meta",
-    "cosine_dup_pairs", "cosine_topk", "lsh_cosine_topk",
+    "cosine_dup_pairs", "cosine_topk", "ivf_cosine_topk",
+    "ivf_fit_centroids", "lsh_cosine_topk",
     "bm25_topk", "phrase_match", "LocalSearcher", "wand_topk",
     "sessionize_batch", "sessionize_stream", "running_user_stats",
     "tag_join", "matched_docs", "tag", "tag_response", "translate_ids",

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import math
 from collections import Counter
-from typing import Iterator
 
 import numpy as np
 import pandas as pd

@@ -43,6 +43,10 @@ _NGRAM_SCHEMA = T.StructType(
     ]
 )
 
+_NGRAM_SCHEMA_MT = T.StructType(
+    _NGRAM_SCHEMA.fields + [T.StructField("match_text", T.StringType())]
+)
+
 _SPAN_SCHEMA = T.StructType(
     [
         T.StructField("qdoc_id", T.LongType()),
@@ -50,6 +54,10 @@ _SPAN_SCHEMA = T.StructType(
         T.StructField("end", T.IntegerType()),
         T.StructField("doc_ids", T.ArrayType(T.LongType())),
     ]
+)
+
+_SPAN_SCHEMA_MT = T.StructType(
+    _SPAN_SCHEMA.fields + [T.StructField("match_text", T.StringType())]
 )
 
 
@@ -117,19 +125,47 @@ def tag_join(
     stopwords=None,
     min_taggable_len: int | None = None,
     max_phrase_len: int | None = None,
+    match_text: bool = False,
+    prefix_prune: bool = True,
 ) -> DataFrame:
     """Tag texts by joining exploded token n-grams against the dictionary.
-    Returns (qdoc_id, start, end, doc_ids), same contract as tag()."""
+    Returns (qdoc_id, start, end, doc_ids[, match_text]), same contract as
+    tag().
+
+    prefix_prune: broadcast the dictionary's first-word set to the n-gram
+    emitter so n-grams are only emitted at positions where a dictionary
+    term can START — the join-path analogue of the loop tagger's
+    first-words filter (the reference's wished-for bloom filter,
+    TermPrefixCursor.java:43 TODO). For natural corpora most positions
+    start no term, so this cuts the shuffled fan-out by ~the non-match
+    rate x max_phrase_len. The first-word set is dictionary-vocabulary
+    sized (bounded by |names|), far smaller than the term dictionary —
+    broadcastable even when the dictionary itself is not.
+    """
     if max_phrase_len is None:
         max_phrase_len = dict_terms.agg(F.max("n_words")).collect()[0][0] or 1
     stop = frozenset(stopwords) if stopwords else None
     mlen = min_taggable_len
     maxn = int(max_phrase_len)
     ig = ignore_stopwords
+    emit_mt = match_text
+
+    first_words_bc = None
+    if prefix_prune:
+        fw = frozenset(
+            r["fw"]
+            for r in dict_terms.select(
+                F.split(F.col("term"), " ").getItem(0).alias("fw")
+            )
+            .distinct()
+            .collect()
+        )
+        first_words_bc = texts_df.sparkSession.sparkContext.broadcast(fw)
 
     def emit_ngrams(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        first_words = first_words_bc.value if first_words_bc is not None else None
         for pdf in batches:
-            out_q, out_t, out_s, out_e = [], [], [], []
+            out_q, out_t, out_s, out_e, out_mt = [], [], [], [], []
             for qid, text in zip(pdf["__qid"], pdf["__text"]):
                 if text is None:
                     continue
@@ -138,6 +174,8 @@ def tag_join(
                 for i in range(n):
                     if not toks[i].taggable:
                         continue  # a tag can only START at a taggable token
+                    if first_words is not None and toks[i].term not in first_words:
+                        continue  # no dictionary term starts here
                     terms = []
                     for j in range(i, min(i + maxn, n)):
                         if j > i and not ig and toks[j].pos_inc > 1:
@@ -147,22 +185,28 @@ def tag_join(
                         out_t.append(" ".join(terms))
                         out_s.append(toks[i].start)
                         out_e.append(toks[j].end)
-            yield pd.DataFrame(
-                {
-                    "qdoc_id": pd.Series(out_q, dtype="int64"),
-                    "term": pd.Series(out_t, dtype="object"),
-                    "start": pd.Series(out_s, dtype="int32"),
-                    "end": pd.Series(out_e, dtype="int32"),
-                }
-            )
+                        if emit_mt:
+                            out_mt.append(text[toks[i].start : toks[j].end])
+            cols = {
+                "qdoc_id": pd.Series(out_q, dtype="int64"),
+                "term": pd.Series(out_t, dtype="object"),
+                "start": pd.Series(out_s, dtype="int32"),
+                "end": pd.Series(out_e, dtype="int32"),
+            }
+            if emit_mt:
+                cols["match_text"] = pd.Series(out_mt, dtype="object")
+            yield pd.DataFrame(cols)
 
     narrowed = texts_df.select(
         F.col(id_col).cast("long").alias("__qid"), F.col(text_col).alias("__text")
     )
-    ngrams = narrowed.mapInPandas(emit_ngrams, schema=_NGRAM_SCHEMA)
-    spans = ngrams.join(dict_terms.select("term", "doc_ids"), "term").select(
-        "qdoc_id", "start", "end", "doc_ids"
+    ngrams = narrowed.mapInPandas(
+        emit_ngrams, schema=_NGRAM_SCHEMA_MT if emit_mt else _NGRAM_SCHEMA
     )
+    span_cols = ["qdoc_id", "start", "end", "doc_ids"] + (
+        ["match_text"] if emit_mt else []
+    )
+    spans = ngrams.join(dict_terms.select("term", "doc_ids"), "term").select(*span_cols)
 
     if overlaps == "ALL":
         return spans
@@ -183,24 +227,39 @@ def tag_join(
 
         def reduce_doc(pdf: pd.DataFrame) -> pd.DataFrame:
             out_rows = {"qdoc_id": [], "start": [], "end": [], "doc_ids": []}
+            if emit_mt:
+                out_rows["match_text"] = []
             for qid, grp in pdf.groupby("qdoc_id"):
                 span_list = [
                     (int(s), int(e), v)
                     for s, e, v in zip(grp["start"], grp["end"], grp["doc_ids"])
                 ]
+                mt_by_span = (
+                    {
+                        (int(s), int(e)): m
+                        for s, e, m in zip(grp["start"], grp["end"], grp["match_text"])
+                    }
+                    if emit_mt
+                    else None
+                )
                 for s, e, v in reduce_spans(span_list, "LONGEST_DOMINANT_RIGHT"):
                     out_rows["qdoc_id"].append(qid)
                     out_rows["start"].append(s)
                     out_rows["end"].append(e)
                     out_rows["doc_ids"].append(list(v))
-            return pd.DataFrame(
-                {
-                    "qdoc_id": pd.Series(out_rows["qdoc_id"], dtype="int64"),
-                    "start": pd.Series(out_rows["start"], dtype="int32"),
-                    "end": pd.Series(out_rows["end"], dtype="int32"),
-                    "doc_ids": pd.Series(out_rows["doc_ids"], dtype="object"),
-                }
-            )
+                    if emit_mt:
+                        out_rows["match_text"].append(mt_by_span[(s, e)])
+            cols = {
+                "qdoc_id": pd.Series(out_rows["qdoc_id"], dtype="int64"),
+                "start": pd.Series(out_rows["start"], dtype="int32"),
+                "end": pd.Series(out_rows["end"], dtype="int32"),
+                "doc_ids": pd.Series(out_rows["doc_ids"], dtype="object"),
+            }
+            if emit_mt:
+                cols["match_text"] = pd.Series(out_rows["match_text"], dtype="object")
+            return pd.DataFrame(cols)
 
-        return spans.groupBy("qdoc_id").applyInPandas(reduce_doc, schema=_SPAN_SCHEMA)
+        return spans.groupBy("qdoc_id").applyInPandas(
+            reduce_doc, schema=_SPAN_SCHEMA_MT if emit_mt else _SPAN_SCHEMA
+        )
     raise ValueError(f"unknown overlaps mode {overlaps}")

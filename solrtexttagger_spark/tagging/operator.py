@@ -97,6 +97,10 @@ def tag(
         live_df = dictionary.docs_df
         for predicate in fqs:  # AND semantics (TaggerTest.testMultipleFilterQueries)
             live_df = live_df.filter(predicate)
+        # driver collect of the live doc-id set: bounded by the same ~1e8
+        # ceiling as the broadcast dictionary itself (this whole operator
+        # presumes a broadcast-sized dictionary; beyond it, use tag_join,
+        # whose fq equivalent is a filter on dict_terms doc_ids)
         live = {r["doc_id"] for r in live_df.select("doc_id").collect()}
         term_dict = term_dict.filtered(live)
 

@@ -53,11 +53,28 @@ def test_tag_plan_has_no_shuffle(spark, docs_df):
 
 
 def test_bm25_plan_broadcasts_queries_and_group_limits(spark, index):
-    plan = plan_str(bm25_topk(index, [(0, "common w1")], k=5, spark=spark))
+    # exploded strategy: pure-JVM — broadcast query terms, window top-k
+    plan = plan_str(
+        bm25_topk(index, [(0, "common w1")], k=5, spark=spark, strategy="exploded")
+    )
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan  # top-k pushed below the final sort
     # the persisted postings feed the plan — no rebuild from the raw corpus
     assert "InMemoryTableScan" in plan
+
+
+def test_bm25_segmented_plan_shape(spark, index):
+    """Default (segmented) strategy: ONE exchange (groupBy seg into the
+    pandas scorer); postings filtered before the shuffle; no exploded
+    per-(query, doc) aggregation exchange."""
+    plan = plan_str(bm25_topk(index, [(0, "common w1")], k=5, spark=spark))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "WindowGroupLimit" in plan
+    # the query-term filter is pushed into the cached postings scan —
+    # only matching shards ever reach the seg shuffle
+    assert "IN (common,w1)" in plan
+    # the scorer's input shuffle partitions on seg (not on (query, doc))
+    assert "hashpartitioning(seg" in plan
 
 
 def test_phrase_plan_broadcasts_terms(spark, index):

@@ -159,3 +159,44 @@ def test_dict_doc_ids_distributed_no_global_window(spark):
     # repartitioning the input must not change the assignment
     ids2 = {r["id"]: r["doc_id"] for r in dense_doc_ids(ndf.repartition(7), "id").collect()}
     assert ids2 == got
+
+
+@pytest.mark.parametrize("overlaps", ["ALL", "NO_SUB", "LONGEST_DOMINANT_RIGHT"])
+def test_prefix_prune_output_identical(spark, overlaps):
+    """First-word prefix pruning must not change the output — it only
+    avoids emitting n-grams that could never join."""
+    ndf = names_df(spark, N)
+    terms = build_dict_terms(ndf)
+    texts = spark.createDataFrame(
+        [
+            (0, "City of London Business School in Boston"),
+            (1, "nothing matches here at all"),
+            (2, "of the of the London"),
+        ],
+        "qdoc_id long, text string",
+    )
+    a = collect_tags(tag_join(texts, terms, overlaps=overlaps, prefix_prune=True))
+    b = collect_tags(tag_join(texts, terms, overlaps=overlaps, prefix_prune=False))
+    assert a == b
+
+
+@pytest.mark.parametrize("overlaps", ["ALL", "NO_SUB", "LONGEST_DOMINANT_RIGHT"])
+def test_tag_join_match_text(spark, overlaps):
+    """matchText on the join path: the emitted substring equals
+    text[start:end] (reference TaggerRequestHandler.java:192-193)."""
+    ndf = names_df(spark, N)
+    terms = build_dict_terms(ndf)
+    texts_raw = [
+        (0, "City of London Business School in Boston"),
+        (1, "of London Business School"),
+    ]
+    texts = spark.createDataFrame(texts_raw, "qdoc_id long, text string")
+    by_id = dict(texts_raw)
+    out = tag_join(texts, terms, overlaps=overlaps, match_text=True)
+    rows = out.collect()
+    assert rows and "match_text" in out.columns
+    for r in rows:
+        assert r["match_text"] == by_id[r["qdoc_id"]][r["start"]:r["end"]]
+    # column set identical to the plain run plus match_text
+    plain = tag_join(texts, terms, overlaps=overlaps)
+    assert out.columns == plain.columns + ["match_text"]
