@@ -151,3 +151,61 @@ def build_tag_dictionary(
         ascii_fold=ascii_fold,
         possessive=possessive,
     )
+
+
+def save_tag_dictionary(d: TagDictionary, path: str) -> None:
+    """Persist a built dictionary: docs table + analyzed (term, doc_ids)
+    postings as parquet, analysis config as a one-row parquet (so the store
+    is entirely Spark-writable — works on any Hadoop-compatible FS).
+
+    The reference's equivalent is the committed Solr index + its schema
+    config (QUICK_START.md 'commit=true'); here the analyzed form is
+    reusable without re-running the analysis chain over the names.
+    """
+    spark = d.docs_df.sparkSession
+    d.docs_df.write.mode("overwrite").parquet(f"{path}/docs")
+    pairs = spark.createDataFrame(
+        [(t, list(ids)) for t, ids in d.term_dict.postings.items()],
+        "term string, doc_ids array<long>",
+    )
+    pairs.write.mode("overwrite").parquet(f"{path}/terms")
+    cfg = spark.createDataFrame(
+        [
+            (
+                d.mode,
+                d.uses_stopwords,
+                d.id_col,
+                d.name_col,
+                list(d.attrs),
+                d.ascii_fold,
+                d.possessive,
+            )
+        ],
+        "mode string, uses_stopwords boolean, id_col string, name_col string,"
+        " attrs array<string>, ascii_fold boolean, possessive boolean",
+    )
+    cfg.write.mode("overwrite").parquet(f"{path}/config")
+
+
+def load_tag_dictionary(spark, path: str) -> TagDictionary:
+    """Load a dictionary persisted by ``save_tag_dictionary``. The terms
+    collect to the driver to become the broadcastable sorted-array TermDict
+    (same broadcast-size contract as build_tag_dictionary)."""
+    docs_df = spark.read.parquet(f"{path}/docs")
+    cfg = spark.read.parquet(f"{path}/config").collect()[0]
+    postings = {
+        r["term"]: tuple(r["doc_ids"])
+        for r in spark.read.parquet(f"{path}/terms").collect()
+    }
+    term_dict = TermDict(sorted(postings), postings)
+    return TagDictionary(
+        term_dict=term_dict,
+        docs_df=docs_df.cache(),
+        mode=cfg["mode"],
+        uses_stopwords=cfg["uses_stopwords"],
+        id_col=cfg["id_col"],
+        name_col=cfg["name_col"],
+        attrs=list(cfg["attrs"]),
+        ascii_fold=cfg["ascii_fold"],
+        possessive=cfg["possessive"],
+    )

@@ -263,3 +263,28 @@ def test_ldr_with_xml_offset_adjust(spark):
     # uncorrectable, dropped by offset adjustment)
     assert got == [(8, 30)]
     assert doc[8:30] == "London Business School"
+
+
+def test_dictionary_save_load_roundtrip(spark, tmp_path):
+    """Persisted dictionary (docs + analyzed terms + config) tags
+    identically to the freshly-built one, including analysis-chain flags."""
+    from solrtexttagger_spark.tagging.dictionary import (
+        load_tag_dictionary,
+        save_tag_dictionary,
+    )
+
+    d = build_tag_dictionary(
+        names_df(spark, ["Göteborg", "London Business School"]),
+        ascii_fold=True,
+        possessive=True,
+    )
+    path = str(tmp_path / "dict")
+    save_tag_dictionary(d, path)
+    d2 = load_tag_dictionary(spark, path)
+    assert d2.mode == d.mode and d2.ascii_fold and d2.possessive
+    assert d2.term_dict.postings == d.term_dict.postings
+
+    texts = texts_df(spark, ["at goteborg and London Business School"])
+    a = collect_tags(tag(texts, d, overlaps="ALL", tags_limit=None))
+    b = collect_tags(tag(texts, d2, overlaps="ALL", tags_limit=None))
+    assert a == b and len(a) == 2
