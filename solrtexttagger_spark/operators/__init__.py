@@ -8,7 +8,13 @@ from solrtexttagger_spark.ops.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from solrtexttagger_spark.ops.multimodal import extract_media_meta
+from solrtexttagger_spark.ops.multimodal import (
+    extract_features,
+    extract_media_meta,
+    repartition_for_payload,
+    resize_images,
+    sample_frames,
+)
 from solrtexttagger_spark.ops.similarity import (
     cosine_dup_pairs,
     cosine_topk,
@@ -27,6 +33,8 @@ from solrtexttagger_spark.tagging.operator import matched_docs, tag, tag_respons
 __all__ = [
     "exact_dedup", "lsh_candidate_pairs", "minhash_signatures",
     "ngram_jaccard_pairs", "simhash", "extract_media_meta",
+    "extract_features", "repartition_for_payload", "resize_images",
+    "sample_frames",
     "cosine_dup_pairs", "cosine_topk", "ivf_cosine_topk",
     "ivf_fit_centroids", "lsh_cosine_topk",
     "bm25_topk", "phrase_match", "LocalSearcher", "wand_topk",
