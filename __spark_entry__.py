@@ -57,11 +57,40 @@ SESSION_GAP = 1800
 _PHASH_SQL = "('0x'||substr(md5({x}),1,15))::bigint"
 
 
+_PKG_ZIP: str | None = None
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executors (addPyFile) so entries work no matter
+    where the calling driver script lives: driver-side sys.path insertion
+    does NOT propagate to Python workers. Zipped once per process,
+    registered once per SparkContext. (spark-submit jobs use --py-files,
+    jobs/build_index_job.py — this is the interactive/driver equivalent.)"""
+    global _PKG_ZIP
+    sc = spark.sparkContext
+    if getattr(sc, "_stt_pkg_shipped", None) == (_PKG_ZIP or True) and _PKG_ZIP:
+        return
+    if _PKG_ZIP is None:
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="stt_pkg_")
+        _PKG_ZIP = shutil.make_archive(
+            os.path.join(d, "solrtexttagger_spark_pkg"),
+            "zip",
+            root_dir=_HERE,
+            base_dir="solrtexttagger_spark",
+        )
+    sc.addPyFile(_PKG_ZIP)
+    sc._stt_pkg_shipped = _PKG_ZIP
+
+
 def _nparts(spark: SparkSession) -> int:
     return spark.sparkContext.defaultParallelism * 2
 
 
 def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _ensure_shipped(spark)
     # The test parquet files are single-split; repartition so per-row work
     # parallelizes. At real scale the scan yields many splits and this
     # becomes a cheap no-op-ish round-robin (or is removed).
@@ -184,6 +213,53 @@ def q_tag_nosub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tag_ldr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tag_translated(spark, sf_dir, "LONGEST_DOMINANT_RIGHT")
+
+
+def q_tag_join_nosub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The never-broadcast join-path tagger (big-dictionary regime) under
+    the same oracle as tag_nosub — the two paths are output-identical."""
+    from solrtexttagger_spark.tagging.join_operator import build_dict_terms, tag_join
+
+    names = spark.createDataFrame(TAG_DICT, "id string, name string")
+    terms = build_dict_terms(names)
+    spans = tag_join(
+        _docs(spark, sf_dir), terms, text_col="text", id_col="doc_id",
+        overlaps="NO_SUB",
+    )
+    # translate via the join-path docs table (dense ids in id order, same
+    # assignment as the broadcast dictionary)
+    from solrtexttagger_spark.index.build import dense_doc_ids
+
+    ids = dense_doc_ids(
+        names.withColumn("__ord", F.col("id").cast("string")), "__ord"
+    ).select(F.col("doc_id").alias("dict_doc_id"), "id")
+    return (
+        spans.select(
+            F.col("qdoc_id").alias("doc_id"),
+            F.col("start").cast("long").alias("t_start"),
+            F.col("end").cast("long").alias("t_end"),
+            F.explode("doc_ids").alias("dict_doc_id"),
+        )
+        .join(F.broadcast(ids), "dict_doc_id")
+        .select("doc_id", "t_start", "t_end", "id")
+    )
+
+
+def q_bm25_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-JVM exploded BM25 strategy under the same oracle as the
+    segmented default — both must be rank- and score-identical."""
+    from solrtexttagger_spark.search.bm25 import bm25_topk
+
+    out = bm25_topk(
+        _index(spark, sf_dir), BM25_QUERIES, k=BM25_K, spark=spark,
+        strategy="exploded",
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,6 +479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_partial": q_tag_partial,
         "tag_nosub": q_tag_nosub,
         "tag_ldr": q_tag_ldr,
+        "tag_join_nosub": q_tag_join_nosub,
+        "bm25_exploded": q_bm25_exploded,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
@@ -531,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["bm25_topk"] = _bm25_oracle()
     sql["wand_topk"] = _bm25_oracle()  # WAND must be rank/score-identical
+    sql["bm25_exploded"] = _bm25_oracle()  # both strategies, same oracle
 
     sql["term_stats"] = f"""
 WITH {_TOK_CTE}
@@ -620,6 +699,7 @@ WHERE NOT EXISTS (
     AND (u.t_start <> h.t_start OR u.t_end <> h.t_end)
 )
 """
+    sql["tag_join_nosub"] = sql["tag_nosub"]  # join path: same semantics
 
     sql["dedup_exact"] = """
 SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_doc_id,
