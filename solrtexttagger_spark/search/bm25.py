@@ -80,8 +80,16 @@ def bm25_topk(
     (query, matching doc)), which caps scaling on large corpora; prefer
     'segmented' for batch workloads at scale.
     """
-    if strategy == "segmented" and not isinstance(queries, DataFrame):
-        return _bm25_topk_segmented(index, queries, k=k, k1=k1, b=b, spark=spark)
+    if strategy == "segmented":
+        if isinstance(queries, DataFrame):
+            # the query table is tiny by contract (it broadcasts in the
+            # exploded plan) — collect it into pre-analyzed term bags
+            qbags: dict[int, dict[str, int]] = {}
+            for r in queries.collect():
+                qbags.setdefault(int(r["query_id"]), {})[r["term"]] = int(r["qtf"])
+        else:
+            qbags = {int(qid): analyze_query_terms(q) for qid, q in queries}
+        return _bm25_topk_segmented(index, qbags, k=k, k1=k1, b=b, spark=spark)
     postings = index.postings
     if isinstance(queries, DataFrame):
         qdf = queries
@@ -148,7 +156,7 @@ def _local_topk_with_ties(uniq: np.ndarray, scores: np.ndarray, k: int):
 
 def _bm25_topk_segmented(
     index: InvertedIndex,
-    queries: list[tuple[int, str]],
+    qbags: dict[int, dict[str, int]],
     *,
     k: int = 10,
     k1: float = K1,
@@ -159,9 +167,9 @@ def _bm25_topk_segmented(
     one shuffle of the query-term-filtered postings on seg, vectorized numpy
     scoring per segment, per-segment top-k(+ties), global window. Exact
     because a document's postings live entirely in one segment
-    (seg = hash(doc_id) % num_segments, index/build.py)."""
+    (seg = hash(doc_id) % num_segments, index/build.py).
+    qbags: {query_id: {term: qtf}} (pre-analyzed)."""
     spark = spark or index.postings.sparkSession
-    qbags = {int(qid): analyze_query_terms(q) for qid, q in queries}
     terms = sorted({t for bag in qbags.values() for t in bag})
     if not terms:
         return spark.createDataFrame(

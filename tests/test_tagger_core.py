@@ -363,3 +363,42 @@ def test_alt_token_handling():
     assert [(s, e) for s, e, _ in out] == [(0, 6)]
     with pytest.raises(ValueError):
         tag_text(tokens, d, skip_alt_tokens=False)
+
+
+# --- LDR greedy-characterization property (foundation of the tag_ldr
+# DuckDB oracle): reduce_spans LDR == "iterate spans by (len desc,
+# start desc); keep iff no overlap with a previously kept span" ---
+
+from hypothesis import given, settings, strategies as st
+
+
+def _independent_ldr_greedy(spans):
+    order = sorted(spans, key=lambda t: (-(t[1] - t[0]), -t[0]))
+    kept = []
+    for s, e in order:
+        if not any(s < ke and ks < e for ks, ke in kept):
+            kept.append((s, e))
+    return set(kept)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=1, max_value=12),
+        ).map(lambda t: (t[0], t[0] + t[1])),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_ldr_equals_independent_greedy(spans):
+    from solrtexttagger_spark.tagging.core import reduce_spans
+
+    got = {
+        (s, e)
+        for s, e, _v in reduce_spans(
+            [(s, e, (1,)) for s, e in spans], "LONGEST_DOMINANT_RIGHT"
+        )
+    }
+    assert got == _independent_ldr_greedy(spans)
