@@ -224,10 +224,18 @@ def wand_topk(
     spark: SparkSession | None = None,
     prune_stats: dict | None = None,
     local_threshold_postings: int = 100_000,
+    theta_rounds: int = 1,
 ) -> DataFrame:
     """Top-k BM25 via block-max segment pruning. queries: [(qid, text)].
     Returns (query_id, rank, doc_id, score). Pass ``prune_stats={}`` to get
     back {'segments_total', 'segments_scored'}.
+
+    theta_rounds=2 adds a θ-tightening round: phase 2 first scores only the
+    few highest-bound candidate segments per query, re-derives θ from the
+    union of results so far, and prunes the remaining candidates against
+    the tighter θ. One extra driver round-trip; pays off when score mass
+    concentrates in few segments and the candidate list is long
+    (rank-identity unaffected — pruning stays sound at every θ).
 
     local_threshold_postings: when the query terms' total df is below this,
     the matching blocks are collected and scored driver-side in one job —
@@ -449,6 +457,44 @@ def wand_topk(
         if bound >= theta.get(qid, -math.inf):
             rest.setdefault(qid, set()).add(seg)
             scored_segs[qid].add(seg)
+
+    phase2a_local = None
+    if theta_rounds >= 2 and rest:
+        # θ-tightening: score the top few candidate segments (by bound)
+        # first, fold their scores into θ, then re-prune the remainder.
+        head_n = 3
+        head: dict[int, set[int]] = {}
+        for qid, segs in rest.items():
+            ranked = sorted(segs, key=lambda s: -ub[(qid, s)])
+            head[qid] = set(ranked[:head_n])
+        tail = {
+            qid: segs - head.get(qid, set())
+            for qid, segs in rest.items()
+            if segs - head.get(qid, set())
+        }
+        phase2a = run_segments(head, theta)
+        rows2a = phase2a.collect() if phase2a is not None else []
+        for r in rows2a:
+            by_q.setdefault(r["query_id"], []).append(r["score"])
+        for qid, scores in by_q.items():
+            scores.sort(reverse=True)
+            if len(scores) >= k:
+                theta[qid] = scores[k - 1]
+        phase2a_local = (
+            spark.createDataFrame(
+                [(r["query_id"], r["doc_id"], r["score"]) for r in rows2a],
+                _SCORE_SCHEMA,
+            )
+            if rows2a
+            else None
+        )
+        rest = {}
+        for qid, segs in tail.items():
+            kept = {s for s in segs if ub[(qid, s)] >= theta.get(qid, -math.inf)}
+            scored_segs[qid] -= segs - kept  # dropped by the tighter θ
+            if kept:
+                rest[qid] = kept
+
     phase2 = run_segments(rest, theta)
 
     if prune_stats is not None:
@@ -465,10 +511,12 @@ def wand_topk(
             }
         )
 
-    parts = [p for p in (phase1_local, phase2) if p is not None]
+    parts = [p for p in (phase1_local, phase2a_local, phase2) if p is not None]
     if not parts:
         return spark.createDataFrame([], "query_id long, rank long, doc_id long, score double")
-    allscores = parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])
+    allscores = parts[0]
+    for p in parts[1:]:
+        allscores = allscores.unionAll(p)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
         allscores.withColumn("rank", F.row_number().over(w))

@@ -250,3 +250,27 @@ def test_wand_intra_segment_block_skipping(spark):
     exp = bm25_topk(idx, [(0, "common")], k=1, spark=spark).collect()
     assert [(r["rank"], r["doc_id"]) for r in exp] == [(1, 996)]
     c.blocks.unpersist()
+
+
+def test_wand_theta_tightening_round(spark):
+    """theta_rounds=2 must stay rank-identical while scoring no MORE
+    segments than the single-round pruning (tighter theta can only drop)."""
+    # score mass concentrated in a few docs; many weak segments
+    docs = [(d, "common " + " ".join(f"g{d}_{i}" for i in range(9))) for d in range(128)]
+    strong = " ".join(["common"] * 40)
+    docs += [(990 + j, strong) for j in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = build_index(df, num_segments=16)
+    c = compress_index(idx)
+    c.blocks.persist().count()
+
+    queries = [(0, "common"), (1, "common g5_1")]
+    s1, s2 = {}, {}
+    a = wand_topk(c, queries, k=3, spark=spark, prune_stats=s1,
+                  local_threshold_postings=0).collect()
+    b = wand_topk(c, queries, k=3, spark=spark, prune_stats=s2,
+                  local_threshold_postings=0, theta_rounds=2).collect()
+    norm = lambda rows: sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in rows)
+    assert norm(a) == norm(b)
+    assert s2["segments_scored"] <= s1["segments_scored"], (s1, s2)
+    c.blocks.unpersist()
