@@ -395,6 +395,25 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_keywords(_docs(spark, sf_dir), top_k=3)
 
 
+CONTAM_N = 2
+CONTAM_PROBES = [
+    "hash join table scan fast",
+    "sort merge slow query order",
+]
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrtexttagger_spark.ops.textqa import ngram_contamination
+
+    return ngram_contamination(_docs(spark, sf_dir), CONTAM_PROBES, n=CONTAM_N)
+
+
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrtexttagger_spark.ops.textqa import pii_stats
+
+    return pii_stats(_docs(spark, sf_dir))
+
+
 def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solrtexttagger_spark.ops.textqa import rolling_hash
 
@@ -495,6 +514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "tfidf_keywords": q_tfidf_keywords,
         "rolling_hash": q_rolling_hash,
+        "contamination": q_contamination,
+        "pii_stats": q_pii_stats,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
         "phrase_match": q_phrase_match,
@@ -951,6 +972,42 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, rank::BIGINT AS rank, term, tfidf FROM ranked WHERE rank <= 3
+"""
+
+    probe_grams = sorted(
+        {
+            " ".join(ws[i : i + CONTAM_N])
+            for t in CONTAM_PROBES
+            for ws in [t.split(" ")]
+            for i in range(len(ws) - CONTAM_N + 1)
+        }
+    )
+    probe_list_sql = ", ".join(f"'{g}'" for g in probe_grams)
+    sql["contamination"] = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= {CONTAM_N}
+         THEN list_distinct((SELECT list(array_to_string(w[i:i+{CONTAM_N - 1}], ' '))
+                             FROM unnest(range(1, len(w) - {CONTAM_N - 2})) AS t(i)))
+         ELSE []::VARCHAR[] END AS g
+  FROM words
+)
+SELECT doc_id, len(g)::BIGINT AS n_grams,
+       len(list_intersect(g, [{probe_list_sql}]))::BIGINT AS n_contaminated,
+       round(CASE WHEN len(g) > 0
+                  THEN len(list_intersect(g, [{probe_list_sql}]))::DOUBLE / len(g)::DOUBLE
+                  ELSE 0.0 END, 4) AS contamination
+FROM grams
+"""
+
+    sql["pii_stats"] = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       len(list_filter(w, x -> contains(x, '@')))::BIGINT AS n_email_like,
+       len(list_filter(w, x -> starts_with(x, 'http') OR starts_with(x, 'www')))::BIGINT AS n_url_like,
+       len(list_filter(w, x -> x <> '' AND translate(x, '0123456789', '') = ''))::BIGINT AS n_digit_tokens
+FROM words
 """
 
     sql["rolling_hash"] = """

@@ -174,3 +174,90 @@ def fingerprint(
     words = _words(text_col)
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(words)))
     return df.select(F.col(id_col), F.md5(canon).alias("fp"))
+
+
+def ngram_contamination(
+    df: DataFrame,
+    probe_texts: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per document, the fraction of its distinct
+    word n-grams that appear in ANY probe text (the eval/benchmark set).
+
+    The probe n-gram set is tiny by definition (benchmarks are small) and
+    broadcasts as a literal array — the corpus side stays a narrow
+    projection with no shuffle, the 100 TB shape for decontamination
+    filters. Output: (doc_id, n_grams, n_contaminated, contamination) with
+    contamination rounded to 4.
+    """
+    probe_grams = sorted(
+        {
+            " ".join(ws[i : i + n])
+            for t in probe_texts
+            for ws in [t.split(" ")]
+            if len(ws) >= n
+            for i in range(len(ws) - n + 1)
+        }
+    )
+    probe_arr = F.array(*[F.lit(g) for g in probe_grams])
+    words = _words(text_col)
+    grams = F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array())
+    )
+    base = df.select(F.col(id_col), grams.alias("__g"))
+    hit = F.size(F.array_intersect(F.col("__g"), probe_arr))
+    total = F.size("__g")
+    return base.select(
+        id_col,
+        total.cast("long").alias("n_grams"),
+        hit.cast("long").alias("n_contaminated"),
+        F.round(
+            F.when(total > 0, hit.cast("double") / total.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ).alias("contamination"),
+    )
+
+
+def pii_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII-surface indicators per document, engine-portable by construction
+    (token membership tests, not regex — Java and RE2 regex dialects
+    diverge): tokens containing '@' (email-shaped), tokens starting
+    'http'/'www' (url-shaped), and all-digit tokens. A production redactor
+    replaces the classifiers; the narrow no-shuffle plan is the point.
+    Output: (doc_id, n_email_like, n_url_like, n_digit_tokens)."""
+    words = _words(text_col)
+    n_email = F.size(F.filter(words, lambda w: w.contains("@")))
+    n_url = F.size(
+        F.filter(
+            words,
+            lambda w: w.startswith("http") | w.startswith("www"),
+        )
+    )
+    n_digit = F.size(
+        F.filter(
+            words,
+            lambda w: (w != "") & (F.translate(w, "0123456789", "") == ""),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        n_email.cast("long").alias("n_email_like"),
+        n_url.cast("long").alias("n_url_like"),
+        n_digit.cast("long").alias("n_digit_tokens"),
+    )
