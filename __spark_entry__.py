@@ -414,6 +414,15 @@ def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_stats(_docs(spark, sf_dir))
 
 
+REP_N = 2
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solrtexttagger_spark.ops.textqa import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), n=REP_N)
+
+
 def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solrtexttagger_spark.ops.textqa import rolling_hash
 
@@ -516,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_hash": q_rolling_hash,
         "contamination": q_contamination,
         "pii_stats": q_pii_stats,
+        "repetition_stats": q_repetition_stats,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
         "phrase_match": q_phrase_match,
@@ -1008,6 +1018,36 @@ SELECT doc_id,
        len(list_filter(w, x -> starts_with(x, 'http') OR starts_with(x, 'www')))::BIGINT AS n_url_like,
        len(list_filter(w, x -> x <> '' AND translate(x, '0123456789', '') = ''))::BIGINT AS n_digit_tokens
 FROM words
+"""
+
+    sql["repetition_stats"] = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= {REP_N}
+         THEN (SELECT list(array_to_string(w[i:i+{REP_N - 1}], ' '))
+               FROM unnest(range(1, len(w) - {REP_N - 2})) AS t(i))
+         ELSE []::VARCHAR[] END AS g
+  FROM words
+),
+flat AS (SELECT doc_id, unnest(g) AS gr FROM grams),
+counts AS (SELECT doc_id, gr, count(*)::BIGINT AS c FROM flat GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_grams,
+         (sum(c) - count(*))::BIGINT AS n_dup_grams,
+         max(c)::BIGINT AS top_c
+  FROM counts GROUP BY doc_id
+)
+SELECT g.doc_id,
+       coalesce(a.n_grams, 0) AS n_grams,
+       coalesce(a.n_dup_grams, 0) AS n_dup_grams,
+       round(CASE WHEN coalesce(a.n_grams, 0) > 0
+                  THEN a.n_dup_grams::DOUBLE / a.n_grams::DOUBLE ELSE 0.0 END, 4)
+         AS dup_fraction,
+       round(CASE WHEN coalesce(a.n_grams, 0) > 0
+                  THEN a.top_c::DOUBLE / a.n_grams::DOUBLE ELSE 0.0 END, 4)
+         AS top_gram_fraction
+FROM grams g LEFT JOIN agg a USING (doc_id)
 """
 
     sql["rolling_hash"] = """

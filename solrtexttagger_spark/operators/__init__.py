@@ -25,7 +25,11 @@ from solrtexttagger_spark.ops.similarity import (
 from solrtexttagger_spark.search.bm25 import bm25_topk
 from solrtexttagger_spark.search.phrase import phrase_match
 from solrtexttagger_spark.search.wand import LocalSearcher, wand_topk
-from solrtexttagger_spark.ops.textqa import ngram_contamination, pii_stats
+from solrtexttagger_spark.ops.textqa import (
+    ngram_contamination,
+    pii_stats,
+    repetition_stats,
+)
 from solrtexttagger_spark.streaming.sessionize import sessionize_batch, sessionize_stream
 from solrtexttagger_spark.streaming.stateful import running_user_stats
 from solrtexttagger_spark.tagging.join_operator import tag_join
@@ -39,7 +43,7 @@ __all__ = [
     "cosine_dup_pairs", "cosine_topk", "ivf_cosine_topk",
     "ivf_fit_centroids", "lsh_cosine_topk",
     "bm25_topk", "phrase_match", "LocalSearcher", "wand_topk",
-    "ngram_contamination", "pii_stats",
+    "ngram_contamination", "pii_stats", "repetition_stats",
     "sessionize_batch", "sessionize_stream", "running_user_stats",
     "tag_join", "matched_docs", "tag", "tag_response", "translate_ids",
 ]

@@ -261,3 +261,65 @@ def pii_stats(
         n_url.cast("long").alias("n_url_like"),
         n_digit.cast("long").alias("n_digit_tokens"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Intra-document repetition metrics (the C4/Gopher-style repetition
+    quality filters): over the document's word n-grams (with multiplicity),
+    the duplicate fraction and the most-frequent-gram fraction.
+
+    Entirely shuffle-free: grams stay an array column; the top-gram count
+    is a single fold over the SORTED gram array (equal grams are adjacent,
+    so the longest equal-run is the max multiplicity). Output:
+    (doc_id, n_grams, n_dup_grams, dup_fraction, top_gram_fraction).
+    """
+    words = _words(text_col)
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), F.array_sort(grams).alias("__g"))
+    total = F.size("__g")
+    n_dup = total - F.size(F.array_distinct("__g"))
+    # longest equal-run over the sorted array == max gram multiplicity
+    run_state = F.aggregate(
+        F.col("__g"),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top = run_state["best"]
+    return base.select(
+        id_col,
+        total.cast("long").alias("n_grams"),
+        n_dup.cast("long").alias("n_dup_grams"),
+        F.round(
+            F.when(total > 0, n_dup.cast("double") / total.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ).alias("dup_fraction"),
+        F.round(
+            F.when(total > 0, top.cast("double") / total.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ).alias("top_gram_fraction"),
+    )

@@ -38,3 +38,20 @@ def test_ngram_contamination_edges(spark):
     assert out[0]["contamination"] == round(2 / 3, 4)
     assert out[1]["n_contaminated"] == 0
     assert out[2]["n_grams"] == 0 and out[2]["contamination"] == 0.0
+
+
+def test_repetition_stats_pins(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam"),      # 4 bigrams, all identical
+            (1, "all distinct words here now"),
+            (2, "one"),                           # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: tuple(r)[1:] for r in
+           __import__("solrtexttagger_spark.ops.textqa", fromlist=["repetition_stats"])
+           .repetition_stats(docs, n=2).collect()}
+    assert got[0] == (4, 3, 0.75, 1.0)
+    assert got[1] == (4, 0, 0.0, 0.25)
+    assert got[2] == (0, 0, 0.0, 0.0)
