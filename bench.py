@@ -270,6 +270,15 @@ def main() -> None:
 
     timed("q8_text_qa", qa)
 
+    # q8b: round-2 text-QA additions (decontamination, PII, repetition)
+    def qa2():
+        n = _materialize(em.q_contamination(spark, sf_dir))
+        n += _materialize(em.q_pii_stats(spark, sf_dir))
+        n += _materialize(em.q_repetition_stats(spark, sf_dir))
+        return n
+
+    timed("q8b_text_qa_filters", qa2)
+
     # q9: sessionization over events
     timed("q9_sessionize", lambda: _materialize(em.q_sessionize(spark, sf_dir)))
 
