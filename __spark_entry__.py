@@ -760,12 +760,20 @@ bands AS ({band_union}),
 ok AS (
   SELECT band, band_key FROM bands GROUP BY 1, 2
   HAVING count(*) BETWEEN 2 AND {LSH_MAX_BUCKET}
+),
+big AS (
+  SELECT band, band_key, min(doc_id) AS rep FROM bands GROUP BY 1, 2
+  HAVING count(*) > {LSH_MAX_BUCKET}
 )
-SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
 FROM bands a
 JOIN ok USING (band, band_key)
 JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
+UNION
+SELECT g.rep AS a_doc_id, b.doc_id AS b_doc_id
+FROM big g JOIN bands b USING (band, band_key)
+WHERE b.doc_id > g.rep
 """
 
     sql["simhash"] = _simhash_oracle()
@@ -785,10 +793,18 @@ ok AS (
   SELECT c FROM cgrams GROUP BY c
   HAVING count(DISTINCT doc_id) BETWEEN 2 AND {LSH_MAX_BUCKET}
 ),
+big AS (
+  SELECT c, min(doc_id) AS rep FROM cgrams GROUP BY c
+  HAVING count(DISTINCT doc_id) > {LSH_MAX_BUCKET}
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+  SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
   FROM cgrams a JOIN ok USING (c) JOIN cgrams b ON a.c = b.c
   WHERE a.doc_id < b.doc_id
+  UNION
+  SELECT g.rep AS a_doc_id, b.doc_id AS b_doc_id
+  FROM big g JOIN cgrams b USING (c)
+  WHERE b.doc_id > g.rep
 ),
 j AS (
   SELECT c.a_doc_id, c.b_doc_id,
@@ -893,12 +909,20 @@ ok AS (
   SELECT band, band_key FROM bands GROUP BY 1, 2
   HAVING count(*) BETWEEN 2 AND {EMBED_MAX_BUCKET}
 ),
+big AS (
+  SELECT band, band_key, min(vec_id) AS rep FROM bands GROUP BY 1, 2
+  HAVING count(*) > {EMBED_MAX_BUCKET}
+),
 cand AS (
-  SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id
+  SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id
   FROM bands a
   JOIN ok USING (band, band_key)
   JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
   WHERE a.vec_id < b.vec_id
+  UNION
+  SELECT g.rep AS a_vec_id, b.vec_id AS b_vec_id
+  FROM big g JOIN bands b USING (band, band_key)
+  WHERE b.vec_id > g.rep
 )
 SELECT c.a_vec_id, c.b_vec_id, {_dup_cos} AS cos
 FROM cand c

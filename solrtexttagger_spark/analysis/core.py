@@ -62,11 +62,31 @@ def tokenize(text: str, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH):
     return out
 
 
+# Non-decomposable punctuation the reference ASCIIFoldingFilter maps to ASCII
+# (ASCIIFoldingFilter folds quote/dash/space variants; NFKD alone deletes
+# them, which broke curly-apostrophe possessives like "Göteborg’s").
+_PUNCT_FOLD = str.maketrans(
+    {
+        "‘": "'", "’": "'", "‚": "'", "‛": "'",  # single quotes
+        "‹": "'", "›": "'", "＇": "'",
+        "“": '"', "”": '"', "„": '"', "‟": '"',  # double quotes
+        "«": '"', "»": '"', "＂": '"',
+        "‐": "-", "‑": "-", "‒": "-", "–": "-",  # dashes
+        "—": "-", "―": "-", "−": "-", "－": "-",
+        " ": " ", " ": " ", " ": " ",  # spaces
+    }
+)
+
+
 def fold_ascii(s: str) -> str:
-    """ASCIIFoldingFilter approximation: NFKD-decompose and drop combining
-    marks / non-ASCII residue (reference QUICK_START.md recommended chain)."""
+    """ASCIIFoldingFilter approximation: fold common non-decomposable
+    punctuation (curly quotes, dashes) to ASCII, then NFKD-decompose and drop
+    combining marks / non-ASCII residue (reference QUICK_START.md recommended
+    chain; punctuation table mirrors ASCIIFoldingFilter's quote/dash cases)."""
     return (
-        unicodedata.normalize("NFKD", s).encode("ascii", "ignore").decode("ascii")
+        unicodedata.normalize("NFKD", s.translate(_PUNCT_FOLD))
+        .encode("ascii", "ignore")
+        .decode("ascii")
     )
 
 

@@ -35,7 +35,7 @@ from dataclasses import dataclass
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from solrtexttagger_spark.analysis.core import tokenize
 
@@ -133,11 +133,39 @@ def dense_doc_ids(df: DataFrame, order_by, out_col: str = "doc_id", num_partitio
     n = num_partitions or max(2, spark.sparkContext.defaultParallelism)
     col = F.col(order_by) if isinstance(order_by, str) else order_by
     shaped = df.repartitionByRange(n, col).sortWithinPartitions(col)
-    out_schema = T.StructType(
-        shaped.schema.fields + [T.StructField(out_col, T.LongType(), False)]
+    # All-JVM rank assembly: local rank within each range bucket + broadcast
+    # per-bucket offsets (one tiny count-by-partition job). Replaces the old
+    # rdd.zipWithIndex() path, which deserialized every row JVM->Python and
+    # pickled it back — two full per-row Python passes in exactly the
+    # >=1e8-row regime this function exists for.
+    pid = F.spark_partition_id()
+    with_pid = shaped.withColumn("__pid", pid)
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
     )
-    rdd = shaped.rdd.zipWithIndex().map(lambda t: t[0] + (t[1],))
-    return spark.createDataFrame(rdd, out_schema)
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p, c in counts:
+        offsets[p] = acc
+        acc += c
+    if not offsets:
+        return shaped.withColumn(out_col, F.lit(0).cast("long"))
+    offset_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    )
+    w = Window.partitionBy("__pid").orderBy(col)
+    return (
+        with_pid.withColumn(
+            out_col,
+            (
+                F.row_number().over(w).cast("long")
+                - F.lit(1)
+                + offset_map[F.col("__pid")].cast("long")
+            ),
+        )
+        .drop("__pid")
+    )
 
 
 def _tokenize_rows(text_col: str, doc_id_col: str, lowercase: bool):

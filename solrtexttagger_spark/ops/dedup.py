@@ -109,9 +109,10 @@ def lsh_candidate_pairs(
     """LSH banding: docs sharing any band of the MinHash signature.
     Output: distinct (a_doc_id, b_doc_id), a < b.
 
-    max_bucket_size: buckets larger than this are dropped as degenerate
-    ("too common to be a dup signal") — standard LSH practice; without it a
-    pathological band key yields O(bucket^2) pairs."""
+    max_bucket_size: buckets larger than this switch from exhaustive
+    O(bucket^2) pairing to linear STAR pairing against the bucket's min id
+    (see ``bucket_pairs``) — a giant dup cluster still yields one candidate
+    edge per member instead of vanishing."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures(
@@ -137,11 +138,13 @@ def lsh_candidate_pairs(
     band_rows = sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    return (
+    buckets = (
         band_rows.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
-        .select(F.explode(_pairs(F.col("ids"))).alias("p"))
+        .where(F.size("ids") >= 2)
+    )
+    return (
+        bucket_pairs(buckets, max_bucket_size=max_bucket_size)
         .select(F.col("p.a").alias("a_doc_id"), F.col("p.b").alias("b_doc_id"))
         .distinct()
     )
@@ -194,9 +197,11 @@ def ngram_jaccard_pairs(
     """n-gram Jaccard near-dup pairs.
 
     Candidates = docs sharing >=1 ``candidate_shingle_size``-gram (bounded
-    blow-up; at scale, buckets of wide 5-grams are tiny; degenerate grams
-    shared by more than ``max_bucket_size`` docs are dropped as non-signal,
-    same policy as LSH banding). For each candidate pair, Jaccard over the
+    blow-up; at scale, buckets of wide 5-grams are tiny; grams shared by
+    more than ``max_bucket_size`` docs emit linear star candidates instead
+    of quadratic — same policy as LSH banding, see ``bucket_pairs``; false
+    candidates are removed by the exact Jaccard rescore below, so the cap
+    only bounds work, never correctness). For each candidate pair, Jaccard over the
     distinct ``shingle_size``-gram sets; keep pairs with jaccard >=
     threshold. Output (a_doc_id, b_doc_id, jaccard round 4).
     """
@@ -206,12 +211,14 @@ def ngram_jaccard_pairs(
         F.array_distinct(_shingles(words, shingle_size)).alias("sh"),
         F.array_distinct(_shingles(words, candidate_shingle_size)).alias("csh"),
     )
-    cand = (
+    gram_buckets = (
         base.select(F.col(id_col), F.explode("csh").alias("c"))
         .groupBy("c")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
-        .select(F.explode(_pairs(F.col("ids"))).alias("p"))
+        .where(F.size("ids") >= 2)
+    )
+    cand = (
+        bucket_pairs(gram_buckets, max_bucket_size=max_bucket_size)
         .select(F.col("p.a").alias("a_doc_id"), F.col("p.b").alias("b_doc_id"))
         .distinct()
     )
@@ -239,3 +246,30 @@ def _pairs(ids_col):
             ),
         )
     )
+
+
+def bucket_pairs(buckets: DataFrame, *, ids_col: str = "ids", max_bucket_size: int) -> DataFrame:
+    """Pair explosion for candidate buckets with a bounded-output policy.
+
+    ``buckets`` must carry a sorted-ascending id array column ``ids_col`` with
+    >=2 members. Buckets up to ``max_bucket_size`` pair exhaustively
+    (quadratic in the bucket — local to real near-dup cluster sizes).
+    OVERSIZED buckets are not dropped (a giant dup cluster makes every bucket
+    it touches oversized, so dropping them zeroes recall exactly where dups
+    concentrate — round-2 ADVICE): they emit STAR pairs against the bucket's
+    deterministic representative (min id), output linear in bucket size;
+    connected components over the star edges still recover the full cluster.
+    Returns one column ``p`` = struct(a, b) with a < b, NOT deduplicated.
+    """
+    ids = F.col(ids_col)
+    small = buckets.where(F.size(ids) <= max_bucket_size).select(
+        F.explode(_pairs(ids)).alias("p")
+    )
+    star = F.transform(
+        F.slice(ids, 2, F.size(ids) - 1),
+        lambda x: F.struct(F.element_at(ids, 1).alias("a"), x.alias("b")),
+    )
+    big = buckets.where(F.size(ids) > max_bucket_size).select(
+        F.explode(star).alias("p")
+    )
+    return small.unionByName(big)

@@ -31,6 +31,18 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _probe_dim(emb_df: DataFrame, vec_col: str) -> int:
+    """Infer embedding dimensionality from the first non-null vector; a clear
+    error on empty input instead of `first()[0]` raising TypeError."""
+    row = emb_df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if row is None:
+        raise ValueError(
+            f"cannot infer embedding dim: column '{vec_col}' has no non-null "
+            "rows — pass dim= explicitly"
+        )
+    return len(row[0])
+
+
 def cosine_topk(
     emb_df: DataFrame,
     probe_ids: list[int],
@@ -85,18 +97,27 @@ def cosine_dup_pairs(
 
     method='lsh' (default, the 100 TB shape): banded random-hyperplane LSH —
     vectors sharing ANY band of ``band_planes`` sign bits become candidates
-    (one equi-shuffle on the band key, in-bucket pair explosion capped at
-    ``max_bucket_size``), then candidates are exactly rescored. Same plan
-    family as minhash LSH banding (ops/dedup.lsh_candidate_pairs): no
-    theta-join, no BroadcastNestedLoop/cartesian anywhere. Deterministic
+    (one equi-shuffle on the band key), then candidates are exactly rescored.
+    Same plan family as minhash LSH banding (ops/dedup.lsh_candidate_pairs):
+    no theta-join, no BroadcastNestedLoop/cartesian anywhere. Deterministic
     (md5-derived hyperplanes), so the operator is oracle-checkable
     end-to-end. Recall vs the exact operator rises with bands and with the
     pair's cosine; near-dup-grade pairs (cos >= ~0.9) are caught with high
     probability at the defaults, while pairs barely above a loose threshold
     may be missed — bench.py reports measured recall.
 
-    method='exact': the all-pairs theta-join baseline — O(n^2) compare, only
-    for test-scale inputs and as the recall oracle.
+    Oversized buckets (> ``max_bucket_size`` members — e.g. a boilerplate
+    cluster of thousands of near-identical vectors) are NOT dropped: instead
+    of the quadratic in-bucket explosion they emit STAR pairs against the
+    bucket's deterministic representative (min vec_id), so every member still
+    yields at least one near-dup pair and connected-component clustering
+    recovers the full cluster, with output linear in the bucket size. Small
+    buckets pair exhaustively as before.
+
+    NOTE default changed round 2 from 'exact' to 'lsh' (approximate
+    candidates + exact rescore). Pass method='exact' for the all-pairs
+    theta-join baseline — O(n^2) compare, only for test-scale inputs and as
+    the recall oracle.
     """
     base = emb_df.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
@@ -120,7 +141,7 @@ def cosine_dup_pairs(
         raise ValueError(f"method must be 'lsh'|'exact', got {method}")
 
     if dim is None:
-        dim = len(emb_df.select(vec_col).first()[0])
+        dim = _probe_dim(emb_df, vec_col)
     n_planes = bands * band_planes
     planes_lit = F.array(
         *[
@@ -148,13 +169,15 @@ def cosine_dup_pairs(
         "vec_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
-    from solrtexttagger_spark.ops.dedup import _pairs
+    from solrtexttagger_spark.ops.dedup import bucket_pairs
 
-    cand = (
+    buckets = (
         band_rows.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_set("vec_id")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
-        .select(F.explode(_pairs(F.col("ids"))).alias("p"))
+        .where(F.size("ids") >= 2)
+    )
+    cand = (
+        bucket_pairs(buckets, max_bucket_size=max_bucket_size)
         .select(F.col("p.a").alias("a_vec_id"), F.col("p.b").alias("b_vec_id"))
         .distinct()
     )
@@ -209,7 +232,7 @@ def lsh_cosine_topk(
     with the binomial neighborhood while recall rises steeply; each vector
     still lives in exactly one bucket, so no dedup is needed."""
     if dim is None:
-        dim = len(emb_df.select(vec_col).first()[0])
+        dim = _probe_dim(emb_df, vec_col)
     planes = [_hyperplane(dim, p) for p in range(num_planes)]
 
     base = emb_df.select(
@@ -286,12 +309,18 @@ def ivf_fit_centroids(
     n_centroids: int = 64,
     iters: int = 3,
 ) -> list[list[float]]:
-    """Deterministic distributed k-means (Lloyd) for IVF coarse quantization.
+    """Distributed k-means (Lloyd) for IVF coarse quantization, reproducible
+    up to floating-point aggregation order.
 
-    Init = the n_centroids smallest-id vectors (deterministic, no RNG).
-    Each iteration: one vectorized assignment pass (pandas UDF) + one
-    groupBy mean per (centroid, dim) — the standard Spark k-means shape.
-    Centroids return to the driver (n_centroids x dim — broadcast-sized)."""
+    Init = the n_centroids smallest-id vectors (no RNG), so runs are
+    deterministic for a FIXED partitioning; F.avg over doubles merges partial
+    aggregates in partition order, so centroids can differ in low-order bits
+    across different partitionings and flip argmax assignments on exact
+    near-ties. Treat the fitted centroids as an artifact: fit once per index
+    build, persist, and pass them back via ``centroids=`` for bit-stable
+    query behavior. Each iteration: one vectorized assignment pass (pandas
+    UDF) + one groupBy mean per (centroid, dim) — the standard Spark k-means
+    shape. Centroids return to the driver (n_centroids x dim)."""
     base = emb_df.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )

@@ -25,18 +25,25 @@ def plan_string(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def plan_summary(df: DataFrame) -> dict:
-    """Counts of the plan features the scale design cares about."""
+    """Counts of the plan features the scale design cares about.
+
+    Counts NODE HEADERS (`(n) NodeName`) so each physical node is counted
+    once — formatted explain prints every node name twice (tree + detail)."""
     plan = plan_string(df)
+
+    def nodes(*names: str) -> int:
+        pat = r"^\(\d+\) (?:" + "|".join(names) + r")\b"
+        return len(re.findall(pat, plan, re.M))
+
     return {
-        "exchanges": len(re.findall(r"^\(\d+\) Exchange", plan, re.M)),
-        "broadcast_joins": plan.count("BroadcastHashJoin")
-        + plan.count("BroadcastNestedLoopJoin"),
-        "sort_merge_joins": plan.count("SortMergeJoin"),
-        "python_stages": plan.count("MapInPandas")
-        + plan.count("ArrowEvalPython")
-        + plan.count("FlatMapGroupsInPandas"),
-        "window_group_limits": plan.count("WindowGroupLimit"),
-        "scans": len(re.findall(r"^\(\d+\) Scan", plan, re.M)),
+        "exchanges": nodes("Exchange"),
+        "broadcast_joins": nodes("BroadcastHashJoin", "BroadcastNestedLoopJoin"),
+        "sort_merge_joins": nodes("SortMergeJoin"),
+        "python_stages": nodes(
+            "MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas"
+        ),
+        "window_group_limits": nodes("WindowGroupLimit"),
+        "scans": nodes("Scan"),
     }
 
 

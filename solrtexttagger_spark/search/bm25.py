@@ -136,7 +136,10 @@ def bm25_topk(
         F.col("score").desc(), F.col("doc_id").asc()
     )
     return (
-        scores.withColumn("rank", F.row_number().over(w))
+        # rank cast to long so both strategies ('exploded' here, 'segmented'
+        # at _bm25_topk_segmented) share one output schema — toggling the
+        # default must not break schema-sensitive consumers (unions, appends)
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )

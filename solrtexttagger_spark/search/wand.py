@@ -224,18 +224,24 @@ def wand_topk(
     spark: SparkSession | None = None,
     prune_stats: dict | None = None,
     local_threshold_postings: int = 100_000,
-    theta_rounds: int = 1,
+    theta_rounds: int = 2,
 ) -> DataFrame:
     """Top-k BM25 via block-max segment pruning. queries: [(qid, text)].
     Returns (query_id, rank, doc_id, score). Pass ``prune_stats={}`` to get
     back {'segments_total', 'segments_scored'}.
 
-    theta_rounds=2 adds a θ-tightening round: phase 2 first scores only the
-    few highest-bound candidate segments per query, re-derives θ from the
-    union of results so far, and prunes the remaining candidates against
-    the tighter θ. One extra driver round-trip; pays off when score mass
-    concentrates in few segments and the candidate list is long
-    (rank-identity unaffected — pruning stays sound at every θ).
+    theta_rounds=2 (default) arms an ADAPTIVE θ-tightening round: phase 2
+    first scores only the few highest-bound candidate segments per query,
+    re-derives θ from the union of results so far, and prunes the remaining
+    candidates against the tighter θ. The extra driver round-trip is paid
+    only for queries where it can plausibly win — enough remaining
+    candidates AND candidate bounds spreading into the lower half of the
+    [θ_phase1, max_bound] range (on flat workloads, where every segment's
+    bound clusters near the ceiling, a tighter θ provably cannot prune, so
+    the round is skipped and theta_rounds=2 costs nothing — round-2
+    verdict). theta_rounds=1 disables tightening outright.
+    Rank-identity is unaffected in all cases — pruning stays sound at
+    every θ.
 
     local_threshold_postings: when the query terms' total df is below this,
     the matching blocks are collected and scored driver-side in one job —
@@ -459,41 +465,60 @@ def wand_topk(
             scored_segs[qid].add(seg)
 
     phase2a_local = None
+    tightened_queries = 0
     if theta_rounds >= 2 and rest:
         # θ-tightening: score the top few candidate segments (by bound)
         # first, fold their scores into θ, then re-prune the remainder.
+        # ADAPTIVE: tighten only queries where the round can pay —
+        #   (a) enough remaining candidate volume (>= tighten_min), and
+        #   (b) candidate bounds actually spread into the lower half of the
+        #       [θ_phase1, max_bound] range: a tightened θ can never exceed
+        #       the scores it sees, so when every bound clusters near the
+        #       ceiling (flat workloads) nothing could be pruned and the
+        #       extra round-trip is pure overhead.
         head_n = 3
+        tighten_min = 2 * head_n
         head: dict[int, set[int]] = {}
         for qid, segs in rest.items():
+            t1 = theta.get(qid, -math.inf)
+            if len(segs) < tighten_min or t1 == -math.inf:
+                continue
+            bounds = [ub[(qid, s)] for s in segs]
+            mid = t1 + 0.5 * (max(bounds) - t1)
+            if sum(1 for v in bounds if v < mid) < head_n:
+                continue
             ranked = sorted(segs, key=lambda s: -ub[(qid, s)])
             head[qid] = set(ranked[:head_n])
-        tail = {
-            qid: segs - head.get(qid, set())
-            for qid, segs in rest.items()
-            if segs - head.get(qid, set())
-        }
-        phase2a = run_segments(head, theta)
-        rows2a = phase2a.collect() if phase2a is not None else []
-        for r in rows2a:
-            by_q.setdefault(r["query_id"], []).append(r["score"])
-        for qid, scores in by_q.items():
-            scores.sort(reverse=True)
-            if len(scores) >= k:
-                theta[qid] = scores[k - 1]
-        phase2a_local = (
-            spark.createDataFrame(
-                [(r["query_id"], r["doc_id"], r["score"]) for r in rows2a],
-                _SCORE_SCHEMA,
+        tightened_queries = len(head)
+        if head:
+            tail = {
+                qid: rest[qid] - head[qid]
+                for qid in head
+                if rest[qid] - head[qid]
+            }
+            phase2a = run_segments(head, theta)
+            rows2a = phase2a.collect() if phase2a is not None else []
+            for r in rows2a:
+                by_q.setdefault(r["query_id"], []).append(r["score"])
+            for qid in head:
+                scores = by_q.get(qid, [])
+                scores.sort(reverse=True)
+                if len(scores) >= k:
+                    theta[qid] = scores[k - 1]
+            phase2a_local = (
+                spark.createDataFrame(
+                    [(r["query_id"], r["doc_id"], r["score"]) for r in rows2a],
+                    _SCORE_SCHEMA,
+                )
+                if rows2a
+                else None
             )
-            if rows2a
-            else None
-        )
-        rest = {}
-        for qid, segs in tail.items():
-            kept = {s for s in segs if ub[(qid, s)] >= theta.get(qid, -math.inf)}
-            scored_segs[qid] -= segs - kept  # dropped by the tighter θ
-            if kept:
-                rest[qid] = kept
+            rest = {qid: segs for qid, segs in rest.items() if qid not in head}
+            for qid, segs in tail.items():
+                kept = {s for s in segs if ub[(qid, s)] >= theta.get(qid, -math.inf)}
+                scored_segs[qid] -= segs - kept  # dropped by the tighter θ
+                if kept:
+                    rest[qid] = kept
 
     phase2 = run_segments(rest, theta)
 
@@ -506,6 +531,7 @@ def wand_topk(
             {
                 "segments_total": total,
                 "segments_scored": scored,
+                "tightened_queries": tightened_queries,
                 "blocks_total_acc": blocks_total_acc,
                 "blocks_skipped_acc": blocks_skipped_acc,
             }

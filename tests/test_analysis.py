@@ -81,3 +81,19 @@ def test_index_analyze_shingles():
     out = index_analyze_shingles("London Business School")
     assert "london" in out and "london business school" in out and "school" in out
     assert len(out) == 6
+
+
+def test_fold_ascii_punctuation():
+    """ASCIIFoldingFilter folds non-decomposable punctuation to ASCII
+    (curly quotes/dashes); NFKD alone would DELETE them, breaking
+    curly-apostrophe possessives (round-2 ADVICE)."""
+    from solrtexttagger_spark.analysis.core import fold_ascii, strip_possessive
+
+    assert fold_ascii("Göteborg’s") == "Goteborg's"
+    assert fold_ascii("“quoted”") == '"quoted"'
+    assert fold_ascii("en–dash—em") == "en-dash-em"
+    # fold-then-strip (the query_analyze order) now strips the possessive
+    assert strip_possessive(fold_ascii("Göteborg’s".lower())) == "goteborg"
+    # accents still fold, ASCII passes through
+    assert fold_ascii("café") == "cafe"
+    assert fold_ascii("plain's") == "plain's"

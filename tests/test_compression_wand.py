@@ -274,3 +274,49 @@ def test_wand_theta_tightening_round(spark):
     assert norm(a) == norm(b)
     assert s2["segments_scored"] <= s1["segments_scored"], (s1, s2)
     c.blocks.unpersist()
+
+
+def test_wand_tightening_adaptive_gate(spark):
+    """theta_rounds=2 (the default) must be FREE on flat workloads: when
+    every candidate segment's bound clusters near the ceiling, a tighter
+    theta provably cannot prune, so the extra round is skipped
+    (tightened_queries == 0). On a concentrated corpus the gate fires."""
+    # flat: statistically identical segments, stopword-grade term
+    flat = spark.createDataFrame(
+        [(d, "common " + " ".join(f"f{d}_{i}" for i in range(9))) for d in range(256)],
+        "doc_id long, text string",
+    )
+    c_flat = compress_index(build_index(flat, num_segments=16))
+    c_flat.blocks.persist().count()
+    s_flat = {}
+    out_flat = wand_topk(
+        c_flat, [(0, "common")], k=3, spark=spark, prune_stats=s_flat,
+        local_threshold_postings=0,
+    ).collect()
+    assert s_flat["tightened_queries"] == 0, s_flat
+    # rank identity preserved vs exhaustive
+    exp = bm25_topk(
+        build_index(flat, num_segments=16), [(0, "common")], k=3, spark=spark
+    ).collect()
+    norm = lambda rows: [(r["rank"], r["doc_id"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert norm(out_flat) == norm(exp)
+    c_flat.blocks.unpersist()
+
+    # adversarial-to-phase-1 corpus: ONE dominant doc (so theta_phase1 comes
+    # from weak docs and prunes nothing), a band of medium docs spread over
+    # segments, many weak segments -> the candidate list stays long with
+    # spread-out bounds, exactly where tightening pays -> gate fires
+    docs = [(d, "common " + " ".join(f"g{d}_{i}" for i in range(9))) for d in range(200)]
+    docs += [(900 + j, " ".join(["common"] * (12 + 2 * j))) for j in range(5)]
+    docs += [(999, " ".join(["common"] * 60))]
+    conc = spark.createDataFrame(docs, "doc_id long, text string")
+    c_conc = compress_index(build_index(conc, num_segments=16))
+    c_conc.blocks.persist().count()
+    s_conc = {}
+    wand_topk(
+        c_conc, [(0, "common")], k=3, spark=spark, prune_stats=s_conc,
+        local_threshold_postings=0,
+    ).collect()
+    assert s_conc["tightened_queries"] >= 1, s_conc
+    assert s_conc["segments_scored"] < s_conc["segments_total"], s_conc
+    c_conc.blocks.unpersist()

@@ -1,0 +1,74 @@
+"""Oversized-bucket policy for LSH/ngram candidate generation (round-2
+ADVICE): a dup cluster larger than max_bucket_size makes EVERY bucket it
+touches oversized, so dropping those buckets silently zeroes recall exactly
+where near-dups concentrate. Oversized buckets must emit linear STAR pairs
+against the deterministic representative (min id) instead."""
+
+from pyspark.sql import functions as F
+
+from solrtexttagger_spark.ops.dedup import (
+    bucket_pairs,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+)
+from solrtexttagger_spark.ops.similarity import cosine_dup_pairs
+
+
+def _pairs_of(df, a="a_doc_id", b="b_doc_id"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_bucket_pairs_small_exhaustive_big_star(spark):
+    buckets = spark.createDataFrame(
+        [([1, 2, 3],), ([10, 11, 12, 13, 14],)], "ids array<long>"
+    )
+    got = {
+        (r["p"]["a"], r["p"]["b"])
+        for r in bucket_pairs(buckets, max_bucket_size=3).collect()
+    }
+    assert got == {
+        (1, 2), (1, 3), (2, 3),  # small bucket: all pairs
+        (10, 11), (10, 12), (10, 13), (10, 14),  # big bucket: star on min id
+    }
+
+
+def test_lsh_giant_cluster_not_dropped(spark):
+    """A 6-doc exact-dup cluster with max_bucket_size=3: every band bucket is
+    oversized, so pre-fix output was EMPTY. Star pairs keep one edge per
+    member and connected components recover the cluster."""
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate license text repeated here") for i in range(6)]
+        + [(100, "something completely different entirely unrelated words")],
+        "doc_id long, text string",
+    )
+    got = _pairs_of(lsh_candidate_pairs(docs, max_bucket_size=3))
+    assert got == {(0, j) for j in range(1, 6)}  # star on min doc_id
+    # every cluster member participates in >=1 candidate edge
+    members = {a for a, _ in got} | {b for _, b in got}
+    assert members == set(range(6))
+
+
+def test_ngram_jaccard_giant_cluster_not_dropped(spark):
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_pairs(docs, max_bucket_size=2, threshold=0.5)
+    got = {(r["a_doc_id"], r["b_doc_id"], r["jaccard"]) for r in out.collect()}
+    assert got == {(0, j, 1.0) for j in range(1, 5)}
+
+
+def test_cosine_dup_giant_cluster_star(spark):
+    """Near-identical embedding cluster larger than max_bucket_size: pairs
+    against the min-id representative survive, exact-rescored."""
+    base = [1.0, 0.5, -0.25, 2.0]
+    rows = [(i, [x + i * 1e-6 for x in base]) for i in range(8)]
+    rows.append((50, [-1.0, 2.0, 0.5, -0.1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_dup_pairs(
+        emb, threshold=0.99, dim=4, bands=4, band_planes=3, max_bucket_size=4
+    )
+    got = {(r["a_vec_id"], r["b_vec_id"]) for r in out.collect()}
+    assert got == {(0, j) for j in range(1, 8)}
+    for r in out.collect():
+        assert r["cos"] >= 0.99

@@ -143,16 +143,21 @@ def test_join_path_partial_mode(spark, overlaps):
 
 def test_dict_doc_ids_distributed_no_global_window(spark):
     """Doc-id assignment in the big-dictionary path must not funnel all rows
-    through one task (no partition-less Window). Ids stay dense & id-ordered."""
+    through one task (no SinglePartition exchange / partition-less Window)
+    and must stay entirely JVM-side (no per-row Python passes — round-2
+    verdict). Ids stay dense & id-ordered."""
     from solrtexttagger_spark.index.build import dense_doc_ids
-    from solrtexttagger_spark.plans import plan_string
+    from solrtexttagger_spark.plans import plan_string, plan_summary
 
     ndf = names_df(spark, N)
     terms = build_dict_terms(ndf)
-    assert "Window" not in plan_string(terms)
+    assert "SinglePartition" not in plan_string(terms)
+    # the ONLY Python in the dictionary build is the analysis pandas UDF
+    assert plan_summary(terms)["python_stages"] == 1
 
     ids = dense_doc_ids(ndf, "id")
-    assert "Window" not in plan_string(ids)
+    assert "SinglePartition" not in plan_string(ids)
+    assert plan_summary(ids)["python_stages"] == 0
     got = {r["id"]: r["doc_id"] for r in ids.collect()}
     assert got == {str(i): i for i in range(len(N))}  # dense, id-ordered
 
