@@ -124,6 +124,55 @@ def main() -> None:
     extras["wand_blocks_total"] = int(acc_t.value) if acc_t else 0
     extras["wand_blocks_skipped"] = int(acc_s.value) if acc_s else 0
 
+    # q2f: SELECTIVE-vocabulary WAND over the north-rule source-code corpus
+    # (round-2 verdict #1: the 16-word documents vocabulary is all
+    # stopword-grade — the worst case for pruning, where block-max machinery
+    # provably cannot fire. Real code has bursty identifier reuse, which is
+    # what gives BM25 tf skew; this section measures pruning in that regime.)
+    from solrtexttagger_spark.index.build import with_doc_ids
+    from solrtexttagger_spark.sources.codecorpus import PLANTED_PHRASES, synth_code_corpus
+
+    def build_code_index():
+        code = synth_code_corpus(spark, 12000, seed=7, burstiness=0.02)
+        cdocs = with_doc_ids(code, ["repo", "path", "commit"])
+        cidx = build_index(cdocs, text_col="content", num_segments=64, use_split=True)
+        cidx.postings.persist().count()
+        ccix = compress_index(cidx, max_block_postings=8)
+        ccix.blocks.persist().count()
+        return cidx, ccix
+
+    cidx, ccix = timed("q2f0_code_index_build", build_code_index)
+    sel_queries = [(i, f"ident_{(i * 37) % 500}") for i in range(12)]
+    sel_queries += [
+        (100 + i, f"ident_{(i * 91 + 13) % 500} ident_{(i * 53 + 7) % 500}")
+        for i in range(4)
+    ]
+    sel_queries += [(200 + i, p) for i, p in enumerate(PLANTED_PHRASES[:4])]
+    sel_stats: dict = {}
+    timed(
+        "q2f_wand_selective_20q",
+        lambda: wand_topk(
+            ccix, sel_queries, k=3, spark=spark, prune_stats=sel_stats,
+            local_threshold_postings=0,
+        ).collect(),
+    )
+    extras["wand_sel_segments_total"] = sel_stats.get("segments_total", 0)
+    extras["wand_sel_segments_scored"] = sel_stats.get("segments_scored", 0)
+    extras["wand_sel_tightened_queries"] = sel_stats.get("tightened_queries", 0)
+    acc_t = sel_stats.get("blocks_total_acc")
+    acc_s = sel_stats.get("blocks_skipped_acc")
+    extras["wand_sel_blocks_total"] = int(acc_t.value) if acc_t else 0
+    extras["wand_sel_blocks_skipped"] = int(acc_s.value) if acc_s else 0
+    # exhaustive segmented scorer on the same queries: the wall-time
+    # comparison point (at this toy scale WAND's extra driver rounds
+    # dominate; the scale-relevant number is the pruned fraction)
+    timed(
+        "q2f_bm25_selective_20q",
+        lambda: bm25_topk(cidx, sel_queries, k=3, spark=spark).collect(),
+    )
+    cidx.postings.unpersist()
+    ccix.blocks.unpersist()
+
     # q2c: single-query p50/p95 latency over the warm compressed index
     # (BASELINE.md target metric: top-k query p95)
     singles = []
@@ -241,25 +290,114 @@ def main() -> None:
         out["ann_recall_at10_noise_radius1"] = round(
             inter / max(1, sum(len(v) for v in ex.values())), 3
         )
-        # near-dup pair recall: LSH-banded operator vs exact all-pairs
+        # near-dup pair recall vs exact all-pairs, on a DETERMINISTIC
+        # SUBSAMPLE (vec_id % 4 == 0, ~n/4): the exact baseline is O(n^2)
+        # measurement harness, not a product op — at n=2000 it alone cost
+        # 42 s of the round-2 suite. Subsampling widens the error bar of the
+        # recall estimate (denominator ~30-50 pairs -> ~±0.08) but keeps the
+        # suite interactive; BENCH.md documents the error bar.
+        from pyspark.sql import functions as SF
+
         from solrtexttagger_spark.ops.similarity import cosine_dup_pairs
 
+        sub = emb.where(SF.col("vec_id") % 4 == 0)
         lsh_pairs = {
             (r["a_vec_id"], r["b_vec_id"])
-            for r in em.q_embed_dup_pairs(spark, sf_dir).collect()
+            for r in cosine_dup_pairs(
+                sub, threshold=em.EMBED_DUP_THRESHOLD,
+                bands=em.EMBED_BANDS, band_planes=em.EMBED_BAND_PLANES,
+                dim=em.EMBED_DIM, max_bucket_size=em.EMBED_MAX_BUCKET,
+            ).collect()
         }
         exact_pairs = {
             (r["a_vec_id"], r["b_vec_id"])
             for r in cosine_dup_pairs(
-                emb, threshold=em.EMBED_DUP_THRESHOLD, method="exact"
+                sub, threshold=em.EMBED_DUP_THRESHOLD, method="exact"
             ).collect()
         }
-        out["dup_pair_recall_noise_tail"] = round(
+        out["dup_pair_recall_noise_tail_sub4"] = round(
             len(lsh_pairs & exact_pairs) / max(1, len(exact_pairs)), 3
         )
+        out["dup_pair_noise_tail_n_exact"] = len(exact_pairs)
+        # near-dup-grade recall (round-2 verdict #4): the operator's design
+        # regime is cos >= ~0.9. Ground truth = the planted jitter pairs
+        # (cos ~0.93-0.98, verified exactly driver-side in numpy).
+        pl_pairs = []
+        for i, vid in enumerate(src_ids):
+            v = base_vecs[vid]
+            nv = v + 0.25 * np.linalg.norm(v) / 8.0 * dnoise(i, len(v))
+            cos = float(v @ nv / (np.linalg.norm(v) * np.linalg.norm(nv)))
+            if cos >= 0.9:
+                pl_pairs.append((vid, 20_000_000 + vid, [float(x) for x in nv]))
+        pl9 = spark.createDataFrame(
+            [(pid, vec) for _, pid, vec in pl_pairs], "vec_id long, embedding array<double>"
+        )
+        corpus9 = emb.select("vec_id", "embedding").unionAll(pl9)
+        found = {
+            (r["a_vec_id"], r["b_vec_id"])
+            for r in cosine_dup_pairs(corpus9, threshold=0.9, dim=em.EMBED_DIM).collect()
+        }
+        hit9 = sum(1 for a, pid, _ in pl_pairs if (a, pid) in found)
+        out["dup_pair_recall_at09_planted"] = round(hit9 / max(1, len(pl_pairs)), 3)
         extras.update(out)
 
     timed("q7b_ann_recall", _planted_recall)
+
+    # q7c: ANN recall on a CLUSTERED corpus (round-2 verdict #8: the sf
+    # embeddings are isotropic noise, where top-10 recall is geometry-bound
+    # at ~0.14 for ANY sub-linear candidate set; clustered data is the
+    # regime ANN serves). 20 md5-deterministic clusters x 100 members.
+    def _clustered_recall():
+        import hashlib
+
+        import numpy as np
+
+        from solrtexttagger_spark.ops.similarity import (
+            cosine_topk,
+            ivf_cosine_topk,
+            lsh_cosine_topk,
+        )
+
+        dim, n_clusters, per = 64, 20, 100
+
+        def dvec(tag, d):
+            outv = np.empty(d)
+            for j in range(d):
+                h = int(hashlib.md5(f"{tag}#{j}".encode()).hexdigest()[:15], 16)
+                outv[j] = (h / float(1 << 60)) * 2 - 1
+            return outv
+
+        rows = []
+        for cidx_ in range(n_clusters):
+            center = dvec(f"c{cidx_}", dim)
+            for m in range(per):
+                v = center + 0.25 * dvec(f"c{cidx_}m{m}", dim)
+                rows.append((cidx_ * per + m, [float(x) for x in v]))
+        cemb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        probes = [c * per for c in range(n_clusters)]
+        exact = {}
+        for r in cosine_topk(cemb, probes, k=10).collect():
+            exact.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        res = {}
+        lsh_got = {}
+        for r in lsh_cosine_topk(cemb, probes, k=10, multi_probe=2).collect():
+            lsh_got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        res["ann_recall_at10_clustered_lsh_r2"] = round(
+            sum(len(lsh_got.get(p, set()) & exact[p]) for p in exact)
+            / sum(len(v) for v in exact.values()), 3
+        )
+        ivf_got = {}
+        for r in ivf_cosine_topk(
+            cemb, probes, k=10, n_centroids=32, n_probe=4, iters=2
+        ).collect():
+            ivf_got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        res["ann_recall_at10_clustered_ivf"] = round(
+            sum(len(ivf_got.get(p, set()) & exact[p]) for p in exact)
+            / sum(len(v) for v in exact.values()), 3
+        )
+        extras.update(res)
+
+    timed("q7c_ann_clustered", _clustered_recall)
 
     # q8: text QA (quality + lang id + fingerprint)
     def qa():

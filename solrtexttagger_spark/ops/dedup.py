@@ -260,16 +260,15 @@ def bucket_pairs(buckets: DataFrame, *, ids_col: str = "ids", max_bucket_size: i
     deterministic representative (min id), output linear in bucket size;
     connected components over the star edges still recover the full cluster.
     Returns one column ``p`` = struct(a, b) with a < b, NOT deduplicated.
+
+    Single-pass: the small/large policies are two branches of ONE row-level
+    expression (when/otherwise), not a union of two filters — a union would
+    re-execute the upstream bucket aggregation twice.
     """
     ids = F.col(ids_col)
-    small = buckets.where(F.size(ids) <= max_bucket_size).select(
-        F.explode(_pairs(ids)).alias("p")
-    )
     star = F.transform(
         F.slice(ids, 2, F.size(ids) - 1),
         lambda x: F.struct(F.element_at(ids, 1).alias("a"), x.alias("b")),
     )
-    big = buckets.where(F.size(ids) > max_bucket_size).select(
-        F.explode(star).alias("p")
-    )
-    return small.unionByName(big)
+    pairs = F.when(F.size(ids) <= max_bucket_size, _pairs(ids)).otherwise(star)
+    return buckets.select(F.explode(pairs).alias("p"))

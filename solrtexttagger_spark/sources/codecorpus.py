@@ -40,7 +40,7 @@ PLANTED_PHRASES = [
 ]
 
 
-def _row(i: int, seed: int) -> tuple[str, str, str, str, str]:
+def _row(i: int, seed: int, burstiness: float = 0.0) -> tuple[str, str, str, str, str]:
     rng = random.Random((seed << 20) ^ i)
     repo = f"org{i % 7}/repo{i % 41}"
     lang = LANGS[i % len(LANGS)]
@@ -53,7 +53,14 @@ def _row(i: int, seed: int) -> tuple[str, str, str, str, str]:
         if r < 0.55:
             words.append(rng.choice(KEYWORDS))
         elif r < 0.9:
-            words.append(f"ident_{rng.randint(0, 500)}")
+            w = f"ident_{rng.randint(0, 500)}"
+            words.append(w)
+            # term burstiness: real source files reuse a defined identifier
+            # many times locally (the property that gives BM25 tf skew and
+            # block-max pruning something to prune). Opt-in so the default
+            # table stays byte-stable across rounds.
+            if burstiness and rng.random() < burstiness:
+                words.extend([w] * rng.randint(3, 12))
         else:
             words.append(f"v{rng.randint(0, 9)}")
     # plant a known phrase in ~30% of files at a random word boundary
@@ -66,14 +73,20 @@ def _row(i: int, seed: int) -> tuple[str, str, str, str, str]:
 
 
 def synth_code_corpus(
-    spark: SparkSession, n_files: int, *, seed: int = 42, partitions: int | None = None
+    spark: SparkSession,
+    n_files: int,
+    *,
+    seed: int = 42,
+    partitions: int | None = None,
+    burstiness: float = 0.0,
 ) -> DataFrame:
     """Distributed deterministic generation: the i-th row is a pure function
-    of (i, seed), so any partitioning yields the identical table."""
+    of (i, seed, burstiness), so any partitioning yields the identical table.
+    burstiness > 0 adds local identifier reuse (tf skew) — see _row."""
     if partitions is None:
         partitions = max(2, spark.sparkContext.defaultParallelism)
     rdd = spark.sparkContext.parallelize(range(n_files), partitions)
-    rows = rdd.map(lambda i: _row(i, seed))
+    rows = rdd.map(lambda i: _row(i, seed, burstiness))
     return spark.createDataFrame(
         rows, "repo string, path string, commit string, lang string, content string"
     )

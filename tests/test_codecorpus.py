@@ -111,3 +111,31 @@ def test_tagger_finds_planted_phrases(spark, corpus):
     # ~30% of files have a planted phrase
     n_tagged = len({r["qdoc_id"] for r in rows})
     assert N * 0.15 < n_tagged <= N * 0.45
+
+
+def test_bursty_corpus_deterministic_and_skewed(spark):
+    """burstiness>0 (round-3 selective-vocabulary bench): still a pure
+    function of (i, seed, burstiness) under any partitioning, and it must
+    actually produce the per-document tf skew the pruning bench relies on."""
+    a = sorted(r["content"] for r in synth_code_corpus(spark, 200, seed=7, burstiness=0.02).collect())
+    b = sorted(
+        r["content"]
+        for r in synth_code_corpus(spark, 200, seed=7, burstiness=0.02, partitions=5).collect()
+    )
+    assert a == b
+    # skew: some document has a high-tf identifier (a burst), while the
+    # default corpus's ident tf is ~1-2 everywhere
+    def max_ident_tf(contents):
+        best = 0
+        for c in contents:
+            counts = {}
+            for w in c.split():
+                if w.startswith("ident_"):
+                    counts[w] = counts.get(w, 0) + 1
+            if counts:
+                best = max(best, max(counts.values()))
+        return best
+
+    assert max_ident_tf(a) >= 5
+    plain = [r["content"] for r in synth_code_corpus(spark, 200, seed=7).collect()]
+    assert max_ident_tf(plain) <= 4
