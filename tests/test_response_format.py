@@ -1,0 +1,126 @@
+"""Golden response-format bytes, recast from the reference's
+TaggerTest.java testFormat (:66-85) and testFormatMatchText (:87-105):
+the serialized XML must match the reference's pinned strings exactly
+(indent=off, omitHeader=on; /tagPartial handler, overlaps=NO_SUB)."""
+
+import json
+
+import pytest
+
+from solrtexttagger_spark.tagging.dictionary import build_tag_dictionary
+from solrtexttagger_spark.tagging.operator import tag
+from solrtexttagger_spark.tagging.response import (
+    render_response_json,
+    render_response_xml,
+)
+
+# TaggerTest.java N enum: ordinal ids, names with '_' -> ' '
+NAMES = [
+    ("0", "London"),
+    ("1", "London Business School"),
+    ("2", "Boston"),
+    ("3", "City of London"),
+]
+
+
+@pytest.fixture(scope="module")
+def tag_partial_dict(spark):
+    names = spark.createDataFrame(NAMES, "id string, name string")
+    return build_tag_dictionary(names, mode="partial")
+
+
+def _tags(spark, d, text, match_text=False):
+    texts = spark.createDataFrame([(0, text)], "qdoc_id long, text string")
+    return tag(
+        texts, d, overlaps="NO_SUB", tags_limit=None, match_text=match_text
+    )
+
+
+def test_format_golden_xml(spark, tag_partial_dict):
+    # TaggerTest.testFormat: doc="school" -> one tag (0,6) id "1"
+    got = render_response_xml(
+        _tags(spark, tag_partial_dict, "school"), tag_partial_dict
+    )
+    expected = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        "<response>\n"
+        '<int name="tagsCount">1</int>'
+        '<arr name="tags"><lst>'
+        '<int name="startOffset">0</int>'
+        '<int name="endOffset">6</int>'
+        '<arr name="ids"><str>1</str></arr>'
+        "</lst></arr>"
+        '<result name="response" numFound="1" start="0">'
+        '<doc><str name="id">1</str><str name="name">London Business School</str></doc>'
+        "</result>\n"
+        "</response>\n"
+    )
+    assert got == expected
+
+
+def test_format_golden_xml_match_text(spark, tag_partial_dict):
+    # TaggerTest.testFormatMatchText: matchText=true adds the matched slice
+    got = render_response_xml(
+        _tags(spark, tag_partial_dict, "school", match_text=True),
+        tag_partial_dict,
+        match_text=True,
+    )
+    expected = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        "<response>\n"
+        '<int name="tagsCount">1</int>'
+        '<arr name="tags"><lst>'
+        '<int name="startOffset">0</int>'
+        '<int name="endOffset">6</int>'
+        '<str name="matchText">school</str>'
+        '<arr name="ids"><str>1</str></arr>'
+        "</lst></arr>"
+        '<result name="response" numFound="1" start="0">'
+        '<doc><str name="id">1</str><str name="name">London Business School</str></doc>'
+        "</result>\n"
+        "</response>\n"
+    )
+    assert got == expected
+
+
+def test_format_multi_tag_and_escaping(spark, tag_partial_dict):
+    """Multiple tags serialize in document order; XML special chars escape."""
+    got = render_response_xml(
+        _tags(spark, tag_partial_dict, "school <City>"), tag_partial_dict
+    )
+    assert '<int name="tagsCount">2</int>' in got
+    # tags in document order: school (0,6) then City (8,12)
+    assert got.index('"startOffset">0<') < got.index('"startOffset">8<')
+    assert "&lt;" not in got.split("<result")[0]  # offsets only, no text
+    # doc list in doc-id order: both matched dictionary entries present
+    assert got.index('London Business School') < got.index("City of London")
+
+
+def test_format_json_shape(spark, tag_partial_dict):
+    got = json.loads(
+        render_response_json(
+            _tags(spark, tag_partial_dict, "school", match_text=True),
+            tag_partial_dict,
+            match_text=True,
+        )
+    )
+    assert got == {
+        "tagsCount": 1,
+        "tags": [
+            {"startOffset": 0, "endOffset": 6, "matchText": "school", "ids": ["1"]}
+        ],
+        "response": {
+            "numFound": 1,
+            "start": 0,
+            "docs": [{"id": "1", "name": "London Business School"}],
+        },
+    }
+
+
+def test_format_fl_projection(spark, tag_partial_dict):
+    """fl limits the doc fields, like the reference's fl param (S4)."""
+    got = render_response_xml(
+        _tags(spark, tag_partial_dict, "school"), tag_partial_dict, fl=["id"]
+    )
+    assert '<doc><str name="id">1</str></doc>' in got
+    assert "London Business School</str></doc>" not in got
