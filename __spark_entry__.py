@@ -294,6 +294,24 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs -> distributed connected
+    components (min-label propagation + pointer jumping) -> one cluster_id
+    per document. cluster_id == doc_id selects the dedup keeper."""
+    from solrtexttagger_spark.ops.dedup import dup_clusters
+
+    return dup_clusters(
+        _docs(spark, sf_dir),
+        num_hashes=MINHASH_H,
+        bands=MINHASH_BANDS,
+        shingle_size=JACCARD_SHINGLE,
+        max_bucket_size=LSH_MAX_BUCKET,
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solrtexttagger_spark.ops.dedup import simhash
 
@@ -514,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_clusters": q_dup_clusters,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
@@ -753,8 +772,9 @@ FROM sh GROUP BY doc_id
             f"SELECT doc_id, {b} AS band, {_PHASH_SQL.format(x=parts)} AS band_key FROM sigs"
         )
     band_union = " UNION ALL ".join(band_keys)
-    sql["lsh_pairs"] = f"""
-WITH {_SHINGLE_CTE},
+    # shared body: the LSH banding candidate-pair CTE chain (star pairs for
+    # oversized buckets), reused verbatim by the dup_clusters oracle below
+    lsh_pair_ctes = f"""{_SHINGLE_CTE},
 sigs AS (SELECT doc_id, {_minhash_sig_exprs()} FROM sh GROUP BY doc_id),
 bands AS ({band_union}),
 ok AS (
@@ -764,8 +784,8 @@ ok AS (
 big AS (
   SELECT band, band_key, min(doc_id) AS rep FROM bands GROUP BY 1, 2
   HAVING count(*) > {LSH_MAX_BUCKET}
-)
-SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+)"""
+    lsh_pair_select = f"""SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
 FROM bands a
 JOIN ok USING (band, band_key)
 JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
@@ -773,7 +793,33 @@ WHERE a.doc_id < b.doc_id
 UNION
 SELECT g.rep AS a_doc_id, b.doc_id AS b_doc_id
 FROM big g JOIN bands b USING (band, band_key)
-WHERE b.doc_id > g.rep
+WHERE b.doc_id > g.rep"""
+    sql["lsh_pairs"] = f"""
+WITH {lsh_pair_ctes}
+{lsh_pair_select}
+"""
+
+    # connected components over the LSH pairs as a recursive closure:
+    # reach(u, v) = v reachable from u; cluster = min(u, reachable). The
+    # engine computes the same fixpoint by min-label propagation + pointer
+    # jumping (ops/dedup.connected_components).
+    sql["dup_clusters"] = f"""
+WITH RECURSIVE {lsh_pair_ctes},
+pairs AS ({lsh_pair_select}),
+edges AS (
+  SELECT a_doc_id AS u, b_doc_id AS v FROM pairs
+  UNION
+  SELECT b_doc_id AS u, a_doc_id AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(least(c.u, c.mv), d.doc_id)::BIGINT AS cluster_id
+FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
 """
 
     sql["simhash"] = _simhash_oracle()

@@ -228,6 +228,9 @@ def main() -> None:
     # q5: MinHash-LSH near-dup candidate pairs
     timed("q5_minhash_lsh", lambda: _materialize(em.q_lsh_pairs(spark, sf_dir)))
 
+    # q5c: near-dup clustering (LSH pairs -> iterative connected components)
+    timed("q5c_dup_clusters", lambda: _materialize(em.q_dup_clusters(spark, sf_dir)))
+
     # q6: SimHash fingerprints
     timed("q6_simhash", lambda: _materialize(em.q_simhash(spark, sf_dir)))
 

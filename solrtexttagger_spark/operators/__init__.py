@@ -2,6 +2,8 @@
 namespace (canonical homes: tagging/, search/, ops/, streaming/)."""
 
 from solrtexttagger_spark.ops.dedup import (
+    connected_components,
+    dup_clusters,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -36,6 +38,7 @@ from solrtexttagger_spark.tagging.join_operator import tag_join
 from solrtexttagger_spark.tagging.operator import matched_docs, tag, tag_response, translate_ids
 
 __all__ = [
+    "connected_components", "dup_clusters",
     "exact_dedup", "lsh_candidate_pairs", "minhash_signatures",
     "ngram_jaccard_pairs", "simhash", "extract_media_meta",
     "extract_features", "repartition_for_payload", "resize_images",

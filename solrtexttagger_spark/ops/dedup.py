@@ -235,6 +235,105 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "a_doc_id",
+    dst: str = "b_doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components: (node, comp) for every node in
+    ``edges``, comp = min node id of the component. Deterministic.
+
+    Spark-first iterative shape: min-label propagation along edges plus a
+    pointer-jumping hop (comp <- comp[comp]) per round, so convergence is
+    O(log diameter) joins instead of O(diameter). Each round localCheckpoints
+    to cut lineage growth (the standard hazard of iterative DataFrame
+    algorithms), and the driver loop exits on a converged round (zero
+    changed labels) — near-dup graphs from LSH banding have tiny diameters
+    (star edges from bucket_pairs give <= 2 per bucket), so 2-4 rounds is
+    typical even at 1e9 edges.
+    """
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    comp = (
+        und.groupBy("u")
+        .agg(F.min("v").alias("nmin"))
+        .select("u", F.least(F.col("u"), F.col("nmin")).alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # propagate: comp'(u) = min(comp(u), min over neighbors of comp(v))
+        nbr = (
+            und.join(
+                comp.select(F.col("u").alias("v"), F.col("comp").alias("ncomp")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("ncomp").alias("m"))
+        )
+        new = comp.join(nbr, "u", "left").select(
+            "u",
+            F.least(F.col("comp"), F.coalesce(F.col("m"), F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        # pointer jumping: comp''(u) = comp'(comp'(u)) — halves tree height
+        hop = new.select(F.col("u").alias("c"), F.col("comp").alias("cc"))
+        new = (
+            new.join(hop, new["comp"] == hop["c"], "left")
+            .select("u", F.least(F.col("comp"), F.coalesce("cc", F.col("comp"))).alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(comp.alias("o"), "u")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        comp = new
+        if changed == 0:
+            break
+    return comp.select(F.col("u").alias("node"), F.col("comp").alias("comp"))
+
+
+def dup_clusters(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidate pairs ->
+    connected components -> (doc_id, cluster_id) for EVERY document
+    (singletons cluster with themselves). cluster_id = min doc_id of the
+    cluster, so ``doc_id == cluster_id`` selects the canonical keeper — the
+    standard keep-one-per-cluster dedup policy of training pipelines."""
+    pairs = lsh_candidate_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_size=shingle_size,
+        max_bucket_size=max_bucket_size,
+    )
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
 def _pairs(ids_col):
     """All ordered pairs (a<b) from a sorted array column."""
     return F.flatten(

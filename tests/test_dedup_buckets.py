@@ -72,3 +72,31 @@ def test_cosine_dup_giant_cluster_star(spark):
     assert got == {(0, j) for j in range(1, 8)}
     for r in out.collect():
         assert r["cos"] >= 0.99
+
+
+def test_connected_components_chain_and_forest(spark):
+    """Min-label propagation + pointer jumping: a 200-node path (worst-case
+    diameter) must converge within the iteration cap, labels = component
+    min; disjoint components stay separate."""
+    from solrtexttagger_spark.ops.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(199)]          # path 0..199
+    edges += [(1000, 1001), (1001, 1002), (1000, 1002)]  # triangle
+    df = spark.createDataFrame(edges, "a_doc_id long, b_doc_id long")
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert all(got[i] == 0 for i in range(200))
+    assert all(got[i] == 1000 for i in (1000, 1001, 1002))
+
+
+def test_dup_clusters_end_to_end(spark):
+    """dup_clusters: exact-dup groups cluster together, keeper = min id,
+    singletons keep their own id."""
+    from solrtexttagger_spark.ops.dedup import dup_clusters
+
+    boiler = "the same boilerplate license text repeated here again"
+    docs = [(i, boiler) for i in (3, 7, 11)]
+    docs += [(20, "completely different words about apples and oranges today"),
+             (21, "another unrelated doc speaking of ships and sealing wax")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(df).collect()}
+    assert got == {3: 3, 7: 3, 11: 3, 20: 20, 21: 21}
