@@ -49,6 +49,7 @@ MINHASH_H = 8
 MINHASH_BANDS = 4
 LSH_MAX_BUCKET = 200
 SIMHASH_BITS = 32
+SPAN_DUP_SPAN = 8  # token-window length for cross-doc duplicate-span stats
 JACCARD_SHINGLE = 3
 JACCARD_CAND_SHINGLE = 5
 JACCARD_THRESHOLD = 0.2
@@ -318,6 +319,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
 
 
+def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span fraction per doc (substring-dedup
+    signal: token windows shared with another document)."""
+    from solrtexttagger_spark.ops.dedup import span_dup_stats
+
+    return span_dup_stats(_docs(spark, sf_dir), span=SPAN_DUP_SPAN)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solrtexttagger_spark.ops.dedup import ngram_jaccard_pairs
 
@@ -533,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
+        "span_dup_stats": q_span_dup_stats,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
@@ -820,6 +830,28 @@ comp AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
 SELECT d.doc_id::BIGINT AS doc_id,
        coalesce(least(c.u, c.mv), d.doc_id)::BIGINT AS cluster_id
 FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+"""
+
+    span_gram = _PHASH_SQL.format(
+        x=f"array_to_string(w[i:i+{SPAN_DUP_SPAN - 1}], ' ')"
+    )
+    sql["span_dup_stats"] = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, {span_gram} AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - {SPAN_DUP_SPAN} + 2)) AS i
+        FROM words WHERE len(w) >= {SPAN_DUP_SPAN})
+),
+gdf AS (SELECT g, count(DISTINCT doc_id) AS gdf FROM grams GROUP BY g),
+per AS (
+  SELECT doc_id, count(*) AS n_spans,
+         sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM grams JOIN gdf USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(p.n_dup, 0)::BIGINT AS n_dup_spans,
+       round(coalesce(p.n_dup::DOUBLE / p.n_spans::DOUBLE, 0), 4) AS dup_span_fraction
+FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
     sql["simhash"] = _simhash_oracle()

@@ -195,7 +195,10 @@ identical input: sf0.1 documents replicated ×{REPLICATE} = {small["n_docs"]} do
   is the hardware ceiling for the operator here, not a Spark property.
 - **Exhaustive BM25 batch efficiency — segmented (default): {eff_query:.3f};
   exploded (pure-JVM groupBy): {eff_query_ex:.3f}**; block-max WAND batch
-  efficiency: {eff_wand:.3f}. The segmented scorer shuffles only the
+  "efficiency" {eff_wand:.3f} is NOT a compute-scaling number: with the
+  round-3 single-wave gate the warm WAND batch is 1-2 s of driver job-wave
+  latency at EVERY core count (the work it avoids is decode IO, which this
+  flat workload barely has). The segmented scorer shuffles only the
   query-term-filtered postings on seg (positions pruned away) and does all
   scoring vectorized in numpy per segment, so the exchange that capped the
   exploded path's scaling (a near-unique (query, doc) key set with ~no
@@ -255,8 +258,17 @@ New quality metrics (bench.py extras):
   pruning by construction); the skewed-corpus pytest pins real pruning
   (segments skipped un-decoded, blocks skipped inside scored segments).
 """
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
-        f.write(md)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    # preserve hand-written sections (round notes, pruning evidence) below
+    # the marker across regenerations
+    marker = "<!-- MANUAL SECTIONS BELOW — preserved by scaling_bench.py -->"
+    tail = ""
+    if os.path.exists(path):
+        cur = open(path).read()
+        if marker in cur:
+            tail = "\n" + marker + cur.split(marker, 1)[1]
+    with open(path, "w") as f:
+        f.write(md + tail)
 
 
 if __name__ == "__main__":

@@ -9,6 +9,7 @@ from solrtexttagger_spark.ops.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    span_dup_stats,
 )
 from solrtexttagger_spark.ops.multimodal import (
     extract_features,
@@ -40,7 +41,7 @@ from solrtexttagger_spark.tagging.operator import matched_docs, tag, tag_respons
 __all__ = [
     "connected_components", "dup_clusters",
     "exact_dedup", "lsh_candidate_pairs", "minhash_signatures",
-    "ngram_jaccard_pairs", "simhash", "extract_media_meta",
+    "ngram_jaccard_pairs", "simhash", "span_dup_stats", "extract_media_meta",
     "extract_features", "repartition_for_payload", "resize_images",
     "sample_frames",
     "cosine_dup_pairs", "cosine_topk", "ivf_cosine_topk",

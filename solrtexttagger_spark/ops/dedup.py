@@ -235,6 +235,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def span_dup_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 20,
+    stride: int = 1,
+) -> DataFrame:
+    """Cross-document duplicate-span statistics — the doc-level signal of
+    exact substring dedup (a la "Deduplicating Training Data Makes Language
+    Models Better": long token spans appearing in more than one document).
+
+    For every document: n_spans = its ``span``-token windows (every
+    ``stride``-th position), n_dup_spans = how many of those windows also
+    occur in ANOTHER document, dup_span_fraction = ratio (round 4; 0.0 when
+    the doc is shorter than ``span``). Filter on the fraction to drop
+    documents dominated by boilerplate shared text.
+
+    Scale shape: spans are 60-bit portable hashes (not strings), so the two
+    shuffles — gram frequency groupBy and the join back on the gram key —
+    move narrow (hash, id) rows; total gram volume is tokens/stride, the
+    honest cost of substring-level dedup. ``stride`` > 1 trades detection
+    granularity (a duplicated region is still caught, its boundary resolves
+    to the stride) for a proportional cost cut.
+    """
+    words = _words(text_col)
+    positions = F.filter(
+        F.sequence(F.lit(0), F.size(words) - span), lambda i: i % stride == 0
+    )
+    grams = F.transform(
+        positions, lambda i: _phash(F.concat_ws(" ", F.slice(words, i + 1, span)))
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.size(words) >= span, grams).otherwise(F.array()).alias("grams"),
+    )
+    exploded = base.select("doc_id", F.explode("grams").alias("g"))
+    gram_docs = exploded.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("gdf")
+    )
+    per_doc = (
+        exploded.join(gram_docs, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("gdf") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+    )
+    return (
+        base.select("doc_id").join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.round(
+                F.coalesce(
+                    F.col("n_dup_spans") / F.nullif(F.col("n_spans"), F.lit(0)),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("dup_span_fraction"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     *,

@@ -100,3 +100,32 @@ def test_dup_clusters_end_to_end(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(df).collect()}
     assert got == {3: 3, 7: 3, 11: 3, 20: 20, 21: 21}
+
+
+def test_span_dup_stats(spark):
+    """Duplicate-span fractions: full dups share every window, partial
+    overlap shares some, unique docs share none, short docs get 0/0."""
+    from solrtexttagger_spark.ops.dedup import span_dup_stats
+
+    a = "w1 w2 w3 w4 w5 w6 w7 w8"           # 8 tokens
+    docs = [
+        (1, a),                               # duplicated verbatim in doc 2
+        (2, a),
+        (3, "x0 x1 w1 w2 w3 w4 w5 w6 w7 w8"),  # contains a's spans shifted
+        (4, "u1 u2 u3 u4 u5 u6 u7 u8"),       # unique
+        (5, "short doc"),                     # < span tokens
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dup_stats(df, span=4).collect()}
+    # doc1/doc2: 5 windows each, all shared
+    assert out[1]["n_spans"] == 5 and out[1]["n_dup_spans"] == 5
+    assert out[1]["dup_span_fraction"] == 1.0
+    assert out[2]["dup_span_fraction"] == 1.0
+    # doc3: 7 windows, the 5 pure-a windows are shared, 2 boundary ones not
+    assert out[3]["n_spans"] == 7 and out[3]["n_dup_spans"] == 5
+    assert abs(out[3]["dup_span_fraction"] - round(5 / 7, 4)) < 1e-9
+    assert out[4]["n_dup_spans"] == 0 and out[4]["dup_span_fraction"] == 0.0
+    assert out[5]["n_spans"] == 0 and out[5]["dup_span_fraction"] == 0.0
+    # stride trades granularity for cost but keeps full-dup detection
+    out2 = {r["doc_id"]: r for r in span_dup_stats(df, span=4, stride=2).collect()}
+    assert out2[1]["n_spans"] == 3 and out2[1]["dup_span_fraction"] == 1.0
