@@ -1045,10 +1045,15 @@ m AS (
     len(list_filter(w, x -> list_contains([{stop_list}], x)))::DOUBLE / len(w)::DOUBLE AS stop_ratio
   FROM words
 )
-SELECT doc_id, n_tokens, round(ttr, 4) AS ttr, round(mean_word_len, 4) AS mean_word_len,
-       round(stop_ratio, 4) AS stop_ratio,
-       round(0.5 * ttr + 0.3 * (1.0 - least(1.0, abs(mean_word_len - 5.5) / 5.5))
-             + 0.2 * (1.0 - stop_ratio), 4) AS quality
+-- portable round (floor(x*1e4+0.5)/1e4, all-DOUBLE): engine round()
+-- builtins disagree on exact .xxxx5 double ties (hit once at sf0.1)
+SELECT doc_id, n_tokens,
+       floor(ttr * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS ttr,
+       floor(mean_word_len * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS mean_word_len,
+       floor(stop_ratio * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS stop_ratio,
+       floor((0.5::DOUBLE * ttr
+             + 0.3::DOUBLE * (1.0::DOUBLE - least(1.0::DOUBLE, abs(mean_word_len - 5.5::DOUBLE) / 5.5::DOUBLE))
+             + 0.2::DOUBLE * (1.0::DOUBLE - stop_ratio)) * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS quality
 FROM m
 """
 

@@ -87,13 +87,22 @@ def quality_score(
     quality = F.lit(0.5) * ttr + F.lit(0.3) * len_band + F.lit(0.2) * (
         F.lit(1.0) - stop_ratio
     )
+
+    # portable round-half-up via pure IEEE ops: floor(x*1e4 + 0.5)/1e4.
+    # Engine round() builtins disagree on exact .xxxx5 ties (Spark rounds
+    # the exact binary value HALF_UP; DuckDB's x*1e4 lands on the next
+    # double and rounds away) — this formula is the same double arithmetic
+    # everywhere, so Spark == DuckDB bit-for-bit on every input.
+    def r4(c):
+        return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
     return df.select(
         F.col(id_col),
         F.size(words).alias("n_tokens"),
-        F.round(ttr, 4).alias("ttr"),
-        F.round(mean_len, 4).alias("mean_word_len"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(quality, 4).alias("quality"),
+        r4(ttr).alias("ttr"),
+        r4(mean_len).alias("mean_word_len"),
+        r4(stop_ratio).alias("stop_ratio"),
+        r4(quality).alias("quality"),
     )
 
 
