@@ -119,6 +119,7 @@ def main() -> None:
     )
     extras["wand_segments_total"] = wand_stats.get("segments_total", 0)
     extras["wand_segments_scored"] = wand_stats.get("segments_scored", 0)
+    extras["wand_single_wave_queries"] = wand_stats.get("single_wave_queries", 0)
     acc_t = wand_stats.get("blocks_total_acc")
     acc_s = wand_stats.get("blocks_skipped_acc")
     extras["wand_blocks_total"] = int(acc_t.value) if acc_t else 0
@@ -159,6 +160,7 @@ def main() -> None:
     extras["wand_sel_segments_total"] = sel_stats.get("segments_total", 0)
     extras["wand_sel_segments_scored"] = sel_stats.get("segments_scored", 0)
     extras["wand_sel_tightened_queries"] = sel_stats.get("tightened_queries", 0)
+    extras["wand_sel_single_wave_queries"] = sel_stats.get("single_wave_queries", 0)
     acc_t = sel_stats.get("blocks_total_acc")
     acc_s = sel_stats.get("blocks_skipped_acc")
     extras["wand_sel_blocks_total"] = int(acc_t.value) if acc_t else 0
