@@ -121,9 +121,10 @@ def with_doc_ids(df: DataFrame, key_cols: list[str], out_col: str = "doc_id") ->
 def dense_doc_ids(df: DataFrame, order_by, out_col: str = "doc_id", num_partitions: int | None = None) -> DataFrame:
     """Dense deterministic ids 0..n-1 in ``order_by`` order WITHOUT a global
     single-partition window: range-partition on the key, sort within
-    partitions (together a total sort), then ``zipWithIndex`` (one extra
-    O(#partitions) pass for the per-partition offsets). Deterministic as
-    long as the order key is unique — the id is the row's global rank.
+    partitions (together a total sort), then row_number within each range
+    bucket plus broadcast per-bucket offsets (one tiny count-by-partition
+    job). Deterministic as long as the order key is unique — the id is the
+    row's global rank.
 
     This is the big-dictionary-safe replacement for
     ``Window.orderBy(key)`` + ``row_number()``, which funnels every row

@@ -143,10 +143,22 @@ class LocalSearcher:
         *,
         k1: float = K1,
         b: float = B,
+        max_blocks: int = 2_000_000,
     ):
         blocks = cindex.blocks
         if terms is not None:
             blocks = blocks.where(F.col("term").isin(list(terms)))
+        else:
+            # fail fast BEFORE collecting a huge index to the driver: for
+            # big indexes warming a term subset is load-bearing, not a tip
+            n_blocks = blocks.count()
+            if n_blocks > max_blocks:
+                raise ValueError(
+                    f"LocalSearcher would collect {n_blocks} blocks to the "
+                    f"driver (> max_blocks={max_blocks}); pass terms= to "
+                    "warm the query-relevant subset, or raise max_blocks "
+                    "deliberately"
+                )
         raw: dict[str, list] = {}
         df_acc: dict[str, int] = {}
         for r in blocks.select("term", "block", "df_seg").collect():

@@ -115,7 +115,8 @@ def build_tag_dictionary(
     attrs = [c for c in names_df.columns if c not in (name_col, id_col)]
 
     # Deterministic dense doc_id by id order, assigned distributed (range
-    # partition + zipWithIndex — shared with the never-broadcast join path;
+    # partition + per-partition row_number + broadcast offsets — shared with
+    # the never-broadcast join path;
     # no single-partition window even at gazetteer scale). The engine's
     # 10^12-file corpus path uses content-hash doc ids (with_doc_ids).
     from solrtexttagger_spark.index.build import dense_doc_ids

@@ -98,8 +98,9 @@ def build_dict_terms(
         )
 
     # Dense ids in id order without a single-partition global window —
-    # this path exists precisely for dictionaries too big to broadcast,
-    # so id assignment must parallelize (range-partition + zipWithIndex).
+    # this path exists precisely for dictionaries too big to broadcast, so
+    # id assignment must parallelize (range-partition + per-partition
+    # row_number + broadcast offsets, all JVM).
     from solrtexttagger_spark.index.build import dense_doc_ids
 
     docs = dense_doc_ids(

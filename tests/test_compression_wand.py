@@ -320,3 +320,16 @@ def test_wand_tightening_adaptive_gate(spark):
     assert s_conc["tightened_queries"] >= 1, s_conc
     assert s_conc["segments_scored"] < s_conc["segments_total"], s_conc
     c_conc.blocks.unpersist()
+
+
+def test_local_searcher_fails_fast_on_huge_index(spark, corpus_index):
+    """Warming a whole huge index driver-side must fail BEFORE the collect,
+    pointing at terms= (round-2 verdict nit)."""
+    from solrtexttagger_spark.search.wand import LocalSearcher
+
+    c = compress_index(corpus_index)
+    with pytest.raises(ValueError, match="terms="):
+        LocalSearcher(c, max_blocks=1)
+    # warming an explicit subset bypasses the guard regardless of size
+    s = LocalSearcher(c, terms=["w0"], max_blocks=1)
+    assert s.search("w0", k=1)
