@@ -319,6 +319,45 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
 
 
+SAMPLE_FRACTION = 0.1
+SAMPLE_STRATA = {"en": 0.05, "de": 0.5}
+SAMPLE_DEFAULT_FRACTION = 0.2
+SAMPLE_TOP_K = 100
+
+
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample: keep iff md5-keyhash < fraction of
+    the hash space — stable under any partitioning, mirrorable in SQL."""
+    from solrtexttagger_spark.ops.sampling import hash_sample
+
+    return hash_sample(
+        _docs(spark, sf_dir), SAMPLE_FRACTION, key_cols=["doc_id"]
+    ).select("doc_id", "lang")
+
+
+def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep fractions (rebalancing), same hash gate."""
+    from solrtexttagger_spark.ops.sampling import stratified_hash_sample
+
+    return stratified_hash_sample(
+        _docs(spark, sf_dir),
+        SAMPLE_STRATA,
+        strata_col="lang",
+        key_cols=["doc_id"],
+        default_fraction=SAMPLE_DEFAULT_FRACTION,
+    ).select("doc_id", "lang")
+
+
+def q_doc_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-size deterministic uniform sample: k smallest key-hashes
+    (TakeOrderedAndProject — no global sort shuffle)."""
+    from solrtexttagger_spark.ops.sampling import hash_top_k
+
+    return hash_top_k(
+        _docs(spark, sf_dir), SAMPLE_TOP_K, key_cols=["doc_id"]
+    ).select("doc_id", "lang")
+
+
 def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate-span fraction per doc (substring-dedup
     signal: token windows shared with another document)."""
@@ -543,6 +582,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
         "span_dup_stats": q_span_dup_stats,
+        "doc_sample": q_doc_sample,
+        "doc_sample_stratified": q_doc_sample_stratified,
+        "doc_sample_topk": q_doc_sample_topk,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
@@ -830,6 +872,27 @@ comp AS (SELECT u, min(v) AS mv FROM reach GROUP BY u)
 SELECT d.doc_id::BIGINT AS doc_id,
        coalesce(least(c.u, c.mv), d.doc_id)::BIGINT AS cluster_id
 FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+"""
+
+    # deterministic sampling oracles: the cut integers are computed with
+    # the SAME python expression the operator uses, so Spark == DuckDB
+    # exactly (int(fraction * 2**60) truncation included)
+    _keyhash = _PHASH_SQL.format(x="concat_ws(chr(31), '', doc_id::VARCHAR)")
+    _cut = int(SAMPLE_FRACTION * (1 << 60))
+    sql["doc_sample"] = f"""
+SELECT doc_id, lang FROM documents WHERE {_keyhash} < {_cut}
+"""
+    _strata_case = " ".join(
+        f"WHEN '{k}' THEN {int(v * (1 << 60))}" for k, v in SAMPLE_STRATA.items()
+    )
+    sql["doc_sample_stratified"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_keyhash} < (CASE lang {_strata_case}
+                    ELSE {int(SAMPLE_DEFAULT_FRACTION * (1 << 60))} END)
+"""
+    sql["doc_sample_topk"] = f"""
+SELECT doc_id, lang FROM documents
+ORDER BY {_keyhash} ASC, doc_id ASC LIMIT {SAMPLE_TOP_K}
 """
 
     span_gram = _PHASH_SQL.format(

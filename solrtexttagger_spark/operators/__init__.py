@@ -18,6 +18,11 @@ from solrtexttagger_spark.ops.multimodal import (
     resize_images,
     sample_frames,
 )
+from solrtexttagger_spark.ops.sampling import (
+    hash_sample,
+    hash_top_k,
+    stratified_hash_sample,
+)
 from solrtexttagger_spark.ops.similarity import (
     cosine_dup_pairs,
     cosine_topk,
@@ -44,6 +49,7 @@ __all__ = [
     "ngram_jaccard_pairs", "simhash", "span_dup_stats", "extract_media_meta",
     "extract_features", "repartition_for_payload", "resize_images",
     "sample_frames",
+    "hash_sample", "hash_top_k", "stratified_hash_sample",
     "cosine_dup_pairs", "cosine_topk", "ivf_cosine_topk",
     "ivf_fit_centroids", "lsh_cosine_topk",
     "bm25_topk", "phrase_match", "LocalSearcher", "wand_topk",
