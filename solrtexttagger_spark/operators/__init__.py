@@ -38,6 +38,7 @@ from solrtexttagger_spark.ops.textqa import (
     pii_stats,
     repetition_stats,
 )
+from solrtexttagger_spark.streaming.dedup import stream_exact_dedup, stream_first_seen
 from solrtexttagger_spark.streaming.sessionize import sessionize_batch, sessionize_stream
 from solrtexttagger_spark.streaming.stateful import running_user_stats
 from solrtexttagger_spark.tagging.join_operator import tag_join
@@ -55,5 +56,6 @@ __all__ = [
     "bm25_topk", "phrase_match", "LocalSearcher", "wand_topk",
     "ngram_contamination", "pii_stats", "repetition_stats",
     "sessionize_batch", "sessionize_stream", "running_user_stats",
+    "stream_exact_dedup", "stream_first_seen",
     "tag_join", "matched_docs", "tag", "tag_response", "translate_ids",
 ]

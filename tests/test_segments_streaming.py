@@ -241,3 +241,62 @@ def test_manifest_versioning(spark, docs_df, tmp_path):
     # resume still reads the current snapshot
     back = read_index(spark, p)
     assert back.doc_count == idx.doc_count
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """Streaming exact dedup: first arrival of each distinct content
+    survives, repeats within the watermark horizon are dropped, state is
+    watermark-bounded (dropDuplicatesWithinWatermark in the plan)."""
+    from solrtexttagger_spark.streaming.dedup import stream_exact_dedup
+
+    src = str(tmp_path / "src")
+    rows = [
+        (1, "same text", "2024-01-01 00:00:00"),
+        (2, "same text", "2024-01-01 00:05:00"),   # dup within horizon
+        (3, "other text", "2024-01-01 00:06:00"),
+        (4, "same text", "2024-01-01 00:07:00"),   # dup again
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, ts string").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string, ts string").parquet(src)
+    out = stream_exact_dedup(stream, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["text"]) for r in spark.sql("SELECT * FROM dedup_stream").collect()}
+    texts = sorted(t for _, t in got)
+    assert texts == ["other text", "same text"]  # one survivor per content
+    kept_ids = {d for d, t in got if t == "same text"}
+    assert kept_ids <= {1, 2, 4} and len(kept_ids) == 1
+
+
+def test_stream_first_seen_key(spark, tmp_path):
+    from solrtexttagger_spark.streaming.dedup import stream_first_seen
+
+    src = str(tmp_path / "src2")
+    rows = [
+        (10, "v1", "2024-01-01 00:00:00"),
+        (10, "v2", "2024-01-01 00:01:00"),  # same key, later arrival
+        (11, "v1", "2024-01-01 00:02:00"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, ts string").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string, ts string").parquet(src)
+    out = stream_first_seen(stream, ["doc_id"], watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM first_seen_stream").collect()}
+    assert got == {10, 11}
+    n = spark.sql("SELECT count(*) c FROM first_seen_stream").collect()[0]["c"]
+    assert n == 2
