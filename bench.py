@@ -233,6 +233,9 @@ def main() -> None:
     # q5c: near-dup clustering (LSH pairs -> iterative connected components)
     timed("q5c_dup_clusters", lambda: _materialize(em.q_dup_clusters(spark, sf_dir)))
 
+    # q5d: duplicate-span stats (substring-dedup signal)
+    timed("q5d_span_dup_stats", lambda: _materialize(em.q_span_dup_stats(spark, sf_dir)))
+
     # q6: SimHash fingerprints
     timed("q6_simhash", lambda: _materialize(em.q_simhash(spark, sf_dir)))
 
