@@ -319,6 +319,50 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
 
 
+BOOL_QUERIES = [
+    (0, "+join hash row"),
+    (1, "+join -customer scan"),
+    (2, "window group -the"),
+    (3, "+merge +sort batch"),
+    (4, "vector stream"),
+]
+
+
+def q_bool_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean keyword search (+must -must_not should) with BM25 ranking —
+    the reference's /select clause syntax owned natively (SURVEY §2.4 D1)."""
+    from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+
+    idx = _index(spark, sf_dir)
+    out = boolean_bm25_topk(idx, BOOL_QUERIES, k=BM25_K, spark=spark)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+SNIPPET_WINDOW = 8
+
+
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k BM25 with best-window highlight snippets (Lucene Highlighter
+    analogue; first-max tie-break, deterministic)."""
+    from solrtexttagger_spark.search.highlight import snippets
+
+    idx = _index(spark, sf_dir)
+    out = snippets(
+        idx, _docs(spark, sf_dir), BM25_QUERIES, k=BM25_K, window=SNIPPET_WINDOW,
+        spark=spark,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        "snippet_start",
+        "snippet",
+    )
+
+
 SAMPLE_FRACTION = 0.1
 SAMPLE_STRATA = {"en": 0.05, "de": 0.5}
 SAMPLE_DEFAULT_FRACTION = 0.2
@@ -582,6 +626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
         "span_dup_stats": q_span_dup_stats,
+        "bool_search": q_bool_search,
+        "snippets": q_snippets,
         "doc_sample": q_doc_sample,
         "doc_sample_stratified": q_doc_sample_stratified,
         "doc_sample_topk": q_doc_sample_topk,
@@ -652,6 +698,108 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM ranked WHERE rank <= {
 """
 
 
+def _bool_oracle() -> str:
+    """Boolean BM25 oracle: same scoring CTEs as _bm25_oracle, plus a
+    distinct-MUST-present == n_must filter and a NOT EXISTS prohibition.
+    The VALUES rows come from the SAME parse the operator uses."""
+    from solrtexttagger_spark.search.boolean import parse_boolean_query
+
+    score_vals, not_vals, must_vals = [], [], []
+    for qid, q in BOOL_QUERIES:
+        must, should, must_not = parse_boolean_query(q)
+        must_vals.append(f"({qid}, {len(must)})")
+        for term, qtf in sorted(must.items()):
+            score_vals.append(f"({qid}, '{term}', {qtf}, 1)")
+        for term, qtf in sorted(should.items()):
+            score_vals.append(f"({qid}, '{term}', {qtf}, 0)")
+        for term in sorted(must_not):
+            not_vals.append(f"({qid}, '{term}')")
+    proh_cte = (
+        f"proh(query_id, term) AS (VALUES {', '.join(not_vals)})"
+        if not_vals
+        else "proh(query_id, term) AS (SELECT NULL::BIGINT, NULL::VARCHAR WHERE false)"
+    )
+    return f"""
+WITH {_TOK_CTE},
+q(query_id, term, qtf, is_must) AS (VALUES {', '.join(score_vals)}),
+nm(query_id, n_must) AS (VALUES {', '.join(must_vals)}),
+{proh_cte},
+df_t AS (SELECT term, count(*)::DOUBLE AS df FROM tok GROUP BY 1),
+scores AS (
+  SELECT q.query_id::BIGINT AS query_id, tok.doc_id,
+         sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (tok.tf::DOUBLE * 2.2) / (tok.tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+              * q.qtf ) AS score,
+         count(DISTINCT CASE WHEN q.is_must = 1 THEN q.term END) AS mp
+  FROM q
+  JOIN tok USING (term)
+  JOIN df_t d USING (term)
+  JOIN dl ON dl.doc_id = tok.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ok AS (
+  SELECT sc.query_id, sc.doc_id, sc.score
+  FROM scores sc JOIN nm ON nm.query_id = sc.query_id
+  WHERE sc.mp = nm.n_must
+    AND NOT EXISTS (SELECT 1 FROM proh p JOIN tok t
+                    ON t.term = p.term AND t.doc_id = sc.doc_id
+                    WHERE p.query_id = sc.query_id)
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank,
+         doc_id, round(score, 4) AS score
+  FROM ok
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
+def _snippets_oracle() -> str:
+    """Highlight oracle: the exact bm25 ranking as a CTE, then the same
+    best-window selection (first hit position attaining the max count of
+    hits in [p, p+W)) in DuckDB list lambdas."""
+    from solrtexttagger_spark.search.bm25 import analyze_query_terms
+
+    qt_vals = ", ".join(
+        "({}, [{}])".format(
+            qid, ", ".join(f"'{t}'" for t in sorted(analyze_query_terms(q)))
+        )
+        for qid, q in BM25_QUERIES
+    )
+    W = SNIPPET_WINDOW
+    return f"""
+WITH topk AS ({_bm25_oracle().strip()}),
+qt(query_id, terms) AS (VALUES {qt_vals}),
+j AS (
+  SELECT t.query_id, t.rank, t.doc_id, t.score,
+         string_split(d.text, ' ') AS w, qt.terms
+  FROM topk t
+  JOIN documents d ON d.doc_id = t.doc_id
+  JOIN qt ON qt.query_id = t.query_id
+),
+h AS (
+  SELECT query_id, rank, doc_id, score, w,
+         list_filter(range(0, len(w)), i -> list_contains(terms, w[i + 1])) AS hits
+  FROM j
+),
+b AS (
+  SELECT query_id, rank, doc_id, score, w, hits,
+         list_transform(hits, p -> len(list_filter(hits, x -> x >= p AND x < p + {W}))) AS ws
+  FROM h
+),
+s AS (
+  SELECT query_id, rank, doc_id, score, w,
+         hits[list_position(ws, list_aggregate(ws, 'max'))] AS st
+  FROM b
+)
+SELECT query_id, rank, doc_id, score, st::BIGINT AS snippet_start,
+       array_to_string(w[st + 1 : st + {W}], ' ') AS snippet
+FROM s
+"""
+
+
 def _tag_hits_cte() -> str:
     vals = ", ".join(f"('{i}', '{n}')" for i, n in TAG_DICT)
     return f"""
@@ -711,6 +859,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["bm25_topk"] = _bm25_oracle()
     sql["wand_topk"] = _bm25_oracle()  # WAND must be rank/score-identical
+    sql["bool_search"] = _bool_oracle()
+    sql["snippets"] = _snippets_oracle()
     sql["bm25_exploded"] = _bm25_oracle()  # both strategies, same oracle
 
     sql["term_stats"] = f"""

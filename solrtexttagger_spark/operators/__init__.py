@@ -31,6 +31,8 @@ from solrtexttagger_spark.ops.similarity import (
     lsh_cosine_topk,
 )
 from solrtexttagger_spark.search.bm25 import bm25_topk
+from solrtexttagger_spark.search.boolean import boolean_bm25_topk, parse_boolean_query
+from solrtexttagger_spark.search.highlight import snippets
 from solrtexttagger_spark.search.phrase import phrase_match
 from solrtexttagger_spark.search.wand import LocalSearcher, wand_topk
 from solrtexttagger_spark.ops.textqa import (
@@ -53,7 +55,8 @@ __all__ = [
     "hash_sample", "hash_top_k", "stratified_hash_sample",
     "cosine_dup_pairs", "cosine_topk", "ivf_cosine_topk",
     "ivf_fit_centroids", "lsh_cosine_topk",
-    "bm25_topk", "phrase_match", "LocalSearcher", "wand_topk",
+    "bm25_topk", "boolean_bm25_topk", "parse_boolean_query", "snippets",
+    "phrase_match", "LocalSearcher", "wand_topk",
     "ngram_contamination", "pii_stats", "repetition_stats",
     "sessionize_batch", "sessionize_stream", "running_user_stats",
     "stream_exact_dedup", "stream_first_seen",

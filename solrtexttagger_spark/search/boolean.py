@@ -1,0 +1,155 @@
+"""Boolean keyword search — Solr/Lucene query-syntax subset over the
+inverted index (SURVEY.md §2.4 D1: the reference's `/select` handler
+accepts `+required -prohibited optional` clauses; EmbeddedSolrNoSerialize-
+Test.testSearch `q=name:Boston` is the trivial case).
+
+Semantics (Lucene BooleanQuery):
+  +term  -> MUST      (doc must contain it)
+  -term  -> MUST_NOT  (doc must not contain it)
+   term  -> SHOULD    (optional; contributes to score; if a query has no
+                       MUST clauses, at least one SHOULD must match)
+Score = BM25 sum over the MUST + SHOULD terms present in the doc (same
+k1/b/idf as bm25_topk — a pure-OR query is score-identical to it).
+
+Physical shape (all JVM, one shuffle): postings broadcast-joined to the
+scoring terms, exploded, groupBy(query_id, doc_id) aggregating the score
+AND the distinct-MUST-present count in one pass; the MUST filter is a
+`HAVING`-style post-aggregation predicate against a broadcast per-query
+MUST count; MUST_NOT is a broadcast left_anti join of (query, doc)
+prohibited pairs. No extra pass over the postings for the filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from solrtexttagger_spark.analysis.core import tokenize
+from solrtexttagger_spark.index.build import InvertedIndex
+from solrtexttagger_spark.search.bm25 import B, K1
+
+
+def parse_boolean_query(q: str, lowercase: bool = True):
+    """-> (must: dict[term, qtf], should: dict[term, qtf], must_not: set).
+    A term listed both + and bare collapses into MUST (still scored once
+    per occurrence); a term that is also prohibited raises."""
+    must: dict[str, int] = {}
+    should: dict[str, int] = {}
+    must_not: set[str] = set()
+    for raw in q.split():
+        role = "should"
+        if raw.startswith("+"):
+            role, raw = "must", raw[1:]
+        elif raw.startswith("-"):
+            role, raw = "not", raw[1:]
+        for w, _s, _e in (t for t in tokenize(raw) if t is not None):
+            term = w.lower() if lowercase else w
+            if role == "not":
+                must_not.add(term)
+            elif role == "must":
+                must[term] = must.get(term, 0) + 1
+            else:
+                should[term] = should.get(term, 0) + 1
+    promoted = set(must) & set(should)
+    for t in promoted:  # MUST wins; keep combined qtf
+        must[t] += should.pop(t)
+    conflict = (set(must) | set(should)) & must_not
+    if conflict:
+        raise ValueError(f"terms both required/optional and prohibited: {sorted(conflict)}")
+    return must, should, must_not
+
+
+def boolean_bm25_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    *,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Top-k BM25 under boolean constraints. queries: [(qid, '+a -b c')].
+    Returns (query_id, rank, doc_id, score) — rank long, deterministic
+    (score desc, doc_id asc) tie-break, rank-identical to bm25_topk for
+    pure-SHOULD queries."""
+    spark = spark or index.postings.sparkSession
+    score_rows, not_rows, must_counts = [], [], {}
+    for qid, q in queries:
+        must, should, must_not = parse_boolean_query(q)
+        must_counts[int(qid)] = len(must)
+        for t, qtf in sorted(must.items()):
+            score_rows.append((int(qid), t, int(qtf), 1))
+        for t, qtf in sorted(should.items()):
+            score_rows.append((int(qid), t, int(qtf), 0))
+        for t in sorted(must_not):
+            not_rows.append((int(qid), t))
+    if not score_rows:
+        return spark.createDataFrame(
+            [], "query_id long, rank long, doc_id long, score double"
+        )
+    qdf = spark.createDataFrame(
+        score_rows, "query_id long, term string, qtf int, is_must int"
+    )
+    postings = index.postings
+    n = float(index.doc_count)
+    avgdl = float(index.avgdl) if index.avgdl else 1.0
+
+    qterms = qdf.select("term").distinct()
+    qpost = postings.join(F.broadcast(qterms), "term").withColumn(
+        "df", F.sum("df_seg").over(Window.partitionBy("term"))
+    )
+    joined = qpost.join(F.broadcast(qdf), "term")
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    ex = joined.select(
+        "query_id",
+        "term",
+        "is_must",
+        idf.alias("idf"),
+        F.col("qtf"),
+        F.explode("postings").alias("p"),
+    )
+    tf = F.col("p.tf").cast("double")
+    dl = F.col("p.dl").cast("double")
+    contrib = (
+        F.col("idf")
+        * (tf * (k1 + 1.0))
+        / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        * F.col("qtf").cast("double")
+    )
+    scores = (
+        ex.select(
+            "query_id",
+            F.col("p.doc_id").alias("doc_id"),
+            contrib.alias("c"),
+            F.when(F.col("is_must") == 1, F.col("term")).alias("mterm"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("c").alias("score"),
+            F.count_distinct("mterm").alias("musts_present"),
+        )
+    )
+    # per-query required-MUST count as a broadcast map literal (tiny)
+    mc = F.create_map(*[F.lit(x) for kv in must_counts.items() for x in kv])
+    matched = scores.where(
+        F.col("musts_present") == mc[F.col("query_id")].cast("long")
+    )
+    if not_rows:
+        ndf = spark.createDataFrame(not_rows, "query_id long, term string")
+        prohibited = (
+            postings.join(F.broadcast(ndf.select("term").distinct()), "term")
+            .select("term", F.explode("postings.doc_id").alias("doc_id"))
+            .join(F.broadcast(ndf), "term")
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        matched = matched.join(prohibited, ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        matched.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -1,0 +1,100 @@
+"""Boolean query semantics (+must -must_not should, Lucene BooleanQuery
+recast) and snippet highlighting (best-window selection, first-max
+tie-break)."""
+
+import pytest
+
+from solrtexttagger_spark.index.build import build_index
+from solrtexttagger_spark.search.bm25 import bm25_topk
+from solrtexttagger_spark.search.boolean import boolean_bm25_topk, parse_boolean_query
+from solrtexttagger_spark.search.highlight import snippets
+
+DOCS = [
+    (0, "alpha beta gamma"),
+    (1, "alpha beta delta"),
+    (2, "alpha gamma gamma"),
+    (3, "beta delta epsilon"),
+    (4, "zeta eta theta"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def index(docs_df):
+    idx = build_index(docs_df, num_segments=4)
+    idx.postings.persist().count()
+    return idx
+
+
+def test_parse_boolean_query():
+    must, should, must_not = parse_boolean_query("+Alpha beta -Gamma beta")
+    assert must == {"alpha": 1}
+    assert should == {"beta": 2}
+    assert must_not == {"gamma"}
+    # a term both bare and +required collapses into MUST with combined qtf
+    m2, s2, _ = parse_boolean_query("+x x")
+    assert m2 == {"x": 2} and s2 == {}
+    with pytest.raises(ValueError):
+        parse_boolean_query("+a -a")
+
+
+def _ids(df, qid):
+    return [r["doc_id"] for r in df.collect() if r["query_id"] == qid]
+
+
+def test_boolean_must_and_not(spark, index):
+    out = boolean_bm25_topk(
+        index,
+        [
+            (0, "+alpha gamma"),        # must alpha -> docs 0,1,2
+            (1, "+alpha -gamma"),       # alpha but not gamma -> doc 1
+            (2, "+alpha +beta"),        # both -> docs 0,1
+            (3, "delta epsilon"),       # pure SHOULD -> docs 1,3
+            (4, "+missingterm alpha"),  # impossible MUST -> empty
+        ],
+        k=10,
+        spark=spark,
+    )
+    assert set(_ids(out, 0)) == {0, 1, 2}
+    assert _ids(out, 1) == [1]
+    assert set(_ids(out, 2)) == {0, 1}
+    assert set(_ids(out, 3)) == {1, 3}
+    assert _ids(out, 4) == []
+
+
+def test_boolean_pure_should_rank_identical_to_bm25(spark, index):
+    q = [(0, "alpha gamma"), (1, "beta delta")]
+    a = boolean_bm25_topk(index, q, k=10, spark=spark).collect()
+    b = bm25_topk(index, q, k=10, spark=spark).collect()
+    norm = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in rows
+    )
+    assert norm(a) == norm(b)
+
+
+def test_snippets_best_window_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [
+            # hits at 0 and then a DENSER cluster later: window must move
+            (0, "alpha x x x x x x x x x alpha y alpha z z z"),
+            # tie between two equal windows -> FIRST hit wins
+            (1, "alpha q q q q q q q q q alpha r r r r r"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, num_segments=2)
+    idx.postings.persist().count()
+    out = {
+        r["doc_id"]: r
+        for r in snippets(idx, docs, [(0, "alpha")], k=10, window=4, spark=spark).collect()
+    }
+    # doc 0: window [10, 14) covers hits 10 and 12 (2 hits) vs 1 at pos 0
+    assert out[0]["snippet_start"] == 10
+    assert out[0]["snippet"] == "alpha y alpha z"
+    # doc 1: both windows have 1 hit -> first hit (0) wins
+    assert out[1]["snippet_start"] == 0
+    assert out[1]["snippet"] == "alpha q q q"
