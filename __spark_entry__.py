@@ -340,6 +340,20 @@ def q_bool_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FACET_QUERY = "join merge window"
+FACET_FIELDS = ["lang", "source"]
+
+
+def q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr-style facet counts over the query's full match set."""
+    from solrtexttagger_spark.search.facets import facet_counts
+
+    idx = _index(spark, sf_dir)
+    return facet_counts(
+        idx, _docs(spark, sf_dir), FACET_QUERY, FACET_FIELDS, spark=spark
+    ).select("field", "value", F.col("n").cast("long").alias("n"))
+
+
 SNIPPET_WINDOW = 8
 
 
@@ -628,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dup_stats": q_span_dup_stats,
         "bool_search": q_bool_search,
         "snippets": q_snippets,
+        "facets": q_facets,
         "doc_sample": q_doc_sample,
         "doc_sample_stratified": q_doc_sample_stratified,
         "doc_sample_topk": q_doc_sample_topk,
@@ -861,6 +876,21 @@ def oracle_sql() -> dict[str, str]:
     sql["wand_topk"] = _bm25_oracle()  # WAND must be rank/score-identical
     sql["bool_search"] = _bool_oracle()
     sql["snippets"] = _snippets_oracle()
+    _fq_terms = ", ".join(f"'{t}'" for t in sorted(FACET_QUERY.split()))
+    _facet_arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS field, {c}::VARCHAR AS value FROM matched_docs"
+        for c in FACET_FIELDS
+    )
+    sql["facets"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w IN ({_fq_terms})
+),
+matched_docs AS (SELECT d.* FROM documents d JOIN matched USING (doc_id)),
+fv AS ({_facet_arms})
+SELECT field, value, count(*)::BIGINT AS n FROM fv GROUP BY 1, 2
+"""
     sql["bm25_exploded"] = _bm25_oracle()  # both strategies, same oracle
 
     sql["term_stats"] = f"""

@@ -1,0 +1,75 @@
+"""Facet counts over a query's match set — the Solr `facet=true` feature
+of the reference's delegated `/select` stack (SURVEY.md §2.4 D1/D4),
+re-expressed Spark-first.
+
+Solr facets count field values over ALL documents matching the query (not
+just the returned page). Shape here:
+
+  postings filtered to the query terms (broadcast join — no postings
+  shuffle) -> explode doc ids -> distinct match set -> join the corpus on
+  doc_id -> one groupBy per facet request (field, value) -> counts.
+
+The join against the corpus is the honest cost of faceting (Lucene pays it
+via docValues); the match set is distinct doc ids only (narrow), and the
+groupBy aggregates map-side. Counts are exact, descending, with a
+deterministic (count desc, value asc) order and per-field limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from solrtexttagger_spark.index.build import InvertedIndex
+from solrtexttagger_spark.search.bm25 import analyze_query_terms
+
+
+def facet_counts(
+    index: InvertedIndex,
+    docs_df: DataFrame,
+    query: str,
+    facet_cols: list[str],
+    *,
+    id_col: str = "doc_id",
+    limit: int | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Exact facet counts over the documents matching ``query`` (OR
+    semantics — any query term present). Returns
+    (field, value, n) with value cast to string (mixed-type facet fields
+    union cleanly), ordered within each field by (n desc, value asc),
+    optionally capped at ``limit`` values per field."""
+    spark = spark or docs_df.sparkSession
+    terms = sorted(analyze_query_terms(query))
+    if not terms or not facet_cols:
+        return spark.createDataFrame([], "field string, value string, n long")
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    matched = (
+        index.postings.join(F.broadcast(tdf), "term")
+        .select(F.explode("postings.doc_id").alias(id_col))
+        .distinct()
+    )
+    joined = docs_df.join(matched, id_col)
+    # one exploded (field, value) row per facet col per matched doc: a
+    # single groupBy covers every requested field
+    fv = joined.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("field"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in facet_cols
+                ]
+            )
+        ).alias("fv")
+    ).select("fv.field", "fv.value")
+    counts = fv.groupBy("field", "value").agg(F.count("*").alias("n"))
+    if limit is not None:
+        w = Window.partitionBy("field").orderBy(F.col("n").desc(), F.col("value").asc())
+        counts = (
+            counts.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= limit)
+            .drop("__r")
+        )
+    return counts.select("field", "value", "n")

@@ -3,6 +3,7 @@ recast) and snippet highlighting (best-window selection, first-max
 tie-break)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from solrtexttagger_spark.index.build import build_index
 from solrtexttagger_spark.search.bm25 import bm25_topk
@@ -98,3 +99,21 @@ def test_snippets_best_window_and_tiebreak(spark):
     # doc 1: both windows have 1 hit -> first hit (0) wins
     assert out[1]["snippet_start"] == 0
     assert out[1]["snippet"] == "alpha q q q"
+
+
+def test_facet_counts(spark, docs_df, index):
+    from solrtexttagger_spark.search.facets import facet_counts
+
+    docs = docs_df.withColumn(
+        "lang", F.when(F.col("doc_id") < 2, "en").otherwise("de")
+    )
+    out = facet_counts(index, docs, "alpha", ["lang"], spark=spark)
+    got = {(r["field"], r["value"]): r["n"] for r in out.collect()}
+    # alpha matches docs 0,1,2 -> en: docs 0,1; de: doc 2
+    assert got == {("lang", "en"): 2, ("lang", "de"): 1}
+    # limit keeps the top value per field (count desc, value asc tie-break)
+    top1 = facet_counts(index, docs, "alpha", ["lang"], limit=1, spark=spark).collect()
+    assert [(r["field"], r["value"], r["n"]) for r in top1] == [("lang", "en", 2)]
+    # empty query / no facet fields -> empty frame with the right schema
+    assert facet_counts(index, docs, "", ["lang"], spark=spark).count() == 0
+    assert facet_counts(index, docs, "alpha", [], spark=spark).count() == 0
