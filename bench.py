@@ -175,6 +175,16 @@ def main() -> None:
     cidx.postings.unpersist()
     ccix.blocks.unpersist()
 
+    # q2g: the rest of the owned /select surface (boolean clauses,
+    # highlight snippets, facet counts) in one timing
+    def select_surface():
+        n = _materialize(em.q_bool_search(spark, sf_dir))
+        n += _materialize(em.q_snippets(spark, sf_dir))
+        n += _materialize(em.q_facets(spark, sf_dir))
+        return n
+
+    timed("q2g_bool_snippets_facets", select_surface)
+
     # q2c: single-query p50/p95 latency over the warm compressed index
     # (BASELINE.md target metric: top-k query p95)
     singles = []
