@@ -340,6 +340,25 @@ def q_bool_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MLT_PROBES = [0, 1, 2, 3, 4]
+MLT_TERMS = 5
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-Like-This: per probe doc, the top-k BM25-similar other docs via
+    the probe's top TF-IDF terms (Solr MLT handler owned natively)."""
+    from solrtexttagger_spark.search.mlt import more_like_this
+
+    idx = _index(spark, sf_dir)
+    out = more_like_this(
+        idx, _docs(spark, sf_dir), MLT_PROBES, n_terms=MLT_TERMS, k=BM25_K,
+        spark=spark,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 FACET_QUERY = "join merge window"
 FACET_FIELDS = ["lang", "source"]
 
@@ -643,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_search": q_bool_search,
         "snippets": q_snippets,
         "facets": q_facets,
+        "more_like_this": q_more_like_this,
         "doc_sample": q_doc_sample,
         "doc_sample_stratified": q_doc_sample_stratified,
         "doc_sample_topk": q_doc_sample_topk,
@@ -815,6 +835,46 @@ FROM s
 """
 
 
+def _mlt_oracle() -> str:
+    """More-Like-This oracle: top TF-IDF terms per probe (ROUNDED score
+    ordering, term asc tie-break — exactly ops/textqa.tfidf_keywords),
+    then the standard BM25 ranking over those terms excluding the probe."""
+    probes = ", ".join(str(p) for p in MLT_PROBES)
+    return f"""
+WITH {_TOK_CTE},
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+df_t AS (SELECT term, count(*)::DOUBLE AS df FROM tok GROUP BY 1),
+kw AS (
+  SELECT doc_id AS query_id, term FROM (
+    SELECT t.doc_id, t.term,
+           row_number() OVER (PARTITION BY t.doc_id
+             ORDER BY round(t.tf::DOUBLE * ln(nn.n / d.df), 4) DESC, t.term ASC) AS r
+    FROM tok t JOIN df_t d USING (term) CROSS JOIN nn
+    WHERE t.doc_id IN ({probes})
+  ) WHERE r <= {MLT_TERMS}
+),
+scores AS (
+  SELECT kw.query_id::BIGINT AS query_id, tok.doc_id,
+         sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (tok.tf::DOUBLE * 2.2) / (tok.tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM kw
+  JOIN tok USING (term)
+  JOIN df_t d USING (term)
+  JOIN dl ON dl.doc_id = tok.doc_id
+  CROSS JOIN stats s
+  WHERE tok.doc_id <> kw.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank,
+         doc_id, round(score, 4) AS score
+  FROM scores
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
 def _tag_hits_cte() -> str:
     vals = ", ".join(f"('{i}', '{n}')" for i, n in TAG_DICT)
     return f"""
@@ -876,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
     sql["wand_topk"] = _bm25_oracle()  # WAND must be rank/score-identical
     sql["bool_search"] = _bool_oracle()
     sql["snippets"] = _snippets_oracle()
+    sql["more_like_this"] = _mlt_oracle()
     _fq_terms = ", ".join(f"'{t}'" for t in sorted(FACET_QUERY.split()))
     _facet_arms = " UNION ALL ".join(
         f"SELECT '{c}' AS field, {c}::VARCHAR AS value FROM matched_docs"

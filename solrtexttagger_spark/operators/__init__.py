@@ -34,6 +34,7 @@ from solrtexttagger_spark.search.bm25 import bm25_topk
 from solrtexttagger_spark.search.boolean import boolean_bm25_topk, parse_boolean_query
 from solrtexttagger_spark.search.facets import facet_counts
 from solrtexttagger_spark.search.highlight import snippets
+from solrtexttagger_spark.search.mlt import more_like_this
 from solrtexttagger_spark.search.phrase import phrase_match
 from solrtexttagger_spark.search.wand import LocalSearcher, wand_topk
 from solrtexttagger_spark.ops.textqa import (
@@ -57,7 +58,7 @@ __all__ = [
     "cosine_dup_pairs", "cosine_topk", "ivf_cosine_topk",
     "ivf_fit_centroids", "lsh_cosine_topk",
     "bm25_topk", "boolean_bm25_topk", "parse_boolean_query", "snippets",
-    "facet_counts",
+    "facet_counts", "more_like_this",
     "phrase_match", "LocalSearcher", "wand_topk",
     "ngram_contamination", "pii_stats", "repetition_stats",
     "sessionize_batch", "sessionize_stream", "running_user_stats",

@@ -117,3 +117,25 @@ def test_facet_counts(spark, docs_df, index):
     # empty query / no facet fields -> empty frame with the right schema
     assert facet_counts(index, docs, "", ["lang"], spark=spark).count() == 0
     assert facet_counts(index, docs, "alpha", [], spark=spark).count() == 0
+
+
+def test_more_like_this(spark, docs_df, index):
+    """MLT: a probe's nearest neighbor shares its rarest terms; the probe
+    itself never appears; output deterministic."""
+    from solrtexttagger_spark.search.mlt import more_like_this
+
+    out = more_like_this(index, docs_df, [0, 4], n_terms=3, k=3, spark=spark)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        assert r["doc_id"] != r["query_id"]  # self excluded
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    # doc 0 = "alpha beta gamma": most similar are docs sharing 2 terms (1, 2)
+    top2 = {d for rk, d in sorted(by_q[0])[:2]}
+    assert top2 == {1, 2}
+    # doc 4 = "zeta eta theta": no other doc shares any term -> no results
+    assert 4 not in by_q
+    # deterministic across invocations
+    again = more_like_this(index, docs_df, [0, 4], n_terms=3, k=3, spark=spark).collect()
+    norm = lambda rs: sorted((r["query_id"], r["rank"], r["doc_id"]) for r in rs)
+    assert norm(rows) == norm(again)
