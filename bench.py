@@ -181,9 +181,10 @@ def main() -> None:
         n = _materialize(em.q_bool_search(spark, sf_dir))
         n += _materialize(em.q_snippets(spark, sf_dir))
         n += _materialize(em.q_facets(spark, sf_dir))
+        n += _materialize(em.q_more_like_this(spark, sf_dir))
         return n
 
-    timed("q2g_bool_snippets_facets", select_surface)
+    timed("q2g_bool_snippets_facets_mlt", select_surface)
 
     # q2c: single-query p50/p95 latency over the warm compressed index
     # (BASELINE.md target metric: top-k query p95)
