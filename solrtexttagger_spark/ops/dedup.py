@@ -329,6 +329,14 @@ def connected_components(
         .select("u", F.least(F.col("u"), F.col("nmin")).alias("comp"))
         .localCheckpoint()
     )
+
+    # convergence = unchanged label sum: labels only ever DECREASE
+    # (least(...) everywhere), so any change strictly lowers the sum — a
+    # narrow decimal aggregate per round instead of a join-and-compare.
+    def label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = label_sum(comp)
     for _ in range(max_iter):
         # propagate: comp'(u) = min(comp(u), min over neighbors of comp(v))
         nbr = (
@@ -352,15 +360,11 @@ def connected_components(
             .select("u", F.least(F.col("comp"), F.coalesce("cc", F.col("comp"))).alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(comp.alias("o"), "u")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        new_sum = label_sum(new)
         comp = new
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return comp.select(F.col("u").alias("node"), F.col("comp").alias("comp"))
 
 
