@@ -352,6 +352,7 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index(spark, sf_dir)
     out = more_like_this(
         idx, _docs(spark, sf_dir), MLT_PROBES, n_terms=MLT_TERMS, k=BM25_K,
+        use_split=True,  # mirror _index's build flags (module contract)
         spark=spark,
     )
     return out.select(

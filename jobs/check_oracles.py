@@ -1,0 +1,81 @@
+"""Driver-style oracle check: run __spark_entry__.queries()[name] and
+oracle_sql()[name] side by side on DuckDB and compare rows/schema/values.
+
+Usage: python jobs/check_oracles.py [sf_dir] [entry ...]
+Defaults: sf0.001, all entries that have an oracle.
+"""
+
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as em  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or None
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    qs, sqls = em.queries(), em.oracle_sql()
+    names = names or [n for n in qs if n in sqls]
+    failed = []
+    for n in names:
+        if n not in sqls:
+            print(f"{n}: SKIP (no oracle)")
+            continue
+        try:
+            sdf = qs[n](spark, sf)
+            cols = sorted(sdf.columns)
+            srows = sorted(
+                tuple(r[c] for c in cols) for r in sdf.collect()
+            )
+            ores = con.sql(sqls[n])
+            ocols_all = list(ores.columns)
+            order = sorted(range(len(ocols_all)), key=lambda i: ocols_all[i])
+            ocols = [ocols_all[i] for i in order]
+            orows = sorted(tuple(row[i] for i in order) for row in ores.fetchall())
+            ok_rows = len(srows) == len(orows)
+            ok_cols = cols == ocols
+            ok_vals = srows == orows
+            status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+            print(
+                f"{n}: {status} rows={len(srows)}/{len(orows)} "
+                f"cols={'ok' if ok_cols else f'{cols} vs {ocols}'} "
+                f"vals={'ok' if ok_vals else 'MISMATCH'}"
+            )
+            if status == "FAIL":
+                failed.append(n)
+                if not ok_vals and ok_rows and ok_cols:
+                    diff = [
+                        (a, b) for a, b in zip(srows, orows) if a != b
+                    ][:3]
+                    for a, b in diff:
+                        print(f"   spark={a}\n  oracle={b}")
+        except Exception as e:  # noqa: BLE001
+            failed.append(n)
+            print(f"{n}: ERROR {type(e).__name__}: {e}")
+    print(f"\n{len(names) - len(failed)}/{len(names)} green")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

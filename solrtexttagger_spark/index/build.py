@@ -139,8 +139,15 @@ def dense_doc_ids(df: DataFrame, order_by, out_col: str = "doc_id", num_partitio
     # rdd.zipWithIndex() path, which deserialized every row JVM->Python and
     # pickled it back — two full per-row Python passes in exactly the
     # >=1e8-row regime this function exists for.
+    # PIN the physical partitioning before deriving anything from it:
+    # repartitionByRange samples its range boundaries per ACTION, so without
+    # this materialization the counts job below and the window job at the
+    # end could each re-execute the exchange with DIFFERENT boundaries,
+    # making the broadcast offsets stale (duplicate/missing ids) exactly in
+    # the >=1e8-row regime. localCheckpoint freezes one set of partitions
+    # that both jobs then read.
     pid = F.spark_partition_id()
-    with_pid = shaped.withColumn("__pid", pid)
+    with_pid = shaped.withColumn("__pid", pid).localCheckpoint()
     counts = sorted(
         (r["__pid"], r["cnt"])
         for r in with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()

@@ -320,9 +320,14 @@ def connected_components(
     typical even at 1e9 edges.
     """
     und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Materialize the symmetrized edge set ONCE: every propagate join and
+    # pointer-jump hop below re-reads it, and without this checkpoint each
+    # round's join re-derives the full upstream lineage (for dup_clusters
+    # that is the entire MinHash/LSH/bucket-pairs pipeline) — the dominant
+    # cost of the loop at scale.
     und = und.union(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    ).distinct().localCheckpoint()
     comp = (
         und.groupBy("u")
         .agg(F.min("v").alias("nmin"))

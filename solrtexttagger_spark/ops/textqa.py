@@ -127,8 +127,13 @@ def tfidf_keywords(
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
+    # NO broadcast hint on dfreq: it has one row per DISTINCT TERM, which on
+    # a web/code corpus grows with the vocabulary (1e8-1e9 rows at 100x) — a
+    # guaranteed broadcast OOM. A plain shuffle join on term is the right
+    # shape (both sides already hash on term; AQE may still choose to
+    # broadcast when the measured size is genuinely small).
     dfreq = tok.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    scored = tok.join(F.broadcast(dfreq), "term").withColumn(
+    scored = tok.join(dfreq, "term").withColumn(
         "tfidf",
         F.round(
             F.col("tf").cast("double")

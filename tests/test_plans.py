@@ -134,6 +134,40 @@ def test_facades_and_plan_summary(spark, docs_df):
         assert_plan(ops.exact_dedup(docs_df), exchanges=0)
 
 
+def test_mlt_probe_filter_pushed_to_scan(spark, tmp_path):
+    """More-Like-This keyword extraction must NOT run a corpus-wide
+    TF-IDF pass: the probe-id filter reaches the documents parquet scan
+    (PushedFilters) and df comes from the index postings via a broadcast
+    of the tiny probe vocabulary (round-3 verdict item #1)."""
+    from solrtexttagger_spark.search.mlt import mlt_probe_terms
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{(i * 3) % 7} common filler{i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "docs")
+    docs.write.parquet(p)
+    pq = spark.read.parquet(p)
+    idx = build_index(pq, num_segments=4, use_split=True)
+    kw = mlt_probe_terms(idx, pq, [0, 1, 2], n_terms=3, use_split=True)
+    plan = plan_str(kw)
+    # the probe filter is pushed into the parquet scan of documents
+    assert "PushedFilters: [In(doc_id" in plan, plan
+    # the probes' term set broadcasts into the postings side (no
+    # vocabulary-sized shuffle or broadcast)
+    assert "BroadcastHashJoin" in plan
+    # and the result matches the corpus-wide tfidf_keywords choice
+    from solrtexttagger_spark.ops.textqa import tfidf_keywords
+
+    corpus_kw = {
+        (r["doc_id"], r["rank"], r["term"])
+        for r in tfidf_keywords(pq, top_k=3).collect()
+        if r["doc_id"] in (0, 1, 2)
+    }
+    got = {(r["doc_id"], r["rank"], r["term"]) for r in kw.collect()}
+    assert got == corpus_kw
+
+
 def test_cosine_dup_pairs_no_nested_loop(spark):
     """The shipped near-dup operator must be LSH-bucketed: no all-pairs
     theta-join (BroadcastNestedLoopJoin/Cartesian) anywhere in the plan."""
