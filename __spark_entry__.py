@@ -817,7 +817,7 @@ j AS (
 ),
 h AS (
   SELECT query_id, rank, doc_id, score, w,
-         list_filter(range(0, len(w)), i -> list_contains(terms, w[i + 1])) AS hits
+         list_filter(range(0, len(w)), i -> list_contains(terms, lower(w[i + 1]))) AS hits
   FROM j
 ),
 b AS (

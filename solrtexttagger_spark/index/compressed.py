@@ -34,6 +34,14 @@ BLOCK_SCHEMA = T.StructType(
 
 @dataclass
 class CompressedIndex:
+    """Delta+varint block-compressed postings with block-max metadata.
+
+    IMMUTABILITY CONTRACT: once queried, a CompressedIndex must not be
+    rebuilt in place (the WAND serving path attaches driver-side
+    term-metadata/block caches to the instance, keyed by object identity —
+    mutating ``blocks`` would leave them stale). Re-compress into a NEW
+    CompressedIndex instead; the caches die with the old object."""
+
     blocks: DataFrame
     term_stats: DataFrame
     doc_count: int

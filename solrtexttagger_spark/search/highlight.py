@@ -61,9 +61,12 @@ def snippets(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
     ).join(F.broadcast(topk), "doc_id")
     qts = qmap[F.col("query_id")]
+    # hit test is case-folded (query terms come out of analyze_query_terms
+    # lowercased) so a doc matching only via case folding still highlights;
+    # the rendered snippet keeps the original casing
     hits = F.filter(
         F.sequence(F.lit(0), F.size("w") - 1),
-        lambda i: F.array_contains(qts, F.element_at(F.col("w"), i + 1)),
+        lambda i: F.array_contains(qts, F.lower(F.element_at(F.col("w"), i + 1))),
     )
     with_hits = joined.withColumn("hits", hits)
     wscores = F.transform(

@@ -45,6 +45,23 @@ _SCORE_SCHEMA = T.StructType(
 
 _THETA_EPS = 1e-9  # ulp slack: bounds may be computed JVM-side, scores in numpy
 
+# Driver-side warm-searcher caches attached to a CompressedIndex grow with
+# the workload vocabulary; in a long-lived serving driver over a broad
+# vocabulary that is unbounded. Caps trigger a whole-cache reset (the
+# simplest policy that keeps the common warm path allocation-free; an LRU
+# would charge every hit). The caches assume the CompressedIndex is
+# IMMUTABLE once queried — rebuilding blocks in place would leave them
+# stale; build a NEW CompressedIndex instead (documented on the class).
+WAND_META_CACHE_MAX_TERMS = 200_000  # per (k1, b): ~segments x 16B per entry
+WAND_BLOCK_CACHE_MAX_TERMS = 20_000  # raw block bytes — much heavier rows
+
+
+def _bounded_insert(cache: dict, missing: list, cap: int) -> None:
+    """Reset ``cache`` wholesale if adding ``missing`` would exceed ``cap``
+    (keeps the in-flight query's terms; next queries re-warm)."""
+    if len(cache) + len(missing) > cap:
+        cache.clear()
+
 
 def _score_segment(
     qterms,
@@ -296,6 +313,7 @@ def wand_topk(
     per_kb = meta_cache.setdefault((float(k1), float(b)), {})
     missing = [t for t in terms if t not in per_kb]
     if missing:
+        _bounded_insert(per_kb, missing, WAND_META_CACHE_MAX_TERMS)
         _tf = F.col("max_tf").cast("double")
         _dl = F.col("min_dl").cast("double")
         _f_ub_expr = _tf * (k1 + 1.0) / (_tf + k1 * (1.0 - b + b * _dl / avgdl))
@@ -336,6 +354,7 @@ def wand_topk(
             cindex._wand_blocks = bcache
         bmissing = [t for t in terms if t not in bcache]
         if bmissing:
+            _bounded_insert(bcache, bmissing, WAND_BLOCK_CACHE_MAX_TERMS)
             gotb: dict[str, list] = {}
             for r in (
                 cindex.blocks.where(F.col("term").isin(bmissing))

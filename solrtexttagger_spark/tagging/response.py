@@ -31,7 +31,12 @@ def _esc(s: str) -> str:
 
 def _gather(tags: DataFrame, dictionary: TagDictionary, rows: int, fl):
     """Collect the request's tags (document order), the doc_id -> user-id
-    translation for exactly the matched docs, and the matched-doc rows."""
+    translation for exactly the matched docs, and the matched-doc rows.
+    num_found is the TOTAL matched-doc count (reference
+    TaggerRequestHandler sets numFound to matchDocIdsBS.cardinality()),
+    independent of the ``rows`` truncation of the rendered doc list —
+    idmap already covers every matched doc (tag ids must all translate),
+    so its size IS that cardinality with no extra job."""
     trows = tags.orderBy("start", "end").collect()
     matched = tags.select(F.explode("doc_ids").alias("doc_id")).distinct()
     idmap = {
@@ -43,7 +48,7 @@ def _gather(tags: DataFrame, dictionary: TagDictionary, rows: int, fl):
     docs = matched_docs(tags, dictionary, rows)
     fields = fl or [c for c in docs.columns if c != "doc_id"]
     drows = docs.select(*fields).collect()
-    return trows, idmap, fields, drows
+    return trows, idmap, fields, drows, len(idmap)
 
 
 def render_response_xml(
@@ -57,7 +62,7 @@ def render_response_xml(
     """The reference's XML response, byte-identical to the strings pinned in
     TaggerTest.java:72-84 (and :92-104 with matchText): Solr XMLWriter
     layout with indent=off, omitHeader=on."""
-    trows, idmap, fields, drows = _gather(tags, dictionary, rows, fl)
+    trows, idmap, fields, drows, num_found = _gather(tags, dictionary, rows, fl)
     out = ['<?xml version="1.0" encoding="UTF-8"?>\n<response>\n']
     out.append(f'<int name="tagsCount">{len(trows)}</int>')
     out.append('<arr name="tags">')
@@ -72,7 +77,7 @@ def render_response_xml(
             out.append(f"<str>{_esc(idmap[d])}</str>")
         out.append("</arr></lst>")
     out.append("</arr>")
-    out.append(f'<result name="response" numFound="{len(drows)}" start="0">')
+    out.append(f'<result name="response" numFound="{num_found}" start="0">')
     for r in drows:
         out.append("<doc>")
         for f_ in fields:
@@ -93,7 +98,7 @@ def render_response_json(
     """JSON equivalent (Solr JSON writer shape with json.nl=map semantics):
     {"tagsCount": N, "tags": [{"startOffset", "endOffset"[, "matchText"],
     "ids": [...]}], "response": {"numFound", "start", "docs": [...]}}."""
-    trows, idmap, fields, drows = _gather(tags, dictionary, rows, fl)
+    trows, idmap, fields, drows, num_found = _gather(tags, dictionary, rows, fl)
     tag_objs = []
     for t in trows:
         o = {"startOffset": t["start"], "endOffset": t["end"]}
@@ -105,7 +110,7 @@ def render_response_json(
         "tagsCount": len(trows),
         "tags": tag_objs,
         "response": {
-            "numFound": len(drows),
+            "numFound": num_found,
             "start": 0,
             "docs": [{f_: r[f_] for f_ in fields} for r in drows],
         },

@@ -101,6 +101,21 @@ def test_snippets_best_window_and_tiebreak(spark):
     assert out[1]["snippet"] == "alpha q q q"
 
 
+def test_snippets_case_folded_hits(spark):
+    """A doc that matches only via case folding (index lowercases 'Alpha'
+    -> 'alpha') must still get a snippet: the hit test folds the doc token,
+    while the rendered snippet keeps the original casing."""
+    docs = spark.createDataFrame(
+        [(0, "x x Alpha y y y y y y y")], "doc_id long, text string"
+    )
+    idx = build_index(docs, num_segments=2)
+    idx.postings.persist().count()
+    rows = snippets(idx, docs, [(0, "alpha")], k=5, window=3, spark=spark).collect()
+    assert len(rows) == 1
+    assert rows[0]["snippet_start"] == 2
+    assert rows[0]["snippet"] == "Alpha y y"
+
+
 def test_facet_counts(spark, docs_df, index):
     from solrtexttagger_spark.search.facets import facet_counts
 

@@ -136,6 +136,30 @@ def test_wand_rank_identical_to_exhaustive(spark, corpus_index, local_threshold)
     assert stats["segments_scored"] <= stats["segments_total"], stats
 
 
+def test_wand_caches_bounded(spark, corpus_index, monkeypatch):
+    """The driver-side warm-searcher caches reset wholesale at the cap
+    instead of growing with the workload vocabulary, and results stay
+    identical across the reset."""
+    import solrtexttagger_spark.search.wand as wmod
+
+    c = compress_index(corpus_index)
+    c.blocks.persist().count()
+    monkeypatch.setattr(wmod, "WAND_META_CACHE_MAX_TERMS", 3)
+    monkeypatch.setattr(wmod, "WAND_BLOCK_CACHE_MAX_TERMS", 3)
+    first = wand_topk(c, [(0, "w0 w1")], k=5, spark=spark,
+                      local_threshold_postings=100_000).collect()
+    # new vocabulary exceeding the cap forces a whole-cache reset
+    wand_topk(c, [(1, "w5 w40 w80")], k=5, spark=spark,
+              local_threshold_postings=100_000).collect()
+    per_kb = next(iter(c._wand_meta.values()))
+    assert len(per_kb) <= 3
+    assert len(c._wand_blocks) <= 3
+    # re-running the first query after the reset is value-identical
+    again = wand_topk(c, [(0, "w0 w1")], k=5, spark=spark,
+                      local_threshold_postings=100_000).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+
+
 def test_wand_pruning_skips_segments(spark):
     """Deterministic skew: one document dominates the score range, so every
     segment whose block-max can't beat it must be skipped un-decoded."""

@@ -117,6 +117,20 @@ def test_format_json_shape(spark, tag_partial_dict):
     }
 
 
+def test_num_found_is_total_matched_not_page_size(spark, tag_partial_dict):
+    """numFound is the TOTAL matched-doc cardinality even when ``rows``
+    truncates the rendered doc list (reference TaggerRequestHandler sets
+    numFound from matchDocIdsBS.cardinality(), not the page size)."""
+    # "school ... City" matches 2 dictionary docs; rows=1 truncates docs
+    tags = _tags(spark, tag_partial_dict, "school in the City")
+    got = render_response_xml(tags, tag_partial_dict, rows=1)
+    assert 'numFound="2"' in got
+    assert got.count("<doc>") == 1  # rendered docs still capped at rows
+    gj = json.loads(render_response_json(tags, tag_partial_dict, rows=1))
+    assert gj["response"]["numFound"] == 2
+    assert len(gj["response"]["docs"]) == 1
+
+
 def test_format_fl_projection(spark, tag_partial_dict):
     """fl limits the doc fields, like the reference's fl param (S4)."""
     got = render_response_xml(
