@@ -340,6 +340,32 @@ def q_bool_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOOL_PHRASE_QUERIES = [
+    (0, '+"hash join" table'),
+    (1, '+join -"table scan"'),
+    (2, 'text:merge +"key order"'),
+    (3, '+"merge sort" -stream'),
+    (4, '+"row data" +"sort merge"'),
+]
+
+
+def q_bool_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean search with quoted-phrase and fielded clauses: +"exact
+    phrase" filters on contiguity via positional postings while its
+    constituent terms join the MUST scoring set; -"phrase" excludes;
+    `text:term` validates/strips the single-field prefix (reference
+    EmbeddedSolrNoSerializeTest.java:112-115 q=name:Boston)."""
+    from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+
+    idx = _index(spark, sf_dir)
+    out = boolean_bm25_topk(
+        idx, BOOL_PHRASE_QUERIES, k=BM25_K, field="text", spark=spark
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 MLT_PROBES = [0, 1, 2, 3, 4]
 MLT_TERMS = 5
 
@@ -661,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "span_dup_stats": q_span_dup_stats,
         "bool_search": q_bool_search,
+        "bool_phrase": q_bool_phrase,
         "snippets": q_snippets,
         "facets": q_facets,
         "more_like_this": q_more_like_this,
@@ -742,7 +769,7 @@ def _bool_oracle() -> str:
 
     score_vals, not_vals, must_vals = [], [], []
     for qid, q in BOOL_QUERIES:
-        must, should, must_not = parse_boolean_query(q)
+        must, should, must_not, _mp, _np = parse_boolean_query(q)
         must_vals.append(f"({qid}, {len(must)})")
         for term, qtf in sorted(must.items()):
             score_vals.append(f"({qid}, '{term}', {qtf}, 1)")
@@ -781,6 +808,91 @@ ok AS (
     AND NOT EXISTS (SELECT 1 FROM proh p JOIN tok t
                     ON t.term = p.term AND t.doc_id = sc.doc_id
                     WHERE p.query_id = sc.query_id)
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank,
+         doc_id, round(score, 4) AS score
+  FROM ok
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
+def _bool_phrase_oracle() -> str:
+    """Boolean-with-phrases oracle: the _bool_oracle scoring CTEs (phrase
+    constituents are already folded into MUST by the SAME parse the
+    operator uses), plus contiguity filters expressed as LIKE over the
+    space-clean text (' a b ' LIKE '% hash join %' == token contiguity on
+    the driver's single-space corpus)."""
+    from solrtexttagger_spark.search.boolean import parse_boolean_query
+
+    score_vals, not_vals, must_vals, req_vals, proh_vals = [], [], [], [], []
+    for qid, q in BOOL_PHRASE_QUERIES:
+        must, should, must_not, mphr, nphr = parse_boolean_query(q, field="text")
+        must_vals.append(f"({qid}, {len(must)})")
+        for term, qtf in sorted(must.items()):
+            score_vals.append(f"({qid}, '{term}', {qtf}, 1)")
+        for term, qtf in sorted(should.items()):
+            score_vals.append(f"({qid}, '{term}', {qtf}, 0)")
+        for term in sorted(must_not):
+            not_vals.append(f"({qid}, '{term}')")
+        for toks in sorted(set(mphr)):
+            req_vals.append(f"({qid}, '{' '.join(toks)}')")
+        for toks in sorted(set(nphr)):
+            proh_vals.append(f"({qid}, '{' '.join(toks)}')")
+    empty = "(SELECT NULL::BIGINT, NULL::VARCHAR WHERE false)"
+    proh_cte = (
+        f"proh(query_id, term) AS (VALUES {', '.join(not_vals)})"
+        if not_vals
+        else f"proh(query_id, term) AS {empty}"
+    )
+    reqp_cte = (
+        f"reqp(query_id, phrase) AS (VALUES {', '.join(req_vals)})"
+        if req_vals
+        else f"reqp(query_id, phrase) AS {empty}"
+    )
+    prohp_cte = (
+        f"prohp(query_id, phrase) AS (VALUES {', '.join(proh_vals)})"
+        if proh_vals
+        else f"prohp(query_id, phrase) AS {empty}"
+    )
+    return f"""
+WITH {_TOK_CTE},
+q(query_id, term, qtf, is_must) AS (VALUES {', '.join(score_vals)}),
+nm(query_id, n_must) AS (VALUES {', '.join(must_vals)}),
+{proh_cte},
+{reqp_cte},
+{prohp_cte},
+df_t AS (SELECT term, count(*)::DOUBLE AS df FROM tok GROUP BY 1),
+scores AS (
+  SELECT q.query_id::BIGINT AS query_id, tok.doc_id,
+         sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (tok.tf::DOUBLE * 2.2) / (tok.tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+              * q.qtf ) AS score,
+         count(DISTINCT CASE WHEN q.is_must = 1 THEN q.term END) AS mp
+  FROM q
+  JOIN tok USING (term)
+  JOIN df_t d USING (term)
+  JOIN dl ON dl.doc_id = tok.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ok AS (
+  SELECT sc.query_id, sc.doc_id, sc.score
+  FROM scores sc JOIN nm ON nm.query_id = sc.query_id
+  WHERE sc.mp = nm.n_must
+    AND NOT EXISTS (SELECT 1 FROM proh p JOIN tok t
+                    ON t.term = p.term AND t.doc_id = sc.doc_id
+                    WHERE p.query_id = sc.query_id)
+    AND NOT EXISTS (SELECT 1 FROM reqp rp
+                    WHERE rp.query_id = sc.query_id
+                      AND NOT EXISTS (SELECT 1 FROM documents d2
+                                      WHERE d2.doc_id = sc.doc_id
+                                        AND ' ' || d2.text || ' ' LIKE '% ' || rp.phrase || ' %'))
+    AND NOT EXISTS (SELECT 1 FROM prohp pp JOIN documents d3 ON d3.doc_id = sc.doc_id
+                    WHERE pp.query_id = sc.query_id
+                      AND ' ' || d3.text || ' ' LIKE '% ' || pp.phrase || ' %')
 ),
 ranked AS (
   SELECT query_id,
@@ -936,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_topk"] = _bm25_oracle()
     sql["wand_topk"] = _bm25_oracle()  # WAND must be rank/score-identical
     sql["bool_search"] = _bool_oracle()
+    sql["bool_phrase"] = _bool_phrase_oracle()
     sql["snippets"] = _snippets_oracle()
     sql["more_like_this"] = _mlt_oracle()
     _fq_terms = ", ".join(f"'{t}'" for t in sorted(FACET_QUERY.split()))

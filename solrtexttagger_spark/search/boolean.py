@@ -1,47 +1,94 @@
 """Boolean keyword search — Solr/Lucene query-syntax subset over the
 inverted index (SURVEY.md §2.4 D1: the reference's `/select` handler
 accepts `+required -prohibited optional` clauses; EmbeddedSolrNoSerialize-
-Test.testSearch `q=name:Boston` is the trivial case).
+Test.java:112-115 testSearch `q=name:Boston` is the trivial fielded case).
 
-Semantics (Lucene BooleanQuery):
-  +term  -> MUST      (doc must contain it)
-  -term  -> MUST_NOT  (doc must not contain it)
-   term  -> SHOULD    (optional; contributes to score; if a query has no
-                       MUST clauses, at least one SHOULD must match)
+Clause syntax:
+  +term          MUST      (doc must contain it)
+  -term          MUST_NOT  (doc must not contain it)
+   term          SHOULD    (optional; contributes to score; if a query has
+                            no MUST clauses, at least one SHOULD must match)
+  field:term     fielded clause — this engine indexes ONE text field, so
+                 the prefix is validated (against ``field`` when given,
+                 else accepted) and stripped; `q=name:Boston` then means
+                 `q=boston`, matching the reference's single-tag-field use
+  +"exact phrase"  MUST phrase: the doc must contain the tokens
+                 CONTIGUOUSLY (positional intersection,
+                 search/phrase.multi_phrase_match); its constituent terms
+                 also join the MUST scoring terms (qtf 1 each), so the
+                 score equals the unquoted parse of the same text and the
+                 quotes only ADD the contiguity filter
+  -"exact phrase"  MUST_NOT phrase: excludes docs containing the
+                 contiguous tokens (constituent terms are NOT prohibited
+                 individually)
+  "exact phrase"   promoted to MUST (documented simplification: an
+                 unscored optional contiguity clause has no effect in this
+                 model, and Lucene's interestingness-weighted optional
+                 phrases are out of scope)
+
 Score = BM25 sum over the MUST + SHOULD terms present in the doc (same
 k1/b/idf as bm25_topk — a pure-OR query is score-identical to it).
 
-Physical shape (all JVM, one shuffle): postings broadcast-joined to the
-scoring terms, exploded, groupBy(query_id, doc_id) aggregating the score
-AND the distinct-MUST-present count in one pass; the MUST filter is a
+Physical shape (all JVM, one shuffle + one per-phrase-batch shuffle):
+postings broadcast-joined to the scoring terms, exploded,
+groupBy(query_id, doc_id) aggregating the score AND the
+distinct-MUST-present count in one pass; the MUST filter is a
 `HAVING`-style post-aggregation predicate against a broadcast per-query
 MUST count; MUST_NOT is a broadcast left_anti join of (query, doc)
-prohibited pairs. No extra pass over the postings for the filters.
+prohibited pairs. ALL phrase clauses across ALL queries resolve in ONE
+extra postings pass (multi_phrase_match), then filter as broadcast
+semi/anti join pairs. No extra pass over the postings for the filters.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from solrtexttagger_spark.analysis.core import tokenize
 from solrtexttagger_spark.index.build import InvertedIndex
 from solrtexttagger_spark.search.bm25 import B, K1
+from solrtexttagger_spark.search.phrase import multi_phrase_match, phrase_terms
+
+_CLAUSE_RE = re.compile(r'([+-]?)(?:([A-Za-z_]\w*):)?(?:"([^"]*)"|(\S+))')
 
 
-def parse_boolean_query(q: str, lowercase: bool = True):
-    """-> (must: dict[term, qtf], should: dict[term, qtf], must_not: set).
-    A term listed both + and bare collapses into MUST (still scored once
-    per occurrence); a term that is also prohibited raises."""
+def parse_boolean_query(q: str, lowercase: bool = True, field: str | None = None):
+    """-> (must: dict[term, qtf], should: dict[term, qtf], must_not: set,
+           must_phrases: list[tuple[str, ...]],
+           not_phrases: list[tuple[str, ...]]).
+
+    MUST-phrase constituent terms are already folded into ``must`` (see
+    module docstring), so callers score from the dicts and only add the
+    contiguity filters from the phrase lists. A term listed both + and
+    bare collapses into MUST (still scored once per occurrence); a term
+    that is also prohibited raises. A ``field:`` prefix must equal
+    ``field`` when one is given (the engine is single-field)."""
     must: dict[str, int] = {}
     should: dict[str, int] = {}
     must_not: set[str] = set()
-    for raw in q.split():
-        role = "should"
-        if raw.startswith("+"):
-            role, raw = "must", raw[1:]
-        elif raw.startswith("-"):
-            role, raw = "not", raw[1:]
-        for w, _s, _e in (t for t in tokenize(raw) if t is not None):
+    must_phrases: list[tuple[str, ...]] = []
+    not_phrases: list[tuple[str, ...]] = []
+    for m in _CLAUSE_RE.finditer(q):
+        prefix, clause_field, phrase, bare = m.groups()
+        if clause_field is not None and field is not None and clause_field != field:
+            raise ValueError(
+                f"unknown field {clause_field!r} (this index has field {field!r})"
+            )
+        role = {"+": "must", "-": "not"}.get(prefix, "should")
+        if phrase is not None:
+            toks = tuple(phrase_terms(phrase, lowercase))
+            if not toks:
+                continue
+            if role == "not":
+                not_phrases.append(toks)
+            else:  # bare phrases promote to MUST (module docstring)
+                must_phrases.append(toks)
+                for t in toks:
+                    must[t] = must.get(t, 0) + 1
+            continue
+        for w, _s, _e in (t for t in tokenize(bare) if t is not None):
             term = w.lower() if lowercase else w
             if role == "not":
                 must_not.add(term)
@@ -55,7 +102,7 @@ def parse_boolean_query(q: str, lowercase: bool = True):
     conflict = (set(must) | set(should)) & must_not
     if conflict:
         raise ValueError(f"terms both required/optional and prohibited: {sorted(conflict)}")
-    return must, should, must_not
+    return must, should, must_not, must_phrases, not_phrases
 
 
 def boolean_bm25_topk(
@@ -65,6 +112,7 @@ def boolean_bm25_topk(
     k: int = 10,
     k1: float = K1,
     b: float = B,
+    field: str | None = None,
     spark: SparkSession | None = None,
 ) -> DataFrame:
     """Top-k BM25 under boolean constraints. queries: [(qid, '+a -b c')].
@@ -73,8 +121,12 @@ def boolean_bm25_topk(
     pure-SHOULD queries."""
     spark = spark or index.postings.sparkSession
     score_rows, not_rows, must_counts = [], [], {}
+    phrase_ids: dict[tuple[str, ...], int] = {}
+    req_rows: list[tuple[int, int]] = []
+    proh_phrase_rows: list[tuple[int, int]] = []
+    req_counts: dict[int, int] = {}
     for qid, q in queries:
-        must, should, must_not = parse_boolean_query(q)
+        must, should, must_not, mphr, nphr = parse_boolean_query(q, field=field)
         must_counts[int(qid)] = len(must)
         for t, qtf in sorted(must.items()):
             score_rows.append((int(qid), t, int(qtf), 1))
@@ -82,6 +134,15 @@ def boolean_bm25_topk(
             score_rows.append((int(qid), t, int(qtf), 0))
         for t in sorted(must_not):
             not_rows.append((int(qid), t))
+        req = set()
+        for toks in mphr:
+            pid = phrase_ids.setdefault(toks, len(phrase_ids))
+            req.add(pid)
+        req_counts[int(qid)] = len(req)
+        req_rows.extend((int(qid), pid) for pid in sorted(req))
+        for toks in nphr:
+            pid = phrase_ids.setdefault(toks, len(phrase_ids))
+            proh_phrase_rows.append((int(qid), pid))
     if not score_rows:
         return spark.createDataFrame(
             [], "query_id long, rank long, doc_id long, score double"
@@ -145,6 +206,34 @@ def boolean_bm25_topk(
             .distinct()
         )
         matched = matched.join(prohibited, ["query_id", "doc_id"], "left_anti")
+    if phrase_ids:
+        # ONE extra postings pass resolves every phrase across every query
+        ordered = [" ".join(t) for t, _ in sorted(phrase_ids.items(), key=lambda kv: kv[1])]
+        pm = multi_phrase_match(index, ordered)
+        if req_rows:
+            reqdf = spark.createDataFrame(req_rows, "query_id long, phrase_id int")
+            hits = (
+                pm.join(F.broadcast(reqdf), "phrase_id")
+                .groupBy("query_id", "doc_id")
+                .agg(F.count_distinct("phrase_id").alias("np"))
+            )
+            rc = F.create_map(*[F.lit(x) for kv in req_counts.items() for x in kv])
+            matched = (
+                matched.join(hits, ["query_id", "doc_id"], "left")
+                .where(
+                    F.coalesce(F.col("np"), F.lit(0))
+                    == rc[F.col("query_id")].cast("long")
+                )
+                .drop("np")
+            )
+        if proh_phrase_rows:
+            pphr = spark.createDataFrame(
+                sorted(set(proh_phrase_rows)), "query_id long, phrase_id int"
+            )
+            proh_pairs = pm.join(F.broadcast(pphr), "phrase_id").select(
+                "query_id", "doc_id"
+            )
+            matched = matched.join(proh_pairs, ["query_id", "doc_id"], "left_anti")
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )

@@ -3,19 +3,21 @@ justifies storing positions in the index (north star: postings carry
 (docID, tf, positions); the reference's tag field omits them,
 schema.xml:52-53, because Lucene handles phrases elsewhere).
 
-All JVM-side: per phrase term, explode that term's postings (query terms
-broadcast into the postings scan, same shape as BM25), then fold adjacency
-with array_intersect over shifted position arrays:
+All JVM-side, ONE pass over the postings for ANY number of phrases:
+the (phrase_id, term_idx, term) rows broadcast into the postings scan
+(same shape as BM25 query terms), positions are shifted by the term's
+offset in its phrase so adjacency becomes set intersection, and one
+groupBy(phrase_id, doc_id) folds the intersection with higher-order
+array functions:
 
   occ_positions(t0..tk, doc) = positions(t0) ∩ (positions(t1) - 1)
                                              ∩ ... ∩ (positions(tk) - k)
 
-A document matches iff the fold is non-empty; n_occurrences = its size.
+A document matches iff every term_idx is present AND the fold is
+non-empty; n_occurrences = its size.
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -30,44 +32,59 @@ def phrase_terms(phrase: str, lowercase: bool = True) -> list[str]:
     ]
 
 
+def multi_phrase_match(
+    index: InvertedIndex, phrases: list[str], *, lowercase: bool = True
+) -> DataFrame:
+    """Match MANY phrases in one postings pass.
+    Returns (phrase_id, doc_id, n_occurrences), phrase_id = position in
+    ``phrases``, n_occurrences >= 1. One shuffle total (the
+    per-(phrase, doc) fold), regardless of phrase count — the batch shape
+    the boolean-query phrase clauses need."""
+    spark = index.postings.sparkSession
+    rows: list[tuple[int, int, str]] = []
+    plens: dict[int, int] = {}
+    for pid, ph in enumerate(phrases):
+        terms = phrase_terms(ph, lowercase)
+        if not terms:
+            raise ValueError(f"empty phrase at index {pid}")
+        plens[pid] = len(terms)
+        rows.extend((pid, i, t) for i, t in enumerate(terms))
+    qdf = spark.createDataFrame(rows, "phrase_id int, term_idx int, term string")
+
+    # one postings scan: phrase terms broadcast in; a doc lives in exactly
+    # one segment, so each (phrase_id, term_idx, doc_id) arrives once
+    ex = (
+        index.postings.join(F.broadcast(qdf), "term")
+        .select("phrase_id", "term_idx", F.explode("postings").alias("p"))
+        .select(
+            "phrase_id",
+            "term_idx",
+            F.col("p.doc_id").alias("doc_id"),
+            F.transform("p.positions", lambda x: x - F.col("term_idx")).alias(
+                "shifted"
+            ),
+        )
+    )
+    g = ex.groupBy("phrase_id", "doc_id").agg(
+        F.count("*").alias("nt"),
+        F.array_sort(F.collect_list(F.struct("term_idx", "shifted"))).alias("arrs"),
+    )
+    plen_map = F.create_map(*[F.lit(x) for kv in plens.items() for x in kv])
+    occ = F.aggregate(
+        F.slice(F.col("arrs"), F.lit(2), F.size("arrs") - 1),
+        F.element_at(F.col("arrs"), 1)["shifted"],
+        lambda acc, s: F.array_intersect(acc, s["shifted"]),
+    )
+    return (
+        g.where(F.col("nt") == plen_map[F.col("phrase_id")])
+        .select("phrase_id", "doc_id", F.size(occ).alias("n_occurrences"))
+        .where(F.col("n_occurrences") > 0)
+    )
+
+
 def phrase_match(index: InvertedIndex, phrase: str) -> DataFrame:
     """Documents containing the exact token phrase.
     Returns (doc_id, n_occurrences), n_occurrences >= 1."""
-    terms = phrase_terms(phrase)
-    if not terms:
+    if not phrase_terms(phrase):
         raise ValueError("empty phrase")
-    spark = index.postings.sparkSession
-
-    qdf = spark.createDataFrame(
-        [(t, i) for i, t in enumerate(terms)], "term string, term_idx int"
-    ).distinct()
-
-    # one pass over postings: query terms broadcast in, positions shifted by
-    # the term's offset in the phrase so adjacency becomes set intersection
-    ex = (
-        index.postings.join(F.broadcast(qdf), "term")
-        .select("term_idx", F.explode("postings").alias("p"))
-        .select(
-            "term_idx",
-            F.col("p.doc_id").alias("doc_id"),
-            F.transform(
-                "p.positions", lambda x: x - F.col("term_idx")
-            ).alias("shifted"),
-        )
-    )
-    per_term = [
-        ex.where(F.col("term_idx") == i).select(
-            "doc_id", F.col("shifted").alias(f"pos_{i}")
-        )
-        for i in range(len(terms))
-    ]
-    joined = reduce(lambda a, b: a.join(b, "doc_id"), per_term)
-    occ = reduce(
-        lambda acc, i: F.array_intersect(acc, F.col(f"pos_{i}")),
-        range(1, len(terms)),
-        F.col("pos_0"),
-    )
-    return (
-        joined.select("doc_id", F.size(occ).alias("n_occurrences"))
-        .where(F.col("n_occurrences") > 0)
-    )
+    return multi_phrase_match(index, [phrase]).select("doc_id", "n_occurrences")

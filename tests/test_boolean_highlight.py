@@ -32,15 +32,53 @@ def index(docs_df):
 
 
 def test_parse_boolean_query():
-    must, should, must_not = parse_boolean_query("+Alpha beta -Gamma beta")
+    must, should, must_not, mp, np_ = parse_boolean_query("+Alpha beta -Gamma beta")
     assert must == {"alpha": 1}
     assert should == {"beta": 2}
     assert must_not == {"gamma"}
+    assert mp == [] and np_ == []
     # a term both bare and +required collapses into MUST with combined qtf
-    m2, s2, _ = parse_boolean_query("+x x")
+    m2, s2, _, _, _ = parse_boolean_query("+x x")
     assert m2 == {"x": 2} and s2 == {}
     with pytest.raises(ValueError):
         parse_boolean_query("+a -a")
+
+
+def test_parse_fielded_clauses():
+    """`q=name:Boston` — the reference's trivial /select case
+    (EmbeddedSolrNoSerializeTest.java:112-115): the single-field prefix is
+    validated and stripped, NOT tokenized into two SHOULD terms."""
+    must, should, must_not, mp, np_ = parse_boolean_query("name:Boston")
+    assert (must, should, must_not) == ({}, {"boston": 1}, set())
+    m2, s2, n2, _, _ = parse_boolean_query("+name:Boston -name:york")
+    assert m2 == {"boston": 1} and s2 == {} and n2 == {"york"}
+    # with field given, the prefix is validated against it
+    m3, s3, _, _, _ = parse_boolean_query("name:Boston", field="name")
+    assert s3 == {"boston": 1}
+    with pytest.raises(ValueError):
+        parse_boolean_query("other:Boston", field="name")
+
+
+def test_parse_phrase_clauses():
+    """Quoted phrases: +"a b" is a MUST contiguity filter whose constituent
+    terms also join the MUST scoring terms; -"a b" only filters; a bare
+    phrase promotes to MUST."""
+    must, should, must_not, mp, np_ = parse_boolean_query('+"alpha beta" gamma')
+    assert must == {"alpha": 1, "beta": 1}
+    assert should == {"gamma": 1}
+    assert mp == [("alpha", "beta")] and np_ == []
+    m2, s2, n2, mp2, np2 = parse_boolean_query('gamma -"alpha beta"')
+    assert m2 == {} and s2 == {"gamma": 1} and n2 == set()
+    assert mp2 == [] and np2 == [("alpha", "beta")]
+    # bare phrase -> MUST
+    m3, _, _, mp3, _ = parse_boolean_query('"alpha beta"')
+    assert m3 == {"alpha": 1, "beta": 1} and mp3 == [("alpha", "beta")]
+    # fielded phrase
+    m4, _, _, mp4, _ = parse_boolean_query('+name:"alpha beta"', field="name")
+    assert m4 == {"alpha": 1, "beta": 1} and mp4 == [("alpha", "beta")]
+    # phrase constituent prohibited elsewhere -> conflict raises
+    with pytest.raises(ValueError):
+        parse_boolean_query('+"alpha beta" -alpha')
 
 
 def _ids(df, qid):
@@ -65,6 +103,35 @@ def test_boolean_must_and_not(spark, index):
     assert set(_ids(out, 2)) == {0, 1}
     assert set(_ids(out, 3)) == {1, 3}
     assert _ids(out, 4) == []
+
+
+def test_boolean_phrase_clauses(spark, index):
+    out = boolean_bm25_topk(
+        index,
+        [
+            (0, '+"alpha beta" gamma'),   # contiguous "alpha beta" -> 0,1
+            (1, '+alpha -"beta gamma"'),  # alpha docs minus doc 0 -> 1,2
+            (2, '+"beta delta"'),         # phrase-only query -> 1,3
+            (3, '+"beta alpha"'),         # reversed order never contiguous
+        ],
+        k=10,
+        spark=spark,
+    )
+    assert set(_ids(out, 0)) == {0, 1}
+    assert set(_ids(out, 1)) == {1, 2}
+    assert set(_ids(out, 2)) == {1, 3}
+    assert _ids(out, 3) == []
+
+
+def test_boolean_fielded_query(spark, index):
+    """`text:alpha` scores identically to `alpha` (single-field engine)."""
+    a = boolean_bm25_topk(index, [(0, "text:alpha")], k=10, field="text", spark=spark)
+    b = boolean_bm25_topk(index, [(0, "alpha")], k=10, spark=spark)
+    norm = lambda df: sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in df.collect()
+    )
+    assert norm(a) == norm(b) and len(norm(a)) > 0
 
 
 def test_boolean_pure_should_rank_identical_to_bm25(spark, index):
