@@ -470,6 +470,15 @@ def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dup_stats(_docs(spark, sf_dir), span=SPAN_DUP_SPAN)
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REMEDIATION (Lee et al. policy): keep the
+    first corpus-wide occurrence of every duplicated token window (order:
+    doc_id, position), trim all later occurrences out of their docs."""
+    from solrtexttagger_spark.ops.dedup import remove_dup_spans
+
+    return remove_dup_spans(_docs(spark, sf_dir), span=SPAN_DUP_SPAN)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solrtexttagger_spark.ops.dedup import ngram_jaccard_pairs
 
@@ -686,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
         "span_dup_stats": q_span_dup_stats,
+        "remove_dup_spans": q_remove_dup_spans,
         "bool_search": q_bool_search,
         "bool_phrase": q_bool_phrase,
         "snippets": q_snippets,
@@ -1270,6 +1280,42 @@ SELECT d.doc_id, coalesce(p.n_spans, 0)::BIGINT AS n_spans,
        coalesce(p.n_dup, 0)::BIGINT AS n_dup_spans,
        round(coalesce(p.n_dup::DOUBLE / p.n_spans::DOUBLE, 0), 4) AS dup_span_fraction
 FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+    sql["remove_dup_spans"] = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id, i - 1 AS pos, {span_gram} AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - {SPAN_DUP_SPAN} + 2)) AS i
+        FROM words WHERE len(w) >= {SPAN_DUP_SPAN})
+),
+-- keep-first rule: occurrences ordered (doc_id, pos); rn=1 is canonical
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+    FROM wins) t WHERE rn > 1
+),
+toks AS (
+  SELECT doc_id, unnest(w) AS tok, unnest(range(0, len(w))) AS p FROM words
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.p FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM dup d
+                    WHERE d.doc_id = t.doc_id
+                      AND d.pos <= t.p AND t.p < d.pos + {SPAN_DUP_SPAN})
+),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY p) AS text_kept
+        FROM kept GROUP BY doc_id),
+nt AS (SELECT doc_id, len(w) AS n FROM words)
+SELECT nt.doc_id, nt.n::BIGINT AS n_tokens,
+       (nt.n - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+       floor((nt.n - coalesce(a.n_kept, 0))::DOUBLE / nt.n::DOUBLE
+             * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+         AS dup_removed_fraction,
+       coalesce(a.text_kept, '') AS text_kept
+FROM nt LEFT JOIN agg a USING (doc_id)
 """
 
     sql["simhash"] = _simhash_oracle()

@@ -300,6 +300,108 @@ def span_dup_stats(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 20,
+) -> DataFrame:
+    """Exact-substring dedup REMEDIATION (the removal step span_dup_stats
+    only measures): keep the FIRST occurrence of every duplicated
+    ``span``-token window corpus-wide, trim every other occurrence out of
+    its document ("Deduplicating Training Data Makes Language Models
+    Better" exact-substring policy).
+
+    Keep-first determinism rule: occurrences of a window are ordered by
+    (doc_id ASC, token position ASC); the minimum is canonical and is
+    never trimmed, all later occurrences are. A token is removed iff it is
+    covered by at least one non-canonical window occurrence, so a
+    duplicated region longer than ``span`` is trimmed as a whole while its
+    first corpus appearance survives verbatim.
+
+    Returns (doc_id, n_tokens, n_removed, dup_removed_fraction,
+    text_kept) — text_kept is the document with removed tokens spliced
+    out (space-joined survivors).
+
+    Scale shape: windows are 60-bit portable hashes, stride 1 (the honest
+    cost of exact-substring dedup: one narrow (g, doc, pos) row per
+    token). The canonical pick is row_number over (g | doc_id, pos) —
+    ONE exchange on the gram hash, no join-back pass over the window
+    rows. Per-doc trim state is the sorted dup-start list, merged into disjoint
+    intervals JVM-side before the per-token coverage test — coverage cost
+    is O(tokens x distinct dup REGIONS), not O(tokens x dup windows)
+    (stride-1 duplicate runs collapse into one interval).
+    """
+    words = _words(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - span),
+        lambda i: _phash(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, span))),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("toks"))
+    wins = base.where(F.size("toks") >= span).select(
+        "doc_id", F.posexplode(grams).alias("pos", "g")
+    )
+    # canonical = rank 1 per gram under (doc_id, pos): ONE exchange on g
+    # (a groupBy-min + join-back would shuffle the window rows twice)
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("g").orderBy(F.col("doc_id"), F.col("pos"))
+    )
+    dups = (
+        wins.withColumn("rn", rn).where(F.col("rn") > 1).select("doc_id", "pos")
+    )
+    starts = dups.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("pos")).alias("starts")
+    )
+
+    # merge sorted starts into disjoint [s, e) intervals (e exclusive)
+    st = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    last = F.element_at  # readability below
+    iv = F.aggregate(
+        st,
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= last(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc, -1)["s"].alias("s"),
+                        F.greatest(last(acc, -1)["e"], s + span).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(s.alias("s"), (s + span).alias("e"))))
+        ),
+    )
+    joined = base.join(starts, "doc_id", "left").select("doc_id", "toks", iv.alias("iv"))
+    kept = F.filter(
+        F.zip_with(
+            "toks",
+            F.sequence(F.lit(0), F.size("toks") - 1),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda x: ~F.exists(
+            F.col("iv"), lambda v: (v["s"] <= x["i"]) & (x["i"] < v["e"])
+        ),
+    )
+    n = F.size("toks")
+    n_removed = (n - F.size(kept)).cast("long")
+    # portable round-half-up (floor(x*1e4+0.5)/1e4): engine round()
+    # builtins disagree on exact .xxxx5 ties (see ops/textqa.quality_score)
+    frac = F.floor(n_removed / n * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+    return joined.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        n_removed.alias("n_removed"),
+        frac.alias("dup_removed_fraction"),
+        F.concat_ws(" ", F.transform(kept, lambda x: x["t"])).alias("text_kept"),
+    )
+
+
 def connected_components(
     edges: DataFrame,
     *,

@@ -129,3 +129,30 @@ def test_span_dup_stats(spark):
     # stride trades granularity for cost but keeps full-dup detection
     out2 = {r["doc_id"]: r for r in span_dup_stats(df, span=4, stride=2).collect()}
     assert out2[1]["n_spans"] == 3 and out2[1]["dup_span_fraction"] == 1.0
+
+
+def test_remove_dup_spans_keep_first(spark):
+    """Exact-substring trim, keep-first rule: the canonical occurrence
+    (min doc_id, then min position) survives verbatim; every later
+    occurrence — cross-doc AND within-doc — is spliced out."""
+    from solrtexttagger_spark.ops.dedup import remove_dup_spans
+
+    docs = [
+        (0, "a b c d e x y z"),          # canonical "a b c d" etc.
+        (1, "p q a b c d e r"),          # dup region a..e trimmed
+        (2, "short text"),               # < span, untouched
+        (3, "a b c d a b c d m n"),      # within-doc repeat trimmed whole
+        (4, "u1 u2 u3 u4 u5"),           # unique, untouched
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_dup_spans(df, span=4).collect()}
+    assert out[0]["text_kept"] == "a b c d e x y z" and out[0]["n_removed"] == 0
+    assert out[1]["text_kept"] == "p q r" and out[1]["n_removed"] == 5
+    assert out[2]["text_kept"] == "short text" and out[2]["n_removed"] == 0
+    # doc3: windows at pos 0 and 4 are dups of doc0's canonical; the two
+    # coverage intervals merge to [0,8) -> only the unique tail survives
+    assert out[3]["text_kept"] == "m n" and out[3]["n_removed"] == 8
+    assert out[3]["dup_removed_fraction"] == 0.8
+    assert out[4]["text_kept"] == "u1 u2 u3 u4 u5"
+    # n_tokens always the ORIGINAL length
+    assert out[1]["n_tokens"] == 8 and out[3]["n_tokens"] == 10
