@@ -111,10 +111,23 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _load(spark, sf_dir, "events")
 
 
+# One InvertedIndex per (session, sf_dir), postings persisted: every
+# /select-surface entry (bm25/wand/bool/phrase/snippets/facets/mlt/
+# term_stats) reads the SAME index, exactly as a serving engine would —
+# without this each entry re-executed the whole tokenize->shuffle build.
+_INDEX_CACHE: dict[tuple[str, str], object] = {}
+
+
 def _index(spark: SparkSession, sf_dir: str):
     from solrtexttagger_spark.index.build import build_index
 
-    return build_index(_docs(spark, sf_dir), use_split=True)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        idx = build_index(_docs(spark, sf_dir), use_split=True)
+        idx.postings = idx.postings.persist()
+        _INDEX_CACHE[key] = idx
+    return idx
 
 
 def _tag_dict(spark: SparkSession):

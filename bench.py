@@ -108,13 +108,24 @@ def main() -> None:
 
     cix = timed("q2a_compress_index", compress)
 
-    # q2b: block-max WAND path over the compressed index (+ prune stats)
+    # q2b: block-max WAND path over the compressed index (+ prune stats).
+    # COLD: fresh caches, pays the one-time term-metadata job. The warm
+    # rerun (q2b2) reads the driver-side caches — the serving-path number.
+    from solrtexttagger_spark.search.wand import reset_query_caches
+
     wand_stats: dict = {}
+    reset_query_caches(cix)
     timed(
         "q2b_wand_topk_10q",
         lambda: wand_topk(
             cix, queries[:10], k=10, spark=spark, prune_stats=wand_stats,
             local_threshold_postings=0,
+        ).collect(),
+    )
+    timed(
+        "q2b2_wand_topk_10q_warm",
+        lambda: wand_topk(
+            cix, queries[:10], k=10, spark=spark, local_threshold_postings=0
         ).collect(),
     )
     extras["wand_segments_total"] = wand_stats.get("segments_total", 0)
@@ -179,6 +190,7 @@ def main() -> None:
     # highlight snippets, facet counts) in one timing
     def select_surface():
         n = _materialize(em.q_bool_search(spark, sf_dir))
+        n += _materialize(em.q_bool_phrase(spark, sf_dir))
         n += _materialize(em.q_snippets(spark, sf_dir))
         n += _materialize(em.q_facets(spark, sf_dir))
         n += _materialize(em.q_more_like_this(spark, sf_dir))
@@ -186,19 +198,25 @@ def main() -> None:
 
     timed("q2g_bool_snippets_facets_mlt", select_surface)
 
-    # q2c: single-query p50/p95 latency over the warm compressed index
-    # (BASELINE.md target metric: top-k query p95)
-    singles = []
-    def single_queries():
+    # q2c: single-query p50/p95 latency, split COLD (caches reset — every
+    # query pays its term-metadata job) vs WARM (identical second pass
+    # over populated caches). BASELINE.md target metric: top-k query p95.
+    singles_cold: list = []
+    singles_warm: list = []
+
+    def single_pass(dest):
         for i in range(20):
             t0 = time.perf_counter()
             wand_topk(cix, [queries[i]], k=10, spark=spark).collect()
-            singles.append(time.perf_counter() - t0)
+            dest.append(time.perf_counter() - t0)
 
-    timed("q2c_wand_20_single_queries", single_queries)
-    srt = sorted(singles)
-    extras["wand_single_query_p50_sec"] = round(srt[len(srt) // 2], 3)
-    extras["wand_single_query_p95_sec"] = round(srt[int(len(srt) * 0.95)], 3)
+    reset_query_caches(cix)
+    timed("q2c_wand_20_single_queries", lambda: single_pass(singles_cold))
+    timed("q2c2_wand_20_single_warm", lambda: single_pass(singles_warm))
+    for tag, arr in (("cold", singles_cold), ("warm", singles_warm)):
+        srt = sorted(arr)
+        extras[f"wand_single_query_p50_{tag}_sec"] = round(srt[len(srt) // 2], 3)
+        extras[f"wand_single_query_p95_{tag}_sec"] = round(srt[int(len(srt) * 0.95)], 3)
 
     # q2d: warm in-memory serving (reference's warmed-searcher QTime shape)
     from solrtexttagger_spark.search.wand import LocalSearcher
@@ -246,6 +264,9 @@ def main() -> None:
 
     # q5d: duplicate-span stats (substring-dedup signal)
     timed("q5d_span_dup_stats", lambda: _materialize(em.q_span_dup_stats(spark, sf_dir)))
+
+    # q5e: exact-substring dedup removal (keep-first trim, Lee et al.)
+    timed("q5e_remove_dup_spans", lambda: _materialize(em.q_remove_dup_spans(spark, sf_dir)))
 
     # q6: SimHash fingerprints
     timed("q6_simhash", lambda: _materialize(em.q_simhash(spark, sf_dir)))
