@@ -396,6 +396,7 @@ def main() -> None:
             cosine_topk,
             ivf_cosine_topk,
             lsh_cosine_topk,
+            pq_cosine_topk,
         )
 
         dim, n_clusters, per = 64, 20, 100
@@ -433,6 +434,16 @@ def main() -> None:
             ivf_got.setdefault(r["probe_id"], set()).add(r["vec_id"])
         res["ann_recall_at10_clustered_ivf"] = round(
             sum(len(ivf_got.get(p, set()) & exact[p]) for p in exact)
+            / sum(len(v) for v in exact.values()), 3
+        )
+        pq_got = {}
+        for r in pq_cosine_topk(
+            cemb, probes, k=10, m=8, ksub=16,
+            n_coarse=32, n_probe=4, rerank_factor=10,
+        ).collect():
+            pq_got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        res["ann_recall_at10_clustered_pq"] = round(
+            sum(len(pq_got.get(p, set()) & exact[p]) for p in exact)
             / sum(len(v) for v in exact.values()), 3
         )
         extras.update(res)

@@ -1,12 +1,15 @@
 """Embedding similarity search over an array<float> column.
 
-Three ANN paths, all deterministic:
+Four ANN paths, all deterministic:
   - cosine_topk: brute-force exact baseline (all JVM: zip_with + aggregate,
     broadcast probes, window top-k).
   - lsh_cosine_topk: random-hyperplane LSH (md5-derived planes), multi-probe
     Hamming neighborhoods — data-oblivious cells, oracle-mirrorable in SQL.
   - ivf_cosine_topk: IVF with deterministic k-means coarse quantization —
     data-following cells; best recall/candidate on clustered corpora.
+  - pq_cosine_topk: product quantization — ADC lookup-table scoring over
+    m-byte codes (64x narrower scan than raw vectors) + exact rerank;
+    the memory-resident-codes scale path.
 cosine_dup_pairs does near-dup PAIR generation with banded hyperplane LSH
 candidates + exact rescoring (the all-pairs theta-join only as
 method='exact' for oracles).
@@ -417,6 +420,266 @@ def ivf_cosine_topk(
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "rank", "vec_id", "cos")
+    )
+
+
+def _pq_sample(emb_df, id_col, vec_col, sample_size):
+    rows = (
+        emb_df.select(
+            F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .orderBy("vec_id")
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot fit PQ on an empty corpus")
+    return np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+
+
+def _lloyd(S: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Deterministic Lloyd k-means (init = first k rows, no RNG)."""
+    C = S[: min(k, len(S))].copy()
+    if len(C) < k:  # degenerate tiny corpus: pad by repeating
+        C = np.vstack([C] * (k // len(C) + 1))[:k]
+    for _ in range(iters):
+        d2 = (S**2).sum(1)[:, None] - 2.0 * (S @ C.T) + (C**2).sum(1)[None, :]
+        a = d2.argmin(1)
+        for c in range(k):
+            if (a == c).any():
+                C[c] = S[a == c].mean(0)
+    return C
+
+
+def pq_fit_coarse(
+    emb_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_coarse: int = 32,
+    iters: int = 8,
+    sample_size: int = 2048,
+) -> list[list[float]]:
+    """Coarse (first-level) centroids for RESIDUAL product quantization,
+    trained driver-side on the deterministic sample (``sample_size``
+    smallest-id vectors, no RNG). Tiny artifact — fit once per index
+    build, persist, pass back via ``centroids=``."""
+    X = _pq_sample(emb_df, id_col, vec_col, sample_size)
+    return [[float(x) for x in row] for row in _lloyd(X, n_coarse, iters)]
+
+
+def pq_fit_codebooks(
+    emb_df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 8,
+    sample_size: int = 2048,
+    centroids: list[list[float]] | None = None,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: ``m`` subspaces x ``ksub`` centroids
+    each, Lloyd k-means on a DETERMINISTIC sample driver-side in numpy —
+    the FAISS-style shape: PQ training is a tiny fixed-cost artifact
+    (m*ksub*dim/m floats), never a corpus-scale job.
+
+    With ``centroids`` (from pq_fit_coarse) the codebooks are trained on
+    RESIDUALS v - c(v): within-cell ranking signal lives in the residual,
+    so residual codebooks resolve neighbors that flat-PQ quantization
+    noise drowns (the IVF-PQ construction). Fit once per index build,
+    persist, pass back via ``codebooks=``."""
+    X = _pq_sample(emb_df, id_col, vec_col, sample_size)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        d2 = (X**2).sum(1)[:, None] - 2.0 * (X @ C.T) + (C**2).sum(1)[None, :]
+        X = X - C[d2.argmin(1)]
+    dsub = dim // m
+    return [
+        [[float(x) for x in row] for row in _lloyd(X[:, j * dsub : (j + 1) * dsub], ksub, iters)]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    emb_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Encode every vector to a coarse cell id + ``m`` small residual
+    codes + its true norm: (vec_id, cid, codes array<int>, norm). ONE
+    Arrow-vectorized pass (numpy argmin per subspace), narrow output — at
+    100 TB this is the point of PQ: the query-time scan reads a few bytes
+    of codes per vector instead of dim*8 bytes of floats (64x for
+    dim=64/m=8). Without ``centroids`` every row gets cid=0 (flat PQ)."""
+    cb = np.asarray(codebooks, dtype=np.float64)  # m x ksub x dsub
+    m, _ksub, dsub = cb.shape
+    cb2 = (cb**2).sum(-1)  # m x ksub
+    C = None if centroids is None else np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("struct<cid:int,codes:array<int>>")
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame(
+                {"cid": pd.Series([], dtype="int32"),
+                 "codes": pd.Series([], dtype=object)}
+            )
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        if C is None:
+            cid = np.zeros(len(X), dtype=np.int32)
+        else:
+            d2 = (X**2).sum(1)[:, None] - 2.0 * (X @ C.T) + (C**2).sum(1)[None, :]
+            cid = d2.argmin(1).astype(np.int32)
+            X = X - C[cid]
+        codes = np.empty((len(X), m), dtype=np.int64)
+        for j in range(m):
+            S = X[:, j * dsub : (j + 1) * dsub]
+            d2 = cb2[j][None, :] - 2.0 * (S @ cb[j].T)  # + |S|^2, const per row
+            codes[:, j] = d2.argmin(1)
+        return pd.DataFrame(
+            {"cid": pd.Series(cid, dtype="int32"),
+             "codes": pd.Series([c.tolist() for c in codes])}
+        )
+
+    base = emb_df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    return base.select(
+        "vec_id",
+        enc("v").alias("e"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("norm"),
+    ).select("vec_id", F.col("e.cid").alias("cid"), F.col("e.codes").alias("codes"), "norm")
+
+
+def pq_cosine_topk(
+    emb_df: DataFrame,
+    probe_ids: list[int],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    n_coarse: int = 0,
+    n_probe: int = 0,
+    rerank_factor: int = 4,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    encoded: DataFrame | None = None,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """PQ approximate cosine top-k — the fourth ANN path (exact / LSH /
+    IVF / PQ). Asymmetric distance computation (ADC): each probe becomes
+    an m x ksub lookup table of subspace dot products against the
+    (residual) codebooks; a stored vector's approximate dot is
+    dot(probe, coarse_centroid[cid]) + the sum of m table lookups on its
+    codes. The top ``k * rerank_factor`` by ADC score are exactly
+    rescored against the full vectors, so every returned cos is TRUE
+    cosine (subset property: exact scores over a PQ-chosen candidate
+    set).
+
+    ``n_coarse`` > 0 enables residual encoding (IVF-PQ): within-cell
+    ranking signal lives in the residual, which flat PQ drowns in
+    quantization noise. ``n_probe`` > 0 additionally restricts the ADC
+    scan to each probe's n_probe nearest cells — the sublinear scan path
+    (fraction ~ n_probe/n_coarse) on top of the 64x-narrower codes.
+
+    Physical shape: one broadcast relation (probe_id, cid, off, lut,
+    pnorm) — n_probe rows per probe carrying the per-cell offset and the
+    shared LUT; the ADC fold is zip_with + element_at + aggregate, pure
+    JVM over the narrow codes relation (no Python in the query hot path;
+    the only pandas UDF is the one-time encode). The rescore joins the
+    small candidate set back to the full vectors via broadcasts. Pass
+    ``centroids``/``codebooks``/``encoded`` to amortize the build across
+    query batches (the production shape)."""
+    spark = emb_df.sparkSession
+    if n_coarse > 0 and centroids is None:
+        centroids = pq_fit_coarse(
+            emb_df, id_col=id_col, vec_col=vec_col, n_coarse=n_coarse
+        )
+    if codebooks is None:
+        codebooks = pq_fit_codebooks(
+            emb_df, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub,
+            centroids=centroids,
+        )
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    C = (
+        np.zeros((1, m * dsub))
+        if centroids is None
+        else np.asarray(centroids, dtype=np.float64)
+    )
+    if encoded is None:
+        encoded = pq_encode(
+            emb_df, codebooks, id_col=id_col, vec_col=vec_col, centroids=centroids
+        )
+    base = emb_df.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    probe_rows = base.where(F.col("vec_id").isin(list(probe_ids))).collect()
+    cells = range(len(C))
+    lut_rows, pv_rows = [], []
+    for r in probe_rows:
+        pv = np.asarray(r["v"], dtype=np.float64)
+        pnorm = float(np.linalg.norm(pv)) or 1.0
+        lut = [
+            [float(cb[j][c] @ pv[j * dsub : (j + 1) * dsub]) for c in range(ksub)]
+            for j in range(m)
+        ]
+        offs = C @ pv  # exact dot(probe, coarse centroid) per cell
+        probe_cells = cells
+        if n_probe > 0 and len(C) > n_probe:
+            # nearest cells by centroid dot — deterministic tie-break on cid
+            order = np.lexsort((np.arange(len(C)), -offs))
+            probe_cells = [int(c) for c in order[:n_probe]]
+        for cid in probe_cells:
+            lut_rows.append((int(r["vec_id"]), int(cid), float(offs[cid]), lut, pnorm))
+        pv_rows.append((int(r["vec_id"]), [float(x) for x in pv], pnorm))
+    ludf = spark.createDataFrame(
+        lut_rows,
+        "probe_id long, cid int, off double, lut array<array<double>>, pnorm double",
+    )
+    adc = F.aggregate(
+        F.zip_with("codes", "lut", lambda c, row: F.element_at(row, c + 1)),
+        F.col("off"),
+        lambda acc, x: acc + x,
+    )
+    approx = (
+        encoded.join(F.broadcast(ludf), "cid")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            (adc / (F.col("pnorm") * F.col("norm"))).alias("acos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("acos").desc(), F.col("vec_id"))
+    cand = (
+        approx.withColumn("arank", F.row_number().over(w))
+        .where(F.col("arank") <= k * rerank_factor)
+        .select("probe_id", "vec_id")
+    )
+    pvdf = spark.createDataFrame(pv_rows, "probe_id long, pv array<double>, pnorm double")
+    rescored = (
+        base.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(pvdf), "probe_id")
+    )
+    cos = _dot(F.col("pv"), F.col("v")) / (F.col("pnorm") * F.col("norm"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    w2 = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        rescored.select("probe_id", "vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("probe_id", "rank", "vec_id", "cos")
     )
