@@ -253,6 +253,60 @@ class LocalSearcher:
             for rank, i in enumerate(order, start=1)
         ]
 
+    def search_boolean(self, query: str, k: int = 10, field: str | None = None):
+        """Warm-path `/select` with boolean clause syntax: `+must -not
+        should field:term` — rank/score-identical to boolean_bm25_topk on
+        the same index (same parse, same BM25 accumulation). Quoted
+        phrase clauses raise: positions are not warmed driver-side (the
+        distributed path serves those). -> [(rank, doc_id, score)]."""
+        from solrtexttagger_spark.search.boolean import parse_boolean_query
+
+        must, should, must_not, mphr, nphr = parse_boolean_query(query, field=field)
+        if mphr or nphr:
+            raise NotImplementedError(
+                "phrase clauses need positional postings; use "
+                "boolean_bm25_topk on the distributed index"
+            )
+        # a MUST term missing from the index matches nothing
+        if any(t not in self.term_postings for t in must):
+            return []
+        all_docs, all_contrib = [], []
+        for term in sorted({**must, **should}):
+            qtf = must.get(term, 0) + should.get(term, 0)
+            entry = self.term_postings.get(term)
+            if entry is None:
+                continue
+            df = self.df[term]
+            idf = math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+            doc_ids, factor = entry
+            all_docs.append(doc_ids)
+            all_contrib.append(idf * qtf * factor)
+        if not all_docs:
+            return []
+        docs = np.concatenate(all_docs)
+        contrib = np.concatenate(all_contrib)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        scores = np.bincount(inv, weights=contrib, minlength=len(uniq))
+        keep = np.ones(len(uniq), dtype=bool)
+        if must:
+            # per-doc count of distinct MUST terms present == len(must)
+            present = np.zeros(len(uniq), dtype=np.int64)
+            for term in must:
+                idx = np.searchsorted(uniq, self.term_postings[term][0])
+                present[idx] += 1
+            keep &= present == len(must)
+        for term in must_not:
+            entry = self.term_postings.get(term)
+            if entry is not None:
+                idx = np.searchsorted(uniq, entry[0])
+                keep[idx[np.take(uniq, idx, mode="clip") == entry[0]]] = False
+        uniq, scores = uniq[keep], scores[keep]
+        order = np.lexsort((uniq, -scores))[:k]
+        return [
+            (rank, int(uniq[i]), float(scores[i]))
+            for rank, i in enumerate(order, start=1)
+        ]
+
 
 def wand_topk(
     cindex: CompressedIndex,

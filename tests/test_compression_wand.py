@@ -357,3 +357,34 @@ def test_local_searcher_fails_fast_on_huge_index(spark, corpus_index):
     # warming an explicit subset bypasses the guard regardless of size
     s = LocalSearcher(c, terms=["w0"], max_blocks=1)
     assert s.search("w0", k=1)
+
+
+def test_local_searcher_boolean_rank_identical(spark, corpus_index):
+    """Warm-path boolean /select: rank/score-identical to the distributed
+    boolean_bm25_topk for +/-/field: clauses; phrase clauses raise (no
+    positions driver-side)."""
+    from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+    from solrtexttagger_spark.search.wand import LocalSearcher
+
+    c = compress_index(corpus_index)
+    searcher = LocalSearcher(c)
+    queries = [
+        (0, "+w0 w1"),
+        (1, "w5 -w0 w80"),
+        (2, "+w0 +w1 -w40"),
+        (3, "text:w5"),
+        (4, "+zzz w0"),   # MUST term absent from index -> empty
+    ]
+    exp = {}
+    for r in boolean_bm25_topk(
+        corpus_index, queries, k=10, field="text", spark=spark
+    ).collect():
+        exp.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in queries:
+        got = searcher.search_boolean(q, k=10, field="text")
+        want = sorted(exp.get(qid, []))
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want], (qid, q)
+        for (_, _, sa), (_, _, sb) in zip(got, want):
+            assert sa == pytest.approx(sb, abs=1e-9)
+    with pytest.raises(NotImplementedError):
+        searcher.search_boolean('+"w0 w1"')

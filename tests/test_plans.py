@@ -191,3 +191,20 @@ def test_cosine_dup_pairs_no_nested_loop(spark):
     got = {(r["a_vec_id"], r["b_vec_id"], r["cos"]) for r in lsh.collect()}
     want = {(r["a_vec_id"], r["b_vec_id"], r["cos"]) for r in exact.collect()}
     assert got <= want and len(want) > 0
+
+
+def test_remove_dup_spans_plan_jvm_three_exchanges(spark, docs_df):
+    """Exact-substring trim stays JVM-only (no Python stages) and its
+    shuffles stay at exactly three: window rows -> Exchange(g) for the
+    row_number canonical pick, dup starts -> Exchange(doc_id), and the
+    base join back on doc_id. A groupBy+join canonical pick would add a
+    fourth; a Python fallback would add ArrowEvalPython."""
+    from solrtexttagger_spark.ops.dedup import remove_dup_spans
+
+    plan = plan_str(remove_dup_spans(docs_df, span=2))
+    # ("applySchemaToPythonRDD" in the fixture's source line is the test
+    # harness's local relation, not an execution stage)
+    for py_stage in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                     "FlatMapGroupsInPandas"):
+        assert py_stage not in plan, plan
+    assert n_exchanges(plan) == 3, plan
