@@ -353,6 +353,31 @@ def q_bool_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_FQ = "lang = 'en'"
+
+
+def q_bm25_fq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with a Solr filter query: fq restricts the RESULT set (here
+    lang='en') while idf/avgdl stay corpus-wide — Solr fq semantics; the
+    filter is a post-aggregation semi-join, ranks recomputed after."""
+    from solrtexttagger_spark.search.bm25 import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    out = bm25_topk(
+        _index(spark, sf_dir),
+        BM25_QUERIES,
+        k=BM25_K,
+        spark=spark,
+        allowed_docs=docs.where(BM25_FQ).select("doc_id"),
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 BOOL_PHRASE_QUERIES = [
     (0, '+"hash join" table'),
     (1, '+join -"table scan"'),
@@ -711,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_dup_spans": q_remove_dup_spans,
         "bool_search": q_bool_search,
         "bool_phrase": q_bool_phrase,
+        "bm25_fq": q_bm25_fq,
         "snippets": q_snippets,
         "facets": q_facets,
         "more_like_this": q_more_like_this,
@@ -750,7 +776,9 @@ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
 """
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(fq_where: str = "") -> str:
+    """fq_where: optional `WHERE ...` clause applied to the aggregated
+    scores BEFORE ranking (Solr fq: filters results, never idf/avgdl)."""
     from solrtexttagger_spark.search.bm25 import analyze_query_terms
 
     vals = []
@@ -779,6 +807,7 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank,
          doc_id, round(score, 4) AS score
   FROM scores
+  {fq_where}
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM ranked WHERE rank <= {BM25_K}
 """
@@ -1072,6 +1101,9 @@ def oracle_sql() -> dict[str, str]:
     sql["wand_topk"] = _bm25_oracle()  # WAND must be rank/score-identical
     sql["bool_search"] = _bool_oracle()
     sql["bool_phrase"] = _bool_phrase_oracle()
+    sql["bm25_fq"] = _bm25_oracle(
+        f"WHERE doc_id IN (SELECT doc_id FROM documents WHERE {BM25_FQ})"
+    )
     sql["snippets"] = _snippets_oracle()
     sql["more_like_this"] = _mlt_oracle()
     _fq_terms = ", ".join(f"'{t}'" for t in sorted(FACET_QUERY.split()))

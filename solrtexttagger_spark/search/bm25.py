@@ -63,6 +63,7 @@ def bm25_topk(
     b: float = B,
     spark: SparkSession | None = None,
     strategy: str = "segmented",
+    allowed_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 per query. ``queries`` is a list[(query_id, text)] or a
     DataFrame(query_id, term, qtf). Returns
@@ -79,7 +80,18 @@ def bm25_topk(
     JVM-side, but the shuffle key set is near-unique (~one row per
     (query, matching doc)), which caps scaling on large corpora; prefer
     'segmented' for batch workloads at scale.
+
+    ``allowed_docs`` (a relation with a doc_id column) is Solr's `fq`:
+    results are restricted to the allowed set, but idf/avgdl stay
+    CORPUS-WIDE (Solr filter queries never change scoring stats), so the
+    filter is a post-aggregation semi-join before the rank window —
+    Catalyst pushes whatever predicate produced ``allowed_docs`` into its
+    own scan. Forces the exploded strategy: the segmented scorer emits
+    per-segment top-k BEFORE any filter could apply, which would be
+    rank-wrong under fq.
     """
+    if allowed_docs is not None:
+        strategy = "exploded"
     if strategy == "segmented":
         if isinstance(queries, DataFrame):
             # the query table is tiny by contract (it broadcasts in the
@@ -132,6 +144,10 @@ def bm25_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c").alias("score"))
     )
+    if allowed_docs is not None:
+        scores = scores.join(
+            allowed_docs.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )

@@ -113,12 +113,15 @@ def boolean_bm25_topk(
     k1: float = K1,
     b: float = B,
     field: str | None = None,
+    allowed_docs: DataFrame | None = None,
     spark: SparkSession | None = None,
 ) -> DataFrame:
     """Top-k BM25 under boolean constraints. queries: [(qid, '+a -b c')].
     Returns (query_id, rank, doc_id, score) — rank long, deterministic
     (score desc, doc_id asc) tie-break, rank-identical to bm25_topk for
-    pure-SHOULD queries."""
+    pure-SHOULD queries. ``allowed_docs`` is Solr's `fq` (see
+    search/bm25.bm25_topk): restricts results via a semi-join on the
+    matched set before the rank window, never the scoring stats."""
     spark = spark or index.postings.sparkSession
     score_rows, not_rows, must_counts = [], [], {}
     phrase_ids: dict[tuple[str, ...], int] = {}
@@ -234,6 +237,10 @@ def boolean_bm25_topk(
                 "query_id", "doc_id"
             )
             matched = matched.join(proh_pairs, ["query_id", "doc_id"], "left_anti")
+    if allowed_docs is not None:
+        matched = matched.join(
+            allowed_docs.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )

@@ -166,3 +166,24 @@ def test_wand_edge_cases(spark, index):
     c = compress_index(index)
     assert wand_topk(c, [(0, "zzz")], k=5, spark=spark).count() == 0
     assert wand_topk(c, [], k=5, spark=spark).count() == 0
+
+
+def test_bm25_fq_solr_semantics(spark, docs_df, index):
+    """Solr fq: restricts the RESULT set but never the scoring stats — a
+    doc surviving the filter keeps the exact score it had unfiltered, and
+    ranks are recomputed within the allowed set."""
+    from solrtexttagger_spark.search.bm25 import bm25_topk
+
+    q = [(0, "fast filter")]
+    full = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(index, q, k=100, spark=spark).collect()
+    }
+    allowed = docs_df.where("doc_id % 2 = 0").select("doc_id")
+    out = bm25_topk(index, q, k=100, spark=spark, allowed_docs=allowed).collect()
+    assert out, "fq result should be non-empty"
+    assert all(r["doc_id"] % 2 == 0 for r in out)
+    for r in out:
+        assert r["score"] == full[r["doc_id"]]  # idf/avgdl untouched
+    # ranks are dense 1..n within the filtered set
+    assert sorted(r["rank"] for r in out) == list(range(1, len(out) + 1))
