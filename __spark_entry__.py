@@ -426,6 +426,7 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FACET_QUERY = "join merge window"
 FACET_FIELDS = ["lang", "source"]
+FACET_RANGE = ("n_chars", 0, 400, 50)  # col, start, end, gap
 
 
 def q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,6 +437,18 @@ def q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facet_counts(
         idx, _docs(spark, sf_dir), FACET_QUERY, FACET_FIELDS, spark=spark
     ).select("field", "value", F.col("n").cast("long").alias("n"))
+
+
+def q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet.range over the match set: zero-filled bucket counts of
+    n_chars in [0,400) at gap 50 (mincount=0 — every bucket present)."""
+    from solrtexttagger_spark.search.facets import facet_ranges
+
+    col, lo, hi, gap = FACET_RANGE
+    return facet_ranges(
+        _index(spark, sf_dir), _docs(spark, sf_dir), FACET_QUERY,
+        col, lo, hi, gap, spark=spark,
+    )
 
 
 SNIPPET_WINDOW = 8
@@ -739,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fq": q_bm25_fq,
         "snippets": q_snippets,
         "facets": q_facets,
+        "facet_range": q_facet_range,
         "more_like_this": q_more_like_this,
         "doc_sample": q_doc_sample,
         "doc_sample_stratified": q_doc_sample_stratified,
@@ -1120,6 +1134,24 @@ WITH matched AS (
 matched_docs AS (SELECT d.* FROM documents d JOIN matched USING (doc_id)),
 fv AS ({_facet_arms})
 SELECT field, value, count(*)::BIGINT AS n FROM fv GROUP BY 1, 2
+"""
+    _fr_col, _fr_lo, _fr_hi, _fr_gap = FACET_RANGE
+    sql["facet_range"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w IN ({_fq_terms})
+),
+b AS (
+  SELECT (floor(({_fr_col} - {_fr_lo}) / {_fr_gap}) * {_fr_gap} + {_fr_lo})::BIGINT AS range_start,
+         count(*) AS n
+  FROM documents JOIN matched USING (doc_id)
+  WHERE {_fr_col} >= {_fr_lo} AND {_fr_col} < {_fr_hi}
+  GROUP BY 1
+),
+spine AS (SELECT unnest(range({_fr_lo}, {_fr_hi}, {_fr_gap}))::BIGINT AS range_start)
+SELECT s.range_start, coalesce(b.n, 0)::BIGINT AS n
+FROM spine s LEFT JOIN b USING (range_start)
 """
     sql["bm25_exploded"] = _bm25_oracle()  # both strategies, same oracle
 

@@ -193,6 +193,8 @@ def main() -> None:
         n += _materialize(em.q_bool_phrase(spark, sf_dir))
         n += _materialize(em.q_snippets(spark, sf_dir))
         n += _materialize(em.q_facets(spark, sf_dir))
+        n += _materialize(em.q_facet_range(spark, sf_dir))
+        n += _materialize(em.q_bm25_fq(spark, sf_dir))
         n += _materialize(em.q_more_like_this(spark, sf_dir))
         return n
 

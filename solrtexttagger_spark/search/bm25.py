@@ -64,6 +64,7 @@ def bm25_topk(
     spark: SparkSession | None = None,
     strategy: str = "segmented",
     allowed_docs: DataFrame | None = None,
+    start: int = 0,
 ) -> DataFrame:
     """Top-k BM25 per query. ``queries`` is a list[(query_id, text)] or a
     DataFrame(query_id, term, qtf). Returns
@@ -89,9 +90,20 @@ def bm25_topk(
     own scan. Forces the exploded strategy: the segmented scorer emits
     per-segment top-k BEFORE any filter could apply, which would be
     rank-wrong under fq.
+
+    ``start`` is Solr's result-page offset: rows with
+    start < rank <= start + k are returned, rank staying the ABSOLUTE
+    position (Solr start/rows pagination; the candidate window widens to
+    start + k so the page is exact in every strategy).
     """
     if allowed_docs is not None:
         strategy = "exploded"
+    if start:
+        out = bm25_topk(
+            index, queries, k=start + k, k1=k1, b=b, spark=spark,
+            strategy=strategy, allowed_docs=allowed_docs,
+        )
+        return out.where(F.col("rank") > start)
     if strategy == "segmented":
         if isinstance(queries, DataFrame):
             # the query table is tiny by contract (it broadcasts in the

@@ -73,3 +73,58 @@ def facet_counts(
             .drop("__r")
         )
     return counts.select("field", "value", "n")
+
+
+def facet_ranges(
+    index: InvertedIndex,
+    docs_df: DataFrame,
+    query: str,
+    col: str,
+    start: int,
+    end: int,
+    gap: int,
+    *,
+    id_col: str = "doc_id",
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Solr `facet.range` over the query's match set: bucket counts for
+    [start, start+gap), [start+gap, ...), up to ``end`` — EVERY bucket is
+    returned, zero-filled (Solr's mincount=0 default), so the row count
+    is deterministic: ceil((end-start)/gap). Values outside [start, end)
+    are not counted (Solr's include default; no before/after rows).
+    Returns (range_start long, n long) ordered by range_start.
+
+    Shape: the distinct match set (narrow doc ids, postings broadcast
+    join as facet_counts) joins the corpus once; the bucket key is pure
+    arithmetic; a tiny literal bucket spine left-joins the counts to
+    zero-fill — no shuffle beyond the one groupBy."""
+    if gap <= 0 or end <= start:
+        raise ValueError("need gap > 0 and end > start")
+    spark = spark or docs_df.sparkSession
+    terms = sorted(analyze_query_terms(query))
+    if not terms:
+        return spark.createDataFrame([], "range_start long, n long")
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    matched = (
+        index.postings.join(F.broadcast(tdf), "term")
+        .select(F.explode("postings.doc_id").alias(id_col))
+        .distinct()
+    )
+    c = F.col(col)
+    bucket = (F.floor((c - start) / gap) * gap + start).cast("long")
+    counts = (
+        docs_df.join(matched, id_col)
+        .where((c >= start) & (c < end))
+        .groupBy(bucket.alias("range_start"))
+        .agg(F.count("*").alias("n"))
+    )
+    spine = spark.range(start, end, gap).select(
+        F.col("id").cast("long").alias("range_start")
+    )
+    return (
+        spine.join(counts, "range_start", "left")
+        .select(
+            "range_start", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+        )
+        .orderBy("range_start")
+    )

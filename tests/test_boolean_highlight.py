@@ -221,3 +221,28 @@ def test_more_like_this(spark, docs_df, index):
     again = more_like_this(index, docs_df, [0, 4], n_terms=3, k=3, spark=spark).collect()
     norm = lambda rs: sorted((r["query_id"], r["rank"], r["doc_id"]) for r in rs)
     assert norm(rows) == norm(again)
+
+
+def test_facet_ranges_zero_filled(spark, docs_df, index):
+    """facet.range: every bucket in [start, end) present (mincount=0),
+    out-of-range values not counted, bucket arithmetic exact."""
+    from solrtexttagger_spark.search.facets import facet_ranges
+
+    attrs = docs_df.withColumn("nc", F.length("text"))
+    out = facet_ranges(
+        index, attrs, "alpha", "nc", 0, 40, 10, spark=spark
+    ).collect()
+    assert [r["range_start"] for r in out] == [0, 10, 20, 30]
+    assert sum(r["n"] for r in out) > 0
+    # cross-check each bucket against a direct count of matched docs
+    matched = {
+        r["doc_id"]: r["nc"]
+        for r in attrs.join(
+            docs_df.where(F.col("text").contains("alpha")).select("doc_id"),
+            "doc_id",
+        ).collect()
+    }
+    for r in out:
+        lo = r["range_start"]
+        want = sum(1 for v in matched.values() if lo <= v < lo + 10 and v < 40)
+        assert r["n"] == want, (lo, r["n"], want)

@@ -187,3 +187,28 @@ def test_bm25_fq_solr_semantics(spark, docs_df, index):
         assert r["score"] == full[r["doc_id"]]  # idf/avgdl untouched
     # ranks are dense 1..n within the filtered set
     assert sorted(r["rank"] for r in out) == list(range(1, len(out) + 1))
+
+
+def test_bm25_start_pagination(spark, index):
+    """Solr start/rows: page 2 continues exactly where page 1 ended, with
+    ABSOLUTE ranks, in both strategies."""
+    from solrtexttagger_spark.search.bm25 import bm25_topk
+
+    q = [(0, "fast filter key")]
+    for strategy in ("segmented", "exploded"):
+        full = sorted(
+            (r["rank"], r["doc_id"], r["score"])
+            for r in bm25_topk(index, q, k=6, spark=spark, strategy=strategy).collect()
+        )
+        p1 = sorted(
+            (r["rank"], r["doc_id"], r["score"])
+            for r in bm25_topk(index, q, k=3, spark=spark, strategy=strategy).collect()
+        )
+        p2 = sorted(
+            (r["rank"], r["doc_id"], r["score"])
+            for r in bm25_topk(
+                index, q, k=3, start=3, spark=spark, strategy=strategy
+            ).collect()
+        )
+        assert p1 + p2 == full, strategy
+        assert [r for r, _, _ in p2] == [4, 5, 6]
