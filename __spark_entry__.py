@@ -354,6 +354,27 @@ def q_bool_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BM25_FQ = "lang = 'en'"
+BM25_FL = ["lang", "source", "n_chars"]
+
+
+def q_bm25_fl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/select with stored-field retrieval: top-k hits carry the fl
+    projection (lang, source, n_chars) joined from the corpus — Solr
+    returns stored fields with each hit, not bare ids."""
+    from solrtexttagger_spark.search.select import select_topk
+
+    out = select_topk(
+        _index(spark, sf_dir), _docs(spark, sf_dir), BM25_QUERIES,
+        fl=BM25_FL, k=BM25_K, spark=spark,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "lang", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
 
 
 def q_bm25_fq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -750,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_search": q_bool_search,
         "bool_phrase": q_bool_phrase,
         "bm25_fq": q_bm25_fq,
+        "bm25_fl": q_bm25_fl,
         "snippets": q_snippets,
         "facets": q_facets,
         "facet_range": q_facet_range,
@@ -1117,6 +1139,11 @@ def oracle_sql() -> dict[str, str]:
     sql["bool_phrase"] = _bool_phrase_oracle()
     sql["bm25_fq"] = _bm25_oracle(
         f"WHERE doc_id IN (SELECT doc_id FROM documents WHERE {BM25_FQ})"
+    )
+    _fl_cols = ", ".join(f"d.{c}" for c in BM25_FL)
+    sql["bm25_fl"] = (
+        f"SELECT r.query_id, r.rank, r.doc_id, r.score, {_fl_cols}\n"
+        f"FROM ({_bm25_oracle()}) r JOIN documents d USING (doc_id)"
     )
     sql["snippets"] = _snippets_oracle()
     sql["more_like_this"] = _mlt_oracle()

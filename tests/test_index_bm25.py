@@ -8,6 +8,7 @@ import math
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from solrtexttagger_spark.analysis.core import tokenize
 from solrtexttagger_spark.index.build import build_index, with_doc_ids
@@ -212,3 +213,21 @@ def test_bm25_start_pagination(spark, index):
         )
         assert p1 + p2 == full, strategy
         assert [r for r, _, _ in p2] == [4, 5, 6]
+
+
+def test_select_topk_stored_fields(spark, docs_df, index):
+    """/select fl projection: ranked set identical to bm25_topk, each hit
+    carrying the requested stored fields from the corpus."""
+    from solrtexttagger_spark.search.select import select_topk
+
+    attrs = docs_df.withColumn("nc", F.length("text"))
+    q = [(0, "fast filter"), (1, "key value")]
+    base = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in bm25_topk(index, q, k=5, spark=spark).collect()
+    }
+    out = select_topk(index, attrs, q, fl=["nc"], k=5, spark=spark).collect()
+    assert {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in out} == base
+    lens = {r["doc_id"]: r["nc"] for r in attrs.collect()}
+    for r in out:
+        assert r["nc"] == lens[r["doc_id"]]
