@@ -84,20 +84,19 @@ def bm25_topk(
 
     ``allowed_docs`` (a relation with a doc_id column) is Solr's `fq`:
     results are restricted to the allowed set, but idf/avgdl stay
-    CORPUS-WIDE (Solr filter queries never change scoring stats), so the
-    filter is a post-aggregation semi-join before the rank window —
+    CORPUS-WIDE (Solr filter queries never change scoring stats).
     Catalyst pushes whatever predicate produced ``allowed_docs`` into its
-    own scan. Forces the exploded strategy: the segmented scorer emits
-    per-segment top-k BEFORE any filter could apply, which would be
-    rank-wrong under fq.
+    own scan. In the segmented strategy the allowed ids are co-partitioned
+    with the scoring segments (same pmod(xxhash64, S)) and applied inside
+    the kernel between accumulation and per-segment top-k — distributed,
+    no broadcast; in the exploded strategy it is a post-aggregation
+    semi-join before the rank window.
 
     ``start`` is Solr's result-page offset: rows with
     start < rank <= start + k are returned, rank staying the ABSOLUTE
     position (Solr start/rows pagination; the candidate window widens to
     start + k so the page is exact in every strategy).
     """
-    if allowed_docs is not None:
-        strategy = "exploded"
     if start:
         out = bm25_topk(
             index, queries, k=start + k, k1=k1, b=b, spark=spark,
@@ -113,7 +112,9 @@ def bm25_topk(
                 qbags.setdefault(int(r["query_id"]), {})[r["term"]] = int(r["qtf"])
         else:
             qbags = {int(qid): analyze_query_terms(q) for qid, q in queries}
-        return _bm25_topk_segmented(index, qbags, k=k, k1=k1, b=b, spark=spark)
+        return _bm25_topk_segmented(
+            index, qbags, k=k, k1=k1, b=b, spark=spark, allowed_docs=allowed_docs
+        )
     postings = index.postings
     if isinstance(queries, DataFrame):
         qdf = queries
@@ -193,13 +194,22 @@ def _bm25_topk_segmented(
     k1: float = K1,
     b: float = B,
     spark: SparkSession | None = None,
+    allowed_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Exhaustive BM25, segment-aligned (block-max WAND minus the pruning):
     one shuffle of the query-term-filtered postings on seg, vectorized numpy
     scoring per segment, per-segment top-k(+ties), global window. Exact
     because a document's postings live entirely in one segment
     (seg = hash(doc_id) % num_segments, index/build.py).
-    qbags: {query_id: {term: qtf}} (pre-analyzed)."""
+    qbags: {query_id: {term: qtf}} (pre-analyzed).
+
+    ``allowed_docs`` (Solr fq) stays distributed: the allowed ids are
+    CO-PARTITIONED with the scoring unit (seg = the same
+    pmod(xxhash64(doc_id), S) the index uses) and meet each segment's
+    kernel through a cogroup — no driver collect, no broadcast of a
+    potentially corpus-sized filter. Membership is applied between score
+    accumulation and the per-segment top-k, so ranks are exact within the
+    allowed set while idf/avgdl stay corpus-wide (Solr semantics)."""
     spark = spark or index.postings.sparkSession
     terms = sorted({t for bag in qbags.values() for t in bag})
     if not terms:
@@ -227,7 +237,7 @@ def _bm25_topk_segmented(
             qterm_list[qid] = lst
     bc = spark.sparkContext.broadcast((qterm_list, k, k1, b, avgdl))
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _score_pdf(pdf: pd.DataFrame, allowed: "np.ndarray | None") -> pd.DataFrame:
         qterms_, k_, k1_, b_, avgdl_ = bc.value
         term_arrays: dict[str, tuple] = {}
         for term, postings in zip(pdf["term"], pdf["postings"]):
@@ -255,6 +265,16 @@ def _bm25_topk_segmented(
             contrib = np.concatenate(all_contrib)
             uniq, inv = np.unique(docs, return_inverse=True)
             scores = np.bincount(inv, weights=contrib, minlength=len(uniq))
+            if allowed is not None:
+                # fq membership AFTER accumulation (scores are corpus-true)
+                # and BEFORE top-k (ranks exact within the allowed set)
+                idx = np.searchsorted(allowed, uniq)
+                mask = (idx < len(allowed)) & (
+                    np.take(allowed, np.minimum(idx, len(allowed) - 1)) == uniq
+                ) if len(allowed) else np.zeros(len(uniq), dtype=bool)
+                uniq, scores = uniq[mask], scores[mask]
+                if not len(uniq):
+                    continue
             top_d, top_s = _local_topk_with_ties(uniq, scores, k_)
             out_q.extend([qid] * len(top_d))
             out_d.extend(top_d.tolist())
@@ -266,6 +286,12 @@ def _bm25_topk_segmented(
                 "score": pd.Series(out_s, dtype="float64"),
             }
         )
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_pdf(pdf, None)
+
+    def fn_fq(key, pdf: pd.DataFrame, apdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_pdf(pdf, np.sort(apdf["doc_id"].to_numpy(dtype=np.int64)))
 
     # positions are projected AWAY before the shuffle — BM25 never reads
     # them, and they dominate the postings payload
@@ -279,7 +305,22 @@ def _bm25_topk_segmented(
             ),
         ).alias("postings"),
     )
-    scored = narrowed.groupBy("seg").applyInPandas(fn, schema=_SCORE_SCHEMA)
+    if allowed_docs is None:
+        scored = narrowed.groupBy("seg").applyInPandas(fn, schema=_SCORE_SCHEMA)
+    else:
+        allowed = (
+            allowed_docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+            .distinct()
+            .withColumn(
+                "seg",
+                F.pmod(F.xxhash64("doc_id"), F.lit(index.num_segments)).cast("int"),
+            )
+        )
+        scored = (
+            narrowed.groupBy("seg")
+            .cogroup(allowed.groupBy("seg"))
+            .applyInPandas(fn_fq, schema=_SCORE_SCHEMA)
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )

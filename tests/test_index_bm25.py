@@ -181,13 +181,23 @@ def test_bm25_fq_solr_semantics(spark, docs_df, index):
         for r in bm25_topk(index, q, k=100, spark=spark).collect()
     }
     allowed = docs_df.where("doc_id % 2 = 0").select("doc_id")
-    out = bm25_topk(index, q, k=100, spark=spark, allowed_docs=allowed).collect()
-    assert out, "fq result should be non-empty"
-    assert all(r["doc_id"] % 2 == 0 for r in out)
-    for r in out:
-        assert r["score"] == full[r["doc_id"]]  # idf/avgdl untouched
-    # ranks are dense 1..n within the filtered set
-    assert sorted(r["rank"] for r in out) == list(range(1, len(out) + 1))
+    results = {}
+    for strategy in ("segmented", "exploded"):
+        out = bm25_topk(
+            index, q, k=100, spark=spark, allowed_docs=allowed, strategy=strategy
+        ).collect()
+        assert out, "fq result should be non-empty"
+        assert all(r["doc_id"] % 2 == 0 for r in out)
+        for r in out:
+            assert r["score"] == pytest.approx(full[r["doc_id"]], abs=1e-12)
+        # ranks are dense 1..n within the filtered set
+        assert sorted(r["rank"] for r in out) == list(range(1, len(out) + 1))
+        results[strategy] = sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in out
+        )
+    # the cogrouped segmented kernel and the semi-join exploded path agree
+    assert results["segmented"] == results["exploded"]
 
 
 def test_bm25_start_pagination(spark, index):
