@@ -683,3 +683,48 @@ def pq_cosine_topk(
         .where(F.col("rank") <= k)
         .select("probe_id", "rank", "vec_id", "cos")
     )
+
+
+def pq_save(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    path: str,
+    *,
+    centroids: list[list[float]] | None = None,
+) -> dict:
+    """Persist a PQ index next to the corpus it encodes: codes as parquet
+    (the narrow query-time relation), codebooks/centroids as a JSON
+    manifest (tiny driver artifacts). The fit-once-per-index-build
+    production shape: train + encode once, reload for every query batch.
+    Returns the manifest dict."""
+    import json
+    import os
+
+    encoded.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    manifest = {
+        "format": "pq-v1",
+        "m": len(codebooks),
+        "ksub": len(codebooks[0]),
+        "dsub": len(codebooks[0][0]),
+        "residual": centroids is not None,
+        "codebooks": codebooks,
+        "centroids": centroids,
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "pq_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def pq_load(spark, path: str):
+    """-> (encoded DataFrame, codebooks, centroids|None). Inverse of
+    pq_save; pass the three straight into pq_cosine_topk."""
+    import json
+    import os
+
+    with open(os.path.join(path, "pq_manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest.get("format") != "pq-v1":
+        raise ValueError(f"not a pq-v1 manifest: {manifest.get('format')!r}")
+    encoded = spark.read.parquet(os.path.join(path, "codes"))
+    return encoded, manifest["codebooks"], manifest["centroids"]

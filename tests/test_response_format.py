@@ -138,3 +138,51 @@ def test_format_fl_projection(spark, tag_partial_dict):
     )
     assert '<doc><str name="id">1</str></doc>' in got
     assert "London Business School</str></doc>" not in got
+
+
+def test_select_response_golden(spark):
+    """/select writers: Solr result-block shape with numFound = TOTAL
+    match cardinality (not the page size), typed fl elements, maxScore,
+    and start offset; fq shrinks numFound."""
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.search.select import (
+        render_select_json,
+        render_select_xml,
+    )
+
+    docs = [
+        (0, "alpha beta gamma", "en", 10),
+        (1, "alpha alpha delta", "en", 20),
+        (2, "beta delta", "de", 30),
+        (3, "epsilon zeta", "en", 40),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, n long")
+    idx = build_index(df.select("doc_id", "text"), num_segments=2)
+    xml = render_select_xml(idx, df, "alpha beta", fl=["lang", "n"], k=2, spark=spark)
+    assert xml == (
+        '<?xml version="1.0" encoding="UTF-8"?>\n<response>\n'
+        '<result name="response" numFound="3" start="0" maxScore="1.2814">'
+        '<doc><float name="score">1.2814</float><long name="id">0</long>'
+        '<str name="lang">en</str><long name="n">10</long></doc>'
+        '<doc><float name="score">0.9023</float><long name="id">1</long>'
+        '<str name="lang">en</str><long name="n">20</long></doc>'
+        "</result>\n</response>\n"
+    )
+    js = render_select_json(idx, df, "alpha beta", fl=["lang", "n"], k=2, spark=spark)
+    assert js == (
+        '{"response":{"numFound":3,"start":0,"maxScore":1.2814,'
+        '"docs":[{"id":0,"score":1.2814,"lang":"en","n":10},'
+        '{"id":1,"score":0.9023,"lang":"en","n":20}]}}'
+    )
+    # page 2: start offset reported, numFound unchanged
+    xml2 = render_select_xml(
+        idx, df, "alpha beta", fl=["lang"], k=2, start=2, spark=spark
+    )
+    assert 'numFound="3" start="2"' in xml2
+    assert xml2.count("<doc>") == 1  # only doc 2 remains on page 2
+    # fq: numFound counts only allowed matches (Solr semantics)
+    en = df.where("lang = 'en'").select("doc_id")
+    xml3 = render_select_xml(
+        idx, df, "alpha beta", fl=["lang"], k=10, allowed_docs=en, spark=spark
+    )
+    assert 'numFound="2"' in xml3 and "de" not in xml3

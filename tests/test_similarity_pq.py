@@ -139,3 +139,26 @@ def test_pq_artifacts_amortize(spark, clustered):
         clustered, [0, 45], k=5, m=4, ksub=16, n_coarse=8, n_probe=2,
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) == 10
+
+
+def test_pq_save_load_roundtrip(spark, clustered, tmp_path):
+    """Persisted PQ index answers queries identically to the in-memory
+    artifacts (fit once per index build, reload per query batch)."""
+    from solrtexttagger_spark.ops.similarity import pq_fit_coarse, pq_load, pq_save
+
+    cents = pq_fit_coarse(clustered, n_coarse=8)
+    books = pq_fit_codebooks(clustered, m=4, ksub=16, centroids=cents)
+    enc = pq_encode(clustered, books, centroids=cents)
+    path = str(tmp_path / "pq")
+    pq_save(enc, books, path, centroids=cents)
+    enc2, books2, cents2 = pq_load(spark, path)
+    assert books2 == books and cents2 == cents
+    a = pq_cosine_topk(
+        clustered, [0, 45], k=5, n_coarse=8, n_probe=2,
+        centroids=cents, codebooks=books, encoded=enc,
+    ).collect()
+    b = pq_cosine_topk(
+        clustered, [0, 45], k=5, n_coarse=8, n_probe=2,
+        centroids=cents2, codebooks=books2, encoded=enc2,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(b) == 10
