@@ -172,7 +172,14 @@ class LocalSearcher:
         k1: float = K1,
         b: float = B,
         max_blocks: int = 2_000_000,
+        positional_index=None,
     ):
+        """``positional_index`` (the uncompressed InvertedIndex whose
+        postings carry positions — compressed blocks do not) additionally
+        warms per-(term, doc) position arrays for the same term subset,
+        enabling quoted-phrase clauses in search_boolean. Same driver
+        bound as the rest of the warm set: pass ``terms=`` for big
+        indexes."""
         blocks = cindex.blocks
         if terms is not None:
             blocks = blocks.where(F.col("term").isin(list(terms)))
@@ -214,6 +221,44 @@ class LocalSearcher:
                 np.concatenate(docs_parts),
                 np.concatenate(factor_parts),
             )
+        self.term_pos: dict[str, dict[int, np.ndarray]] | None = None
+        if positional_index is not None:
+            pos_rows = positional_index.postings
+            warm_terms = list(raw) if terms is None else list(terms)
+            pos_rows = pos_rows.where(F.col("term").isin(warm_terms))
+            self.term_pos = {}
+            for r in (
+                pos_rows.select("term", F.explode("postings").alias("p"))
+                .select("term", "p.doc_id", "p.positions")
+                .collect()
+            ):
+                self.term_pos.setdefault(r["term"], {})[r["doc_id"]] = np.asarray(
+                    r["positions"], dtype=np.int64
+                )
+
+    def _phrase_docs(self, toks: tuple) -> set:
+        """Docs containing the token sequence contiguously (same shifted
+        position-set intersection as search/phrase.multi_phrase_match,
+        folded driver-side over the warmed position arrays)."""
+        cand: set | None = None
+        for t in toks:
+            pos = self.term_pos.get(t) if self.term_pos else None
+            if not pos:
+                return set()
+            cand = set(pos) if cand is None else cand & set(pos)
+            if not cand:
+                return set()
+        out = set()
+        for d in cand:
+            inter: set | None = None
+            for i, t in enumerate(toks):
+                s = {int(p) - i for p in self.term_pos[t][d]}
+                inter = s if inter is None else inter & s
+                if not inter:
+                    break
+            if inter:
+                out.add(d)
+        return out
 
     def search(self, query: str, k: int = 10, k1: float | None = None, b: float | None = None):
         """-> [(rank, doc_id, score)]. k1/b were baked into the per-doc
@@ -255,16 +300,19 @@ class LocalSearcher:
 
     def search_boolean(self, query: str, k: int = 10, field: str | None = None):
         """Warm-path `/select` with boolean clause syntax: `+must -not
-        should field:term` — rank/score-identical to boolean_bm25_topk on
-        the same index (same parse, same BM25 accumulation). Quoted
-        phrase clauses raise: positions are not warmed driver-side (the
-        distributed path serves those). -> [(rank, doc_id, score)]."""
+        should field:term`, plus `+"quoted phrase"` / `-"quoted phrase"`
+        when the searcher was warmed with ``positional_index=`` —
+        rank/score-identical to boolean_bm25_topk on the same index (same
+        parse, same BM25 accumulation, same shifted-position contiguity).
+        Without positional warm-up, phrase clauses raise (the distributed
+        path serves those). -> [(rank, doc_id, score)]."""
         from solrtexttagger_spark.search.boolean import parse_boolean_query
 
         must, should, must_not, mphr, nphr = parse_boolean_query(query, field=field)
-        if mphr or nphr:
+        if (mphr or nphr) and self.term_pos is None:
             raise NotImplementedError(
-                "phrase clauses need positional postings; use "
+                "phrase clauses need positional postings; warm this "
+                "LocalSearcher with positional_index=, or use "
                 "boolean_bm25_topk on the distributed index"
             )
         # a MUST term missing from the index matches nothing
@@ -300,6 +348,13 @@ class LocalSearcher:
             if entry is not None:
                 idx = np.searchsorted(uniq, entry[0])
                 keep[idx[np.take(uniq, idx, mode="clip") == entry[0]]] = False
+        for toks in mphr:  # MUST phrases: doc must contain the sequence
+            pd_ = self._phrase_docs(toks)
+            keep &= np.isin(uniq, np.fromiter(pd_, np.int64, len(pd_)))
+        for toks in nphr:  # MUST_NOT phrases
+            pd_ = self._phrase_docs(toks)
+            if pd_:
+                keep &= ~np.isin(uniq, np.fromiter(pd_, np.int64, len(pd_)))
         uniq, scores = uniq[keep], scores[keep]
         order = np.lexsort((uniq, -scores))[:k]
         return [

@@ -388,3 +388,34 @@ def test_local_searcher_boolean_rank_identical(spark, corpus_index):
             assert sa == pytest.approx(sb, abs=1e-9)
     with pytest.raises(NotImplementedError):
         searcher.search_boolean('+"w0 w1"')
+
+
+def test_local_searcher_boolean_phrases(spark, corpus_index):
+    """Phrase clauses at the serving layer: a positional warm-up makes
+    search_boolean rank-identical to the distributed boolean_bm25_topk
+    on quoted-phrase queries too."""
+    from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+    from solrtexttagger_spark.search.wand import LocalSearcher
+
+    c = compress_index(corpus_index)
+    plain = LocalSearcher(c)
+    with pytest.raises(NotImplementedError):
+        plain.search_boolean('+"w0 w1"')
+    searcher = LocalSearcher(c, positional_index=corpus_index)
+    queries = [
+        (0, '+"w0 w1"'),
+        (1, 'w5 -"w0 w1"'),
+        (2, '+w40 +"w5 w40"'),
+    ]
+    exp = {}
+    for r in boolean_bm25_topk(corpus_index, queries, k=10, spark=spark).collect():
+        exp.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    nonempty = 0
+    for qid, q in queries:
+        got = searcher.search_boolean(q, k=10)
+        want = sorted(exp.get(qid, []))
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in want], (qid, q)
+        for (_, _, sa), (_, _, sb) in zip(got, want):
+            assert sa == pytest.approx(sb, abs=1e-9)
+        nonempty += bool(got)
+    assert nonempty >= 1  # at least one phrase query actually matched
