@@ -16,7 +16,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from solrtexttagger_spark.index.build import InvertedIndex
-from solrtexttagger_spark.index.compression import encode_postings_block
+from solrtexttagger_spark.index.compression import (
+    encode_positions_block,
+    encode_postings_block,
+)
 
 BLOCK_SCHEMA = T.StructType(
     [
@@ -29,6 +32,12 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("min_dl", T.IntegerType()),
         T.StructField("block", T.BinaryType()),
     ]
+)
+
+# with_positions=True appends a parallel positions block per row (same
+# doc order as `block`) — the compressed phrase-serving path
+POS_BLOCK_SCHEMA = T.StructType(
+    BLOCK_SCHEMA.fields + [T.StructField("pos_block", T.BinaryType())]
 )
 
 
@@ -57,17 +66,27 @@ class CompressedIndex:
 
 
 def compress_index(
-    index: InvertedIndex, *, max_block_postings: int | None = None
+    index: InvertedIndex,
+    *,
+    max_block_postings: int | None = None,
+    with_positions: bool = False,
 ) -> CompressedIndex:
     """Encode each (term, seg) shard into delta+varint blocks with per-block
     block-max metadata. With max_block_postings=None the shard is one block;
     otherwise it is split into chunks of that size (finer pruning bounds for
     very large shards — each block's (max_tf, min_dl) is tight for its doc
-    range)."""
+    range).
+
+    with_positions=True additionally emits a parallel ``pos_block`` per
+    row (delta-varint positions, doc order identical to ``block``), so
+    phrase clauses can be served from the compressed index alone
+    (LocalSearcher(positions=True)); BM25/WAND never read it, and the
+    scoring block stays position-free either way."""
+    schema = POS_BLOCK_SCHEMA if with_positions else BLOCK_SCHEMA
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k.name: [] for k in BLOCK_SCHEMA.fields}
+            out = {k.name: [] for k in schema.fields}
             for term, seg, postings in zip(pdf["term"], pdf["seg"], pdf["postings"]):
                 n = len(postings)
                 doc_ids = np.fromiter(
@@ -75,6 +94,11 @@ def compress_index(
                 )
                 tfs = np.fromiter((p["tf"] for p in postings), dtype=np.int64, count=n)
                 dls = np.fromiter((p["dl"] for p in postings), dtype=np.int64, count=n)
+                plists = (
+                    [np.asarray(p["positions"], dtype=np.int64) for p in postings]
+                    if with_positions
+                    else None
+                )
                 step = max_block_postings or n or 1
                 for blk, lo in enumerate(range(0, n, step)):
                     hi = min(lo + step, n)
@@ -87,10 +111,14 @@ def compress_index(
                     out["max_tf"].append(int(t.max()))
                     out["min_dl"].append(int(l.min()))
                     out["block"].append(encode_postings_block(d, t, l))
+                    if with_positions:
+                        out["pos_block"].append(
+                            encode_positions_block(plists[lo:hi])
+                        )
             yield pd.DataFrame(out)
 
     narrowed = index.postings.select("term", "seg", "postings")
-    blocks = narrowed.mapInPandas(encode, schema=BLOCK_SCHEMA)
+    blocks = narrowed.mapInPandas(encode, schema=schema)
     return CompressedIndex(
         blocks=blocks,
         term_stats=index.term_stats,

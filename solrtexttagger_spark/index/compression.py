@@ -104,3 +104,61 @@ def bm25_upper_bound(max_tf: int, min_dl: int, avgdl: float, k1: float, b: float
     tf = float(max_tf)
     dl = float(min_dl)
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def encode_positions_block(positions_list) -> bytes:
+    """Encode the per-doc position lists of one postings block (same doc
+    order as the companion encode_postings_block):
+
+      varint n_docs
+      n_docs varints of per-doc position counts
+      all positions, delta-varint encoded with the delta RESET at each
+      doc boundary (first position per doc is absolute)
+
+    Positions within a doc are sorted ascending (tokenizer order), so
+    deltas are non-negative and small — the same compression regime as
+    the doc-id deltas."""
+    n_docs = len(positions_list)
+    header = varint_encode(np.array([n_docs], dtype=_U64))
+    if n_docs == 0:
+        return header.tobytes()
+    arrs = [np.ascontiguousarray(p, dtype=np.int64) for p in positions_list]
+    counts = np.array([len(a) for a in arrs], dtype=_U64)
+    flat = (
+        np.concatenate(arrs) if len(arrs) else np.zeros(0, dtype=np.int64)
+    )
+    if len(flat):
+        deltas = np.empty_like(flat)
+        deltas[0] = flat[0]
+        deltas[1:] = flat[1:] - flat[:-1]
+        starts = np.r_[0, np.cumsum(counts.astype(np.int64))[:-1]]
+        deltas[starts] = flat[starts]  # reset at every doc boundary
+    else:
+        deltas = flat
+    parts = [header, varint_encode(counts), varint_encode(deltas.astype(_U64))]
+    return np.concatenate(parts).tobytes()
+
+
+def decode_positions_block(data: bytes):
+    """-> (counts int64 array, flat_positions int64 array). Doc i's
+    positions are flat[offset_i : offset_i + counts[i]] with
+    offset = cumsum(counts) - counts — aligned with the doc order of the
+    companion decode_postings_block."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    vals = varint_decode(b)
+    n_docs = int(vals[0])
+    counts = vals[1 : 1 + n_docs].astype(np.int64)
+    deltas = vals[1 + n_docs :].astype(np.int64)
+    total = int(counts.sum())
+    assert len(deltas) == total, (
+        f"positions block holds {len(deltas)} deltas, expected {total}"
+    )
+    if total == 0:
+        return counts, deltas
+    glob = np.cumsum(deltas)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    # undo the global cumsum across doc boundaries: within doc d,
+    # flat[j] = glob[j] - (glob[start_d] - deltas[start_d])
+    base = np.repeat(glob[starts] - deltas[starts], counts)
+    return counts, glob - base

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types a
 from solrtexttagger_spark.index.compressed import CompressedIndex
 from solrtexttagger_spark.index.compression import (
     bm25_upper_bound,
+    decode_positions_block,
     decode_postings_block,
 )
 from solrtexttagger_spark.search.bm25 import K1, B, analyze_query_terms
@@ -173,13 +174,18 @@ class LocalSearcher:
         b: float = B,
         max_blocks: int = 2_000_000,
         positional_index=None,
+        positions: bool = False,
     ):
-        """``positional_index`` (the uncompressed InvertedIndex whose
-        postings carry positions — compressed blocks do not) additionally
-        warms per-(term, doc) position arrays for the same term subset,
-        enabling quoted-phrase clauses in search_boolean. Same driver
-        bound as the rest of the warm set: pass ``terms=`` for big
-        indexes."""
+        """Two positional warm-up sources (either enables quoted-phrase
+        clauses in search_boolean, same bounded term subset as the rest
+        of the warm set — pass ``terms=`` for big indexes):
+
+        - ``positions=True``: decode the compressed index's own
+          ``pos_block`` column (requires
+          compress_index(with_positions=True)) — self-contained serving,
+          no uncompressed index kept around;
+        - ``positional_index=``: read positions from the uncompressed
+          InvertedIndex's postings arrays."""
         blocks = cindex.blocks
         if terms is not None:
             blocks = blocks.where(F.col("term").isin(list(terms)))
@@ -194,10 +200,18 @@ class LocalSearcher:
                     "warm the query-relevant subset, or raise max_blocks "
                     "deliberately"
                 )
+        if positions and "pos_block" not in cindex.blocks.columns:
+            raise ValueError(
+                "positions=True needs pos_block rows — build the index "
+                "with compress_index(with_positions=True)"
+            )
+        cols = ["term", "block", "df_seg"] + (["pos_block"] if positions else [])
         raw: dict[str, list] = {}
         df_acc: dict[str, int] = {}
-        for r in blocks.select("term", "block", "df_seg").collect():
-            raw.setdefault(r["term"], []).append(bytes(r["block"]))
+        for r in blocks.select(*cols).collect():
+            raw.setdefault(r["term"], []).append(
+                (bytes(r["block"]), bytes(r["pos_block"]) if positions else None)
+            )
             df_acc[r["term"]] = df_acc.get(r["term"], 0) + r["df_seg"]
         self.df = df_acc
         self.n = float(cindex.doc_count)
@@ -207,9 +221,12 @@ class LocalSearcher:
         # k1/b are baked into the factor here, so search() pins them.
         self.k1, self.b = float(k1), float(b)
         self.term_postings: dict[str, tuple] = {}
+        self.term_pos: dict[str, dict[int, np.ndarray]] | None = (
+            {} if positions else None
+        )
         for term, blks in raw.items():
             docs_parts, factor_parts = [], []
-            for blk in blks:
+            for blk, pos_blk in blks:
                 doc_ids, tfs, dls = decode_postings_block(blk)
                 tf = tfs.astype(np.float64)
                 dl = dls.astype(np.float64)
@@ -217,11 +234,17 @@ class LocalSearcher:
                     tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / self.avgdl))
                 )
                 docs_parts.append(doc_ids)
+                if pos_blk is not None:
+                    counts, flat = decode_positions_block(pos_blk)
+                    tp = self.term_pos.setdefault(term, {})
+                    for d, parr in zip(
+                        doc_ids, np.split(flat, np.cumsum(counts))[:-1]
+                    ):
+                        tp[int(d)] = parr
             self.term_postings[term] = (
                 np.concatenate(docs_parts),
                 np.concatenate(factor_parts),
             )
-        self.term_pos: dict[str, dict[int, np.ndarray]] | None = None
         if positional_index is not None:
             pos_rows = positional_index.postings
             warm_terms = list(raw) if terms is None else list(terms)

@@ -419,3 +419,49 @@ def test_local_searcher_boolean_phrases(spark, corpus_index):
             assert sa == pytest.approx(sb, abs=1e-9)
         nonempty += bool(got)
     assert nonempty >= 1  # at least one phrase query actually matched
+
+
+def test_positions_block_roundtrip_and_split(spark, corpus_index):
+    """with_positions: the pos_block column decodes back to the exact
+    per-(term, doc) position lists of the uncompressed index, including
+    under multi-block shard splitting."""
+    from solrtexttagger_spark.index.compression import decode_positions_block
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    want = {}
+    for r in (
+        corpus_index.postings.select(
+            "term", F.explode("postings").alias("p")
+        ).select("term", "p.doc_id", "p.positions")
+    ).collect():
+        want[(r["term"], r["doc_id"])] = list(r["positions"])
+    for mbp in (None, 3):
+        c = compress_index(corpus_index, max_block_postings=mbp, with_positions=True)
+        got = {}
+        for r in c.blocks.select("term", "block", "pos_block").collect():
+            doc_ids, _tf, _dl = decode_postings_block(bytes(r["block"]))
+            counts, flat = decode_positions_block(bytes(r["pos_block"]))
+            for d, parr in zip(doc_ids, np.split(flat, np.cumsum(counts))[:-1]):
+                got[(r["term"], int(d))] = parr.tolist()
+        assert got == want, f"mismatch at max_block_postings={mbp}"
+    # WAND path untouched by the extra column
+    out = wand_topk(c, [(0, "w0 w1")], k=5, spark=spark).collect()
+    assert out
+
+
+def test_local_searcher_phrases_from_compressed(spark, corpus_index):
+    """Self-contained compressed serving: positions=True warms phrase
+    support straight from pos_block rows — identical results to the
+    uncompressed positional_index warm-up."""
+    from solrtexttagger_spark.search.wand import LocalSearcher
+
+    c = compress_index(corpus_index, with_positions=True)
+    a = LocalSearcher(c, positions=True)
+    b = LocalSearcher(c, positional_index=corpus_index)
+    for q in ('+"w0 w1"', 'w5 -"w0 w1"', '+w40 +"w5 w40"'):
+        assert a.search_boolean(q, k=10) == b.search_boolean(q, k=10), q
+    # plain compressed index: positions=True is an explicit error
+    c0 = compress_index(corpus_index)
+    with pytest.raises(ValueError):
+        LocalSearcher(c0, positions=True)
