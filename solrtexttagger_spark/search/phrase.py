@@ -65,6 +65,13 @@ def multi_phrase_match(
             ),
         )
     )
+    return _fold_phrases(ex, plens)
+
+
+def _fold_phrases(ex: DataFrame, plens: dict[int, int]) -> DataFrame:
+    """The per-(phrase, doc) contiguity fold shared by the uncompressed
+    and compressed phrase paths. ``ex``: (phrase_id, term_idx, doc_id,
+    shifted array<long>) with ONE row per (phrase, term, doc)."""
     g = ex.groupBy("phrase_id", "doc_id").agg(
         F.count("*").alias("nt"),
         F.array_sort(F.collect_list(F.struct("term_idx", "shifted"))).alias("arrs"),
@@ -80,6 +87,80 @@ def multi_phrase_match(
         .select("phrase_id", "doc_id", F.size(occ).alias("n_occurrences"))
         .where(F.col("n_occurrences") > 0)
     )
+
+
+def multi_phrase_match_compressed(
+    cindex, phrases: list[str], *, lowercase: bool = True
+) -> DataFrame:
+    """multi_phrase_match over a COMPRESSED index built with
+    compress_index(with_positions=True) — the compressed-only deployment
+    (at scale only the blocks table is persisted; the uncompressed
+    postings are a build intermediate).
+
+    Same plan shape: the (phrase_id, term_idx, term) rows broadcast into
+    the blocks scan (only the phrase terms' blocks are read), one
+    Arrow-batched decode pass turns each block into (phrase_id, term_idx,
+    doc_id, shifted) rows, then the same one-shuffle JVM fold as the
+    uncompressed path. Returns (phrase_id, doc_id, n_occurrences)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from solrtexttagger_spark.index.compression import (
+        decode_positions_block,
+        decode_postings_block,
+    )
+
+    if "pos_block" not in cindex.blocks.columns:
+        raise ValueError(
+            "compressed phrase match needs pos_block rows — build with "
+            "compress_index(with_positions=True)"
+        )
+    spark = cindex.blocks.sparkSession
+    rows: list[tuple[int, int, str]] = []
+    plens: dict[int, int] = {}
+    for pid, ph in enumerate(phrases):
+        terms = phrase_terms(ph, lowercase)
+        if not terms:
+            raise ValueError(f"empty phrase at index {pid}")
+        plens[pid] = len(terms)
+        rows.extend((pid, i, t) for i, t in enumerate(terms))
+    qdf = spark.createDataFrame(rows, "phrase_id int, term_idx int, term string")
+    joined = cindex.blocks.join(F.broadcast(qdf), "term").select(
+        "phrase_id", "term_idx", "block", "pos_block"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_p, out_t, out_d, out_s = [], [], [], []
+            for pid, tix, blk, pblk in zip(
+                pdf["phrase_id"], pdf["term_idx"], pdf["block"], pdf["pos_block"]
+            ):
+                doc_ids, _tf, _dl = decode_postings_block(bytes(blk))
+                counts, flat = decode_positions_block(bytes(pblk))
+                shifted = flat - int(tix)
+                for d, parr in zip(
+                    doc_ids, np.split(shifted, np.cumsum(counts))[:-1]
+                ):
+                    out_p.append(int(pid))
+                    out_t.append(int(tix))
+                    out_d.append(int(d))
+                    out_s.append(parr.tolist())
+            yield pd.DataFrame(
+                {
+                    "phrase_id": pd.Series(out_p, dtype="int32"),
+                    "term_idx": pd.Series(out_t, dtype="int32"),
+                    "doc_id": pd.Series(out_d, dtype="int64"),
+                    "shifted": pd.Series(out_s, dtype=object),
+                }
+            )
+
+    ex = joined.mapInPandas(
+        decode,
+        schema="phrase_id int, term_idx int, doc_id long, shifted array<long>",
+    )
+    return _fold_phrases(ex, plens)
 
 
 def phrase_match(index: InvertedIndex, phrase: str) -> DataFrame:

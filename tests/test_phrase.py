@@ -45,3 +45,30 @@ def test_phrase_match_vs_brute_force(spark, corpus, phrase):
 
 def test_phrase_terms_analysis():
     assert phrase_terms("Hash  JOIN!") == ["hash", "join"]
+
+
+def test_multi_phrase_match_compressed_identity(spark, corpus):
+    """The compressed-path phrase matcher (pos_block decode + shared
+    fold) returns EXACTLY the uncompressed matcher's rows, including
+    under multi-block shard splitting; without positional blocks it
+    raises."""
+    import pytest
+
+    from solrtexttagger_spark.index.compressed import compress_index
+    from solrtexttagger_spark.search.phrase import (
+        multi_phrase_match,
+        multi_phrase_match_compressed,
+    )
+
+    _docs, index = corpus
+    phrases = ["w0 w1", "w1 w0 w1", "w0 w0", "w2 w3"]
+    want = sorted(tuple(r) for r in multi_phrase_match(index, phrases).collect())
+    assert want, "test corpus should contain at least one phrase hit"
+    for mbp in (None, 2):
+        c = compress_index(index, max_block_postings=mbp, with_positions=True)
+        got = sorted(
+            tuple(r) for r in multi_phrase_match_compressed(c, phrases).collect()
+        )
+        assert got == want, f"mismatch at max_block_postings={mbp}"
+    with pytest.raises(ValueError):
+        multi_phrase_match_compressed(compress_index(index), phrases)
