@@ -31,13 +31,16 @@ def facet_counts(
     *,
     id_col: str = "doc_id",
     limit: int | None = None,
+    allowed_docs: DataFrame | None = None,
     spark: SparkSession | None = None,
 ) -> DataFrame:
     """Exact facet counts over the documents matching ``query`` (OR
     semantics — any query term present). Returns
     (field, value, n) with value cast to string (mixed-type facet fields
     union cleanly), ordered within each field by (n desc, value asc),
-    optionally capped at ``limit`` values per field."""
+    optionally capped at ``limit`` values per field. ``allowed_docs`` is
+    Solr's fq: it restricts the facet DOMAIN (Solr facets respect filter
+    queries) via a semi-join on the match set."""
     spark = spark or docs_df.sparkSession
     terms = sorted(analyze_query_terms(query))
     if not terms or not facet_cols:
@@ -48,6 +51,11 @@ def facet_counts(
         .select(F.explode("postings.doc_id").alias(id_col))
         .distinct()
     )
+    if allowed_docs is not None:
+        matched = matched.join(
+            allowed_docs.select(F.col("doc_id").alias(id_col)).distinct(),
+            id_col, "left_semi",
+        )
     joined = docs_df.join(matched, id_col)
     # one exploded (field, value) row per facet col per matched doc: a
     # single groupBy covers every requested field
@@ -85,9 +93,11 @@ def facet_ranges(
     gap: int,
     *,
     id_col: str = "doc_id",
+    allowed_docs: DataFrame | None = None,
     spark: SparkSession | None = None,
 ) -> DataFrame:
-    """Solr `facet.range` over the query's match set: bucket counts for
+    """Solr `facet.range` over the query's match set (``allowed_docs`` =
+    fq, restricting the facet domain like facet_counts): bucket counts for
     [start, start+gap), [start+gap, ...), up to ``end`` — EVERY bucket is
     returned, zero-filled (Solr's mincount=0 default), so the row count
     is deterministic: ceil((end-start)/gap). Values outside [start, end)
@@ -110,6 +120,11 @@ def facet_ranges(
         .select(F.explode("postings.doc_id").alias(id_col))
         .distinct()
     )
+    if allowed_docs is not None:
+        matched = matched.join(
+            allowed_docs.select(F.col("doc_id").alias(id_col)).distinct(),
+            id_col, "left_semi",
+        )
     c = F.col(col)
     bucket = (F.floor((c - start) / gap) * gap + start).cast("long")
     counts = (

@@ -246,3 +246,32 @@ def test_facet_ranges_zero_filled(spark, docs_df, index):
         lo = r["range_start"]
         want = sum(1 for v in matched.values() if lo <= v < lo + 10 and v < 40)
         assert r["n"] == want, (lo, r["n"], want)
+
+
+def test_facets_respect_fq(spark, docs_df, index):
+    """Solr fq restricts the facet domain: counts shrink to the allowed
+    match set in both value and range facets."""
+    from solrtexttagger_spark.search.facets import facet_counts, facet_ranges
+
+    attrs = docs_df.withColumn("nc", F.length("text")).withColumn(
+        "parity", (F.col("doc_id") % 2).cast("string")
+    )
+    full = {
+        (r["field"], r["value"]): r["n"]
+        for r in facet_counts(index, attrs, "alpha", ["parity"], spark=spark).collect()
+    }
+    allowed = docs_df.where("doc_id % 2 = 0").select("doc_id")
+    fq = {
+        (r["field"], r["value"]): r["n"]
+        for r in facet_counts(
+            index, attrs, "alpha", ["parity"], allowed_docs=allowed, spark=spark
+        ).collect()
+    }
+    assert ("parity", "1") not in fq  # odd docs filtered out of the domain
+    assert fq.get(("parity", "0")) == full.get(("parity", "0"))
+    r_full = facet_ranges(index, attrs, "alpha", "nc", 0, 40, 10, spark=spark).collect()
+    r_fq = facet_ranges(
+        index, attrs, "alpha", "nc", 0, 40, 10, allowed_docs=allowed, spark=spark
+    ).collect()
+    assert sum(r["n"] for r in r_fq) <= sum(r["n"] for r in r_full)
+    assert [r["range_start"] for r in r_fq] == [0, 10, 20, 30]  # spine intact
