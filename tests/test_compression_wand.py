@@ -465,3 +465,61 @@ def test_local_searcher_phrases_from_compressed(spark, corpus_index):
     c0 = compress_index(corpus_index)
     with pytest.raises(ValueError):
         LocalSearcher(c0, positions=True)
+
+
+def test_wand_cache_reset_keeps_inflight_query(spark, corpus_index, monkeypatch):
+    """Round-5 advice (medium): a query whose terms are PARTIALLY cached
+    must survive a cap-triggered reset — the reset drops its pre-cached
+    terms, so the fetch list is recomputed to ALL its terms (previously a
+    KeyError on the first overflow query in a long-lived driver)."""
+    import solrtexttagger_spark.search.wand as wmod
+
+    c = compress_index(corpus_index)
+    c.blocks.persist().count()
+    monkeypatch.setattr(wmod, "WAND_META_CACHE_MAX_TERMS", 3)
+    monkeypatch.setattr(wmod, "WAND_BLOCK_CACHE_MAX_TERMS", 3)
+    # warm w0, w1
+    wand_topk(c, [(0, "w0 w1")], k=5, spark=spark,
+              local_threshold_postings=100_000).collect()
+    # w0 is cached, three new terms overflow the cap -> reset mid-query
+    got = wand_topk(c, [(1, "w0 w5 w40 w80")], k=5, spark=spark,
+                    local_threshold_postings=100_000).collect()
+    exp = bm25_topk(corpus_index, [(1, "w0 w5 w40 w80")], k=5, spark=spark).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"])
+    assert sorted(map(key, got)) == sorted(map(key, exp))
+    # distributed path exercises the meta cache the same way
+    wand_topk(c, [(2, "w1 w7")], k=5, spark=spark,
+              local_threshold_postings=0).collect()
+    got2 = wand_topk(c, [(3, "w1 w13 w100 w40")], k=5, spark=spark,
+                     local_threshold_postings=0).collect()
+    exp2 = bm25_topk(corpus_index, [(3, "w1 w13 w100 w40")], k=5, spark=spark).collect()
+    assert sorted(map(key, got2)) == sorted(map(key, exp2))
+
+
+def test_local_searcher_warm_subset_raises_outside(spark, corpus_index):
+    """Round-5 advice: a term outside the terms= warm-up subset is UNKNOWN,
+    not absent — serving it would silently wrong-empty (MUST/phrase) or
+    wrong-keep (MUST_NOT), so every such lookup raises instead."""
+    from solrtexttagger_spark.search.wand import LocalSearcher
+
+    c = compress_index(corpus_index, with_positions=True)
+    s = LocalSearcher(c, terms=["w0", "w1", "w5"], positions=True)
+    # inside the subset: serves fine
+    assert s.search("w0 w1", k=3)
+    assert s.search_boolean("+w0 w5", k=3)
+    # plain search, boolean MUST / SHOULD / MUST_NOT, and phrase tokens
+    with pytest.raises(ValueError, match="warm-up subset"):
+        s.search("w0 w40", k=3)
+    with pytest.raises(ValueError, match="warm-up subset"):
+        s.search_boolean("+w40 w0", k=3)
+    with pytest.raises(ValueError, match="warm-up subset"):
+        s.search_boolean("w0 w40", k=3)
+    with pytest.raises(ValueError, match="warm-up subset"):
+        s.search_boolean("+w0 -w40", k=3)
+    with pytest.raises(ValueError, match="warm-up subset"):
+        s.search_boolean('+"w0 w40"', k=3)
+    # a term genuinely absent from the index on a FULLY warmed searcher
+    # still serves (empty / unfiltered is then correct, not ambiguous)
+    full = LocalSearcher(c)
+    assert full.search("zzz", k=3) == []
+    assert full.search_boolean("+zzz", k=3) == []

@@ -186,3 +186,127 @@ def test_select_response_golden(spark):
         idx, df, "alpha beta", fl=["lang"], k=10, allowed_docs=en, spark=spark
     )
     assert 'numFound="2"' in xml3 and "de" not in xml3
+
+
+def test_select_single_job_and_max_score(spark):
+    """Round-4 verdict #6 + round-5 advice: one action per /select request
+    (numFound/maxScore ride the scoring pass — no second corpus job), and
+    maxScore is the rank-1 score even when start pages past it; an empty
+    page beyond the matches still reports numFound."""
+    # patch the CONCRETE class (pyspark.sql.DataFrame is an ABC in Spark 4)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.search.select import render_select_json, render_select_xml
+
+    docs = [
+        (0, "alpha beta gamma", "en", 10),
+        (1, "alpha alpha delta", "en", 20),
+        (2, "beta delta", "de", 30),
+        (3, "epsilon zeta", "en", 40),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, n long")
+    idx = build_index(df.select("doc_id", "text"), num_segments=2)
+    idx.postings.persist().count()
+    # warm the index's one-time doc_count/avgdl stats (per-index, not
+    # per-request) so the counter below sees only the request's own action
+    render_select_xml(idx, df, "alpha", fl=["lang"], k=1, spark=spark)
+
+    calls = []
+    orig = DataFrame.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    try:
+        DataFrame.collect = counting
+        xml2 = render_select_xml(
+            idx, df, "alpha beta", fl=["lang"], k=2, start=2, spark=spark
+        )
+    finally:
+        DataFrame.collect = orig
+    assert len(calls) == 1  # page + numFound + maxScore in ONE action
+    # maxScore = the rank-1 score (1.2814), NOT the page-2 head score
+    assert 'numFound="3" start="2" maxScore="1.2814"' in xml2
+    assert xml2.count("<doc>") == 1
+    # empty page past the matches: numFound/maxScore still real
+    import json
+
+    js = json.loads(
+        render_select_json(idx, df, "alpha beta", fl=["lang"], k=2, start=10, spark=spark)
+    )
+    assert js["response"]["numFound"] == 3
+    assert js["response"]["maxScore"] == 1.2814
+    assert js["response"]["docs"] == []
+
+
+def test_select_fl_with_id_column(spark):
+    """fl containing the id column must not produce a duplicate/ambiguous
+    column (round-5 advice): it is dropped defensively on every path."""
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.search.select import render_select_xml, select_topk
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta", "en"), (1, "alpha", "de")],
+        "doc_id long, text string, lang string",
+    )
+    idx = build_index(df.select("doc_id", "text"), num_segments=2)
+    out = select_topk(idx, df, [(0, "alpha")], fl=["doc_id", "lang"], k=2, spark=spark)
+    assert out.columns == ["query_id", "rank", "doc_id", "score", "lang"]
+    assert out.count() == 2
+    xml = render_select_xml(idx, df, "alpha", fl=["doc_id", "lang"], k=2, spark=spark)
+    assert xml.count('name="id"') == 2  # id emitted once per doc
+
+
+def test_select_facet_sections_golden(spark):
+    """facet=true sections in the golden /select writers: facet_fields
+    (count desc, value asc) + facet_ranges (zero-filled buckets with
+    gap/start/end), both over the FULL match set and fq-aware."""
+    import json
+
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.search.select import render_select_json, render_select_xml
+
+    docs = [
+        (0, "alpha beta gamma", "en", 10),
+        (1, "alpha alpha delta", "en", 20),
+        (2, "beta delta", "de", 30),
+        (3, "epsilon zeta", "en", 40),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, n long")
+    idx = build_index(df.select("doc_id", "text"), num_segments=2)
+    xml = render_select_xml(
+        idx, df, "alpha beta", fl=["lang"], k=1,
+        facet_cols=["lang"], facet_ranges=[("n", 0, 40, 20)], spark=spark,
+    )
+    assert (
+        '<lst name="facet_counts"><lst name="facet_fields">'
+        '<lst name="lang"><int name="en">2</int><int name="de">1</int></lst>'
+        '</lst><lst name="facet_ranges">'
+        '<lst name="n"><lst name="counts">'
+        '<int name="0">1</int><int name="20">2</int></lst>'
+        '<int name="gap">20</int><int name="start">0</int>'
+        "<int name=\"end\">40</int></lst></lst></lst>\n" in xml
+    )
+    # the plain result block is unchanged by faceting
+    assert 'numFound="3" start="0" maxScore="1.2814"' in xml
+    js = json.loads(
+        render_select_json(
+            idx, df, "alpha beta", fl=["lang"], k=1,
+            facet_cols=["lang"], facet_ranges=[("n", 0, 40, 20)], spark=spark,
+        )
+    )
+    assert js["facet_counts"]["facet_fields"]["lang"] == ["en", 2, "de", 1]
+    assert js["facet_counts"]["facet_ranges"]["n"] == {
+        "counts": ["0", 1, "20", 2], "gap": 20, "start": 0, "end": 40,
+    }
+    # fq restricts the facet domain (Solr: facets respect filter queries)
+    en = df.where("lang = 'en'").select("doc_id")
+    js2 = json.loads(
+        render_select_json(
+            idx, df, "alpha beta", fl=["lang"], k=1,
+            facet_cols=["lang"], allowed_docs=en, spark=spark,
+        )
+    )
+    assert js2["facet_counts"]["facet_fields"]["lang"] == ["en", 2]
