@@ -399,6 +399,33 @@ def q_bm25_fq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wand_fq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND under a Solr filter query (round-4 verdict #2: Solr
+    applies fq to EVERY /select request regardless of scorer, reference
+    TaggerRequestHandler.java:310-351) — must be rank/score-identical to
+    bm25_fq, so it shares that oracle. The allowed ids meet the scoring
+    segments through a co-partitioned cogroup (no broadcast), and pruning
+    thresholds are derived from the filtered scores (sound: a doc subset
+    only lowers true scores under unchanged bounds)."""
+    from solrtexttagger_spark.index.compressed import compress_index
+    from solrtexttagger_spark.search.wand import wand_topk
+
+    idx = _index(spark, sf_dir)
+    c = compress_index(idx)
+    c.blocks.persist().count()
+    docs = _docs(spark, sf_dir)
+    out = wand_topk(
+        c, BM25_QUERIES, k=BM25_K, spark=spark,
+        allowed_docs=docs.where(BM25_FQ).select("doc_id"),
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 BOOL_PHRASE_QUERIES = [
     (0, '+"hash join" table'),
     (1, '+join -"table scan"'),
@@ -771,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_search": q_bool_search,
         "bool_phrase": q_bool_phrase,
         "bm25_fq": q_bm25_fq,
+        "wand_fq": q_wand_fq,
         "bm25_fl": q_bm25_fl,
         "snippets": q_snippets,
         "facets": q_facets,
@@ -1140,6 +1168,8 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_fq"] = _bm25_oracle(
         f"WHERE doc_id IN (SELECT doc_id FROM documents WHERE {BM25_FQ})"
     )
+    # WAND under fq must be rank/score-identical to the exhaustive scorer
+    sql["wand_fq"] = sql["bm25_fq"]
     _fl_cols = ", ".join(f"d.{c}" for c in BM25_FL)
     sql["bm25_fl"] = (
         f"SELECT r.query_id, r.rank, r.doc_id, r.score, {_fl_cols}\n"

@@ -89,10 +89,15 @@ def _score_segment(
     shard_f: dict | None = None,
     cache: dict | None = None,
     stats: dict | None = None,
+    allowed: np.ndarray | None = None,
 ):
     """qterms: [(term, weight=idf*qtf, k1, b, avgdl)];
     term_blocks: {term: [block bytes | (block bytes, f_ub_block)]}.
     Returns (doc_ids, scores) of the local top-k (+ k-th ties).
+    ``allowed`` (sorted doc-id array) is Solr fq membership, applied AFTER
+    accumulation (scores stay corpus-true) and BEFORE top-k (ranks exact
+    within the allowed set) — a doc subset only removes candidates, so
+    every block/segment upper bound stays a sound over-estimate.
 
     Intra-segment block skipping (sound): a block B of term t can be skipped
     for this query when  w_t*f_ub(B) + Σ_{t'≠t} w_t'*f_ub(t', seg) < θ — no
@@ -146,6 +151,17 @@ def _score_segment(
     contrib = np.concatenate(all_contrib)
     uniq, inv = np.unique(docs, return_inverse=True)
     scores = np.bincount(inv, weights=contrib, minlength=len(uniq))
+    if allowed is not None:
+        if len(allowed):
+            idx = np.searchsorted(allowed, uniq)
+            mask = (idx < len(allowed)) & (
+                np.take(allowed, np.minimum(idx, len(allowed) - 1)) == uniq
+            )
+        else:
+            mask = np.zeros(len(uniq), dtype=bool)
+        uniq, scores = uniq[mask], scores[mask]
+        if not len(uniq):
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
     if len(uniq) > k:
         # keep k PLUS everything tied with the k-th score: argpartition alone
         # selects arbitrarily among k-th ties, which could drop the
@@ -307,10 +323,40 @@ class LocalSearcher:
                 out.add(d)
         return out
 
-    def search(self, query: str, k: int = 10, k1: float | None = None, b: float | None = None):
+    @staticmethod
+    def _allowed_arr(allowed_docs) -> np.ndarray:
+        return np.asarray(sorted(allowed_docs), dtype=np.int64)
+
+    @staticmethod
+    def _apply_allowed(uniq: np.ndarray, scores: np.ndarray, allow: np.ndarray):
+        if not len(allow):
+            return uniq[:0], scores[:0]
+        idx = np.searchsorted(allow, uniq)
+        mask = (idx < len(allow)) & (
+            np.take(allow, np.minimum(idx, len(allow) - 1)) == uniq
+        )
+        return uniq[mask], scores[mask]
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        k1: float | None = None,
+        b: float | None = None,
+        *,
+        allowed_docs=None,
+        start: int = 0,
+    ):
         """-> [(rank, doc_id, score)]. k1/b were baked into the per-doc
         factors at warm-up; passing different values here would silently
-        score with the warm-up parameters, so it raises instead."""
+        score with the warm-up parameters, so it raises instead.
+
+        ``allowed_docs`` (an iterable/set of doc ids) is Solr's fq on the
+        serving path — the caller resolves the filter to ids ONCE and
+        reuses it across requests, exactly Solr's filterCache bitset
+        (reference TaggerRequestHandler.java:310-351 applies the cached
+        filter to every request). Scores stay corpus-true; membership is
+        applied before ranking. ``start`` pages with absolute ranks."""
         if k1 is not None and float(k1) != self.k1:
             raise ValueError(
                 f"k1={k1} differs from warm-up k1={self.k1}; rebuild the "
@@ -340,20 +386,34 @@ class LocalSearcher:
         contrib = np.concatenate(all_contrib)
         uniq, inv = np.unique(docs, return_inverse=True)
         scores = np.bincount(inv, weights=contrib, minlength=len(uniq))
-        order = np.lexsort((uniq, -scores))[:k]
+        if allowed_docs is not None:
+            uniq, scores = self._apply_allowed(
+                uniq, scores, self._allowed_arr(allowed_docs)
+            )
+        order = np.lexsort((uniq, -scores))[start : start + k]
         return [
             (rank, int(uniq[i]), float(scores[i]))
-            for rank, i in enumerate(order, start=1)
+            for rank, i in enumerate(order, start=start + 1)
         ]
 
-    def search_boolean(self, query: str, k: int = 10, field: str | None = None):
+    def search_boolean(
+        self,
+        query: str,
+        k: int = 10,
+        field: str | None = None,
+        *,
+        allowed_docs=None,
+        start: int = 0,
+    ):
         """Warm-path `/select` with boolean clause syntax: `+must -not
         should field:term`, plus `+"quoted phrase"` / `-"quoted phrase"`
         when the searcher was warmed with ``positional_index=`` —
         rank/score-identical to boolean_bm25_topk on the same index (same
         parse, same BM25 accumulation, same shifted-position contiguity).
         Without positional warm-up, phrase clauses raise (the distributed
-        path serves those). -> [(rank, doc_id, score)]."""
+        path serves those). ``allowed_docs``/``start`` as in search():
+        precomputed fq doc-id set + absolute-rank paging.
+        -> [(rank, doc_id, score)]."""
         from solrtexttagger_spark.search.boolean import parse_boolean_query
 
         must, should, must_not, mphr, nphr = parse_boolean_query(query, field=field)
@@ -410,10 +470,14 @@ class LocalSearcher:
             if pd_:
                 keep &= ~np.isin(uniq, np.fromiter(pd_, np.int64, len(pd_)))
         uniq, scores = uniq[keep], scores[keep]
-        order = np.lexsort((uniq, -scores))[:k]
+        if allowed_docs is not None:
+            uniq, scores = self._apply_allowed(
+                uniq, scores, self._allowed_arr(allowed_docs)
+            )
+        order = np.lexsort((uniq, -scores))[start : start + k]
         return [
             (rank, int(uniq[i]), float(scores[i]))
-            for rank, i in enumerate(order, start=1)
+            for rank, i in enumerate(order, start=start + 1)
         ]
 
 
@@ -428,10 +492,32 @@ def wand_topk(
     prune_stats: dict | None = None,
     local_threshold_postings: int = 100_000,
     theta_rounds: int = 2,
+    allowed_docs: DataFrame | None = None,
+    start: int = 0,
 ) -> DataFrame:
     """Top-k BM25 via block-max segment pruning. queries: [(qid, text)].
     Returns (query_id, rank, doc_id, score). Pass ``prune_stats={}`` to get
     back {'segments_total', 'segments_scored'}.
+
+    ``allowed_docs`` (a relation with a doc_id column) is Solr's fq,
+    honored on the scale path exactly like bm25_topk (reference:
+    TaggerRequestHandler.java:310-351 applies the filter bitset to EVERY
+    /select request regardless of scorer): the allowed ids are
+    co-partitioned with the scoring segments (the index's own
+    pmod(xxhash64(doc_id), S)) and meet each segment's kernel through a
+    cogroup — no driver collect, no broadcast of a potentially
+    corpus-sized filter. Membership is applied between accumulation and
+    per-segment top-k, so pruning stays SOUND: a doc subset only removes
+    candidates, bounds keep over-estimating, and θ derived from filtered
+    phase-1 scores prunes against the filtered result set. idf/avgdl stay
+    corpus-wide (Solr fq never changes scoring stats). With a filter the
+    driver-local serving path is bypassed (the filter relation is
+    distributed; serving-grade filtered queries use LocalSearcher's
+    precomputed doc-id set — the Solr filterCache analogue).
+
+    ``start`` is Solr's page offset: rows with start < rank <= start + k
+    return, rank staying absolute; pruning thresholds widen to the
+    (start+k)-th score so the page is exact.
 
     Two adaptive plan decisions (both pure latency choices — rank identity
     holds in every branch):
@@ -464,6 +550,19 @@ def wand_topk(
     spark = spark or cindex.blocks.sparkSession
     n = float(cindex.doc_count)
     avgdl = float(cindex.avgdl) if cindex.avgdl else 1.0
+    k_eff = start + k  # pruning must preserve the top start+k, not just k
+    allowed_by_seg = None
+    if allowed_docs is not None:
+        allowed_by_seg = (
+            allowed_docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+            .distinct()
+            .withColumn(
+                "seg",
+                F.pmod(F.xxhash64("doc_id"), F.lit(cindex.num_segments)).cast(
+                    "int"
+                ),
+            )
+        )
 
     qbags = {qid: analyze_query_terms(q) for qid, q in queries}
     terms = sorted({t for bag in qbags.values() for t in bag})
@@ -517,9 +616,10 @@ def wand_topk(
                 weights[(qid, t)] = idf * qtf
 
     # driver-local serving path for small posting volumes: one collect,
-    # numpy scoring, no executor round-trips
+    # numpy scoring, no executor round-trips. Bypassed under fq — the
+    # filter relation lives on the cluster (see docstring).
     total_df = sum(df_map.values())
-    if total_df <= local_threshold_postings:
+    if total_df <= local_threshold_postings and allowed_by_seg is None:
         # memoize the collected blocks per term (same warm-searcher rationale
         # as the metadata cache above; only small-df terms ever land here,
         # and the cache is bounded by the workload vocabulary)
@@ -555,14 +655,14 @@ def wand_topk(
                 continue
             cand_docs, cand_scores = [], []
             for term_blocks in by_seg.values():
-                docs, scores = _score_segment(qterms, term_blocks, k)
+                docs, scores = _score_segment(qterms, term_blocks, k_eff)
                 cand_docs.extend(docs.tolist())
                 cand_scores.extend(scores.tolist())
             order = sorted(
                 range(len(cand_docs)),
                 key=lambda i: (-cand_scores[i], cand_docs[i]),
-            )[:k]
-            for rank, i in enumerate(order, start=1):
+            )[start : start + k]
+            for rank, i in enumerate(order, start=start + 1):
                 out.append((qid, rank, cand_docs[i], float(cand_scores[i])))
         if prune_stats is not None:
             n_segs = sum(len(v) for v in by_seg.values())
@@ -622,10 +722,10 @@ def wand_topk(
             if seg in seg_to_q:
                 shard_f_by_seg.setdefault(seg, {})[term] = f_ub
         bc = spark.sparkContext.broadcast(
-            (seg_to_q, qterm_list, k, thetas or {}, shard_f_by_seg, k1, b, avgdl)
+            (seg_to_q, qterm_list, k_eff, thetas or {}, shard_f_by_seg, k1, b, avgdl)
         )
 
-        def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def _score_frames(key, pdf: pd.DataFrame, allowed) -> pd.DataFrame:
             seg = int(key[0])
             seg_to_q_, qterms_, k_, thetas_, shard_f_by_seg_, k1_, b_, avgdl_ = bc.value
             qids = seg_to_q_.get(seg, [])
@@ -648,6 +748,7 @@ def wand_topk(
                     shard_f=shard_f,
                     cache=cache,
                     stats=stats,
+                    allowed=allowed,
                 )
                 out_q.extend([qid] * len(docs))
                 out_d.extend(docs.tolist())
@@ -662,11 +763,24 @@ def wand_topk(
                 }
             )
 
+        def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_frames(key, pdf, None)
+
+        def fn_fq(key, pdf: pd.DataFrame, apdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_frames(
+                key, pdf, np.sort(apdf["doc_id"].to_numpy(dtype=np.int64))
+            )
+
         segs_needed = sorted(seg_to_q)
+        seg_blocks = blocks.where(F.col("seg").isin(segs_needed))
+        if allowed_by_seg is None:
+            return seg_blocks.groupBy("seg").applyInPandas(fn, schema=_SCORE_SCHEMA)
         return (
-            blocks.where(F.col("seg").isin(segs_needed))
-            .groupBy("seg")
-            .applyInPandas(fn, schema=_SCORE_SCHEMA)
+            seg_blocks.groupBy("seg")
+            .cogroup(
+                allowed_by_seg.where(F.col("seg").isin(segs_needed)).groupBy("seg")
+            )
+            .applyInPandas(fn_fq, schema=_SCORE_SCHEMA)
         )
 
     # adaptive single-wave: when a query's candidate bounds are nearly
@@ -707,7 +821,7 @@ def wand_topk(
         by_q.setdefault(r["query_id"], []).append(r["score"])
     for qid, scores in by_q.items():
         scores.sort(reverse=True)
-        theta[qid] = scores[k - 1] if len(scores) >= k else -math.inf
+        theta[qid] = scores[k_eff - 1] if len(scores) >= k_eff else -math.inf
     phase1_local = (
         spark.createDataFrame(
             [(r["query_id"], r["doc_id"], r["score"]) for r in phase1_rows],
@@ -770,8 +884,8 @@ def wand_topk(
             for qid in head:
                 scores = by_q.get(qid, [])
                 scores.sort(reverse=True)
-                if len(scores) >= k:
-                    theta[qid] = scores[k - 1]
+                if len(scores) >= k_eff:
+                    theta[qid] = scores[k_eff - 1]
             phase2a_local = (
                 spark.createDataFrame(
                     [(r["query_id"], r["doc_id"], r["score"]) for r in rows2a],
@@ -814,6 +928,6 @@ def wand_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (
         allscores.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        .where((F.col("rank") > start) & (F.col("rank") <= start + k))
         .select("query_id", F.col("rank").cast("long").alias("rank"), "doc_id", "score")
     )

@@ -6,6 +6,7 @@ import random
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import given, settings, strategies as st
 
 from solrtexttagger_spark.index.build import build_index
@@ -523,3 +524,71 @@ def test_local_searcher_warm_subset_raises_outside(spark, corpus_index):
     full = LocalSearcher(c)
     assert full.search("zzz", k=3) == []
     assert full.search_boolean("+zzz", k=3) == []
+
+
+def test_wand_fq_and_pagination_rank_identical(spark, corpus_index):
+    """fq (allowed_docs, cogrouped by the index's own segment hash) and
+    start (absolute-rank paging) on the WAND path are rank/score-identical
+    to the exhaustive scorer under the same filter/offset — pruning stays
+    sound because θ derives from FILTERED phase-1 scores and a doc subset
+    only removes candidates under unchanged bounds."""
+    c = compress_index(corpus_index)
+    c.blocks.persist().count()
+    queries = [(0, "w0 w1"), (1, "w5 w40 w80"), (2, "w7 w7 w13")]
+    spark_allowed = (
+        corpus_index.postings.sparkSession.range(0, 300)
+        .select((F.col("id") * 3).alias("doc_id"))  # every 3rd doc allowed
+        .where(F.col("doc_id") < 300)
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+    for st in (0, 5):
+        got = wand_topk(
+            c, queries, k=7, spark=spark, allowed_docs=spark_allowed, start=st,
+        ).collect()
+        exp = bm25_topk(
+            corpus_index, queries, k=7, spark=spark,
+            allowed_docs=spark_allowed, start=st,
+        ).collect()
+        assert sorted(map(key, got)) == sorted(map(key, exp)), f"start={st}"
+        assert all(r["doc_id"] % 3 == 0 for r in got)
+        assert all(r["rank"] > st for r in got)
+    # pagination without fq, distributed AND local path
+    for thr in (0, 100_000):
+        got = wand_topk(
+            c, queries, k=5, spark=spark, start=3, local_threshold_postings=thr
+        ).collect()
+        exp = bm25_topk(corpus_index, queries, k=5, spark=spark, start=3).collect()
+        assert sorted(map(key, got)) == sorted(map(key, exp)), f"thr={thr}"
+
+
+def test_local_searcher_fq_and_start(spark, corpus_index):
+    """Serving-path fq: LocalSearcher takes a precomputed doc-id set (the
+    Solr filterCache analogue) and pages with absolute ranks — identical
+    to wand_topk under the same allowed_docs/start."""
+    from solrtexttagger_spark.search.wand import LocalSearcher
+
+    c = compress_index(corpus_index, with_positions=True)
+    s = LocalSearcher(c, positions=True)
+    allowed_ids = set(range(0, 300, 3))
+    spark_allowed = spark.createDataFrame(
+        [(i,) for i in sorted(allowed_ids)], "doc_id long"
+    )
+    for q in ("w0 w1", "w5 w40 w80"):
+        got = s.search(q, k=7, allowed_docs=allowed_ids)
+        exp = [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in wand_topk(
+                c, [(0, q)], k=7, spark=spark, allowed_docs=spark_allowed
+            ).collect()
+        ]
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in sorted(exp)]
+        for (_, _, sa), (_, _, sb) in zip(got, sorted(exp)):
+            assert sa == pytest.approx(sb, abs=1e-9)
+        # start pages past the head with absolute ranks
+        full = s.search(q, k=10, allowed_docs=allowed_ids)
+        page2 = s.search(q, k=3, allowed_docs=allowed_ids, start=3)
+        assert page2 == full[3:6]
+    # boolean serving path honors the same set
+    bfull = s.search_boolean("+w0 w1", k=10, allowed_docs=allowed_ids)
+    assert all(d in allowed_ids for _, d, _ in bfull)
+    assert s.search_boolean("+w0 w1", k=4, allowed_docs=allowed_ids, start=2) == bfull[2:6]
