@@ -96,6 +96,7 @@ def build_tag_dictionary(
     max_shingle: int = 10,
     ascii_fold: bool = False,
     possessive: bool = False,
+    max_postings: int = 20_000_000,
 ) -> TagDictionary:
     """Build a TagDictionary from a DataFrame of names.
 
@@ -106,6 +107,16 @@ def build_tag_dictionary(
     (ASCIIFoldingFilter + EnglishPossessiveFilter, QUICK_START.md:83,93,
     README.md:95,104); recorded on the dictionary so tag() mirrors them
     at query time.
+
+    max_postings caps the (term, doc_id) pair volume COLLECTED to the
+    driver to become the broadcast TermDict — the same counted fail-fast
+    LocalSearcher applies before its warm-up collect (search/wand.py
+    max_blocks): a 100x-scale gazetteer would otherwise be a silent
+    driver OOM. The count rides the same aggregation that produces the
+    pairs (one cheap agg job before the collect). Past the cap, use the
+    never-collected join-based tagging path
+    (tagging/join_operator.tag_join + build_dict_terms), which keeps the
+    dictionary distributed end-to-end, or raise max_postings deliberately.
     """
     if use_english_stopwords and stopwords is None:
         stopwords = ENGLISH_STOP_WORDS
@@ -131,13 +142,18 @@ def build_tag_dictionary(
     ).select("doc_id", "id", "name", *attrs)
 
     analyze = _make_analyze_udf(mode, stopwords, max_shingle, ascii_fold, possessive)
-    pairs = (
+    agg = (
         docs_df.select("doc_id", F.explode(analyze(F.col("name"))).alias("term"))
         .where(F.col("term") != "")
         .groupBy("term")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("doc_ids"))
-        .collect()
     )
+    _check_dictionary_volume(
+        agg.agg(F.coalesce(F.sum(F.size("doc_ids")), F.lit(0))).collect()[0][0],
+        max_postings,
+        "build_tag_dictionary",
+    )
+    pairs = agg.collect()
     postings = {r["term"]: tuple(r["doc_ids"]) for r in pairs}
     term_dict = TermDict(sorted(postings), postings)
 
@@ -152,6 +168,22 @@ def build_tag_dictionary(
         ascii_fold=ascii_fold,
         possessive=possessive,
     )
+
+
+def _check_dictionary_volume(n_postings: int, max_postings: int, who: str) -> None:
+    """Fail fast BEFORE collecting a gazetteer-scale analyzed postings map
+    to the driver (round-4 verdict #4 — the collect-then-broadcast shape
+    got this guard in LocalSearcher in round 3; the dictionary path has
+    the same silent-OOM failure mode at 100x scale)."""
+    if n_postings > max_postings:
+        raise ValueError(
+            f"{who} would collect {n_postings} (term, doc_id) postings to "
+            f"the driver (> max_postings={max_postings}); use the "
+            "never-collected join-based tagging path "
+            "(tagging/join_operator.build_dict_terms + tag_join), which "
+            "keeps the dictionary distributed, or raise max_postings "
+            "deliberately"
+        )
 
 
 def save_tag_dictionary(d: TagDictionary, path: str) -> None:
@@ -188,15 +220,23 @@ def save_tag_dictionary(d: TagDictionary, path: str) -> None:
     cfg.write.mode("overwrite").parquet(f"{path}/config")
 
 
-def load_tag_dictionary(spark, path: str) -> TagDictionary:
+def load_tag_dictionary(
+    spark, path: str, *, max_postings: int = 20_000_000
+) -> TagDictionary:
     """Load a dictionary persisted by ``save_tag_dictionary``. The terms
     collect to the driver to become the broadcastable sorted-array TermDict
-    (same broadcast-size contract as build_tag_dictionary)."""
+    (same broadcast-size contract — and the same counted fail-fast — as
+    build_tag_dictionary)."""
     docs_df = spark.read.parquet(f"{path}/docs")
     cfg = spark.read.parquet(f"{path}/config").collect()[0]
+    terms_df = spark.read.parquet(f"{path}/terms")
+    _check_dictionary_volume(
+        terms_df.agg(F.coalesce(F.sum(F.size("doc_ids")), F.lit(0))).collect()[0][0],
+        max_postings,
+        "load_tag_dictionary",
+    )
     postings = {
-        r["term"]: tuple(r["doc_ids"])
-        for r in spark.read.parquet(f"{path}/terms").collect()
+        r["term"]: tuple(r["doc_ids"]) for r in terms_df.collect()
     }
     term_dict = TermDict(sorted(postings), postings)
     return TagDictionary(

@@ -292,3 +292,30 @@ def test_dictionary_save_load_roundtrip(spark, tmp_path):
     a = collect_tags(tag(texts, d, overlaps="ALL", tags_limit=None))
     b = collect_tags(tag(texts, d2, overlaps="ALL", tags_limit=None))
     assert a == b and len(a) == 2
+
+
+def test_dictionary_collect_guard(spark, tmp_path):
+    """build/load fail fast BEFORE collecting a gazetteer-scale analyzed
+    postings map to the driver (same counted guard as LocalSearcher's
+    max_blocks), pointing at the never-collected join path."""
+    import pytest as _pytest
+
+    from solrtexttagger_spark.tagging.dictionary import (
+        build_tag_dictionary,
+        load_tag_dictionary,
+        save_tag_dictionary,
+    )
+
+    names = spark.createDataFrame(
+        [("0", "hash join"), ("1", "table scan"), ("2", "sort merge")],
+        "id string, name string",
+    )
+    with _pytest.raises(ValueError, match="join_operator.build_dict_terms"):
+        build_tag_dictionary(names, max_postings=2)
+    d = build_tag_dictionary(names)  # default cap: fine
+    path = str(tmp_path / "dict_guarded")
+    save_tag_dictionary(d, path)
+    with _pytest.raises(ValueError, match="max_postings=2"):
+        load_tag_dictionary(spark, path, max_postings=2)
+    d2 = load_tag_dictionary(spark, path)
+    assert d2.term_dict.postings == d.term_dict.postings
