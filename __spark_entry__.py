@@ -620,6 +620,85 @@ EMBED_MAX_BUCKET = 1000
 EMBED_DIM = 64
 
 
+# Pinned deterministic ANN artifacts (round-4 verdict #3): IVF centroids /
+# PQ coarse centroids + codebooks are md5-derived fixtures passed through
+# the operators' documented fit-once-persist-reuse parameters
+# (centroids= / codebooks=), so the WHOLE query path — assignment, cell
+# restriction, ADC, rerank — is oracle-checkable in SQL without mirroring
+# Lloyd iterations. K-means fit QUALITY stays pinned by the recall pytest
+# suites (test_similarity_ivf/pq). Plane-tag offsets (10k/20k/30k) keep
+# these disjoint from the LSH hyperplane ids.
+IVF_N_CENTROIDS = 8
+IVF_NPROBE = 3
+PQ_M = 8
+PQ_KSUB = 8
+PQ_NCOARSE = 4
+PQ_NPROBE = 2
+PQ_RERANK = 4
+PQ_ADC_ROUND = 6
+
+
+def _ivf_centroids():
+    from solrtexttagger_spark.ops.similarity import _hyperplane
+
+    return [_hyperplane(EMBED_DIM, 10_000 + c) for c in range(IVF_N_CENTROIDS)]
+
+
+def _pq_coarse():
+    from solrtexttagger_spark.ops.similarity import _hyperplane
+
+    return [_hyperplane(EMBED_DIM, 20_000 + c) for c in range(PQ_NCOARSE)]
+
+
+def _pq_codebooks():
+    from solrtexttagger_spark.ops.similarity import _hyperplane
+
+    dsub = EMBED_DIM // PQ_M
+    return [
+        [_hyperplane(dsub, 30_000 + j * 100 + c) for c in range(PQ_KSUB)]
+        for j in range(PQ_M)
+    ]
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: argmax-cosine cell assignment over the pinned centroids,
+    scan restricted to each probe's n_probe nearest cells, exact cosine
+    inside — the sublinear-scan path, rows+schema+hash-oracled."""
+    from solrtexttagger_spark.ops.similarity import ivf_cosine_topk
+
+    out = ivf_cosine_topk(
+        _emb(spark, sf_dir), COSINE_PROBES, k=10,
+        centroids=_ivf_centroids(), n_probe=IVF_NPROBE,
+    )
+    return out.select(
+        F.col("probe_id").cast("long"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long"),
+        "cos",
+    )
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ ANN: coarse argmin-L2 cell + m residual codes per
+    vector, probe-side ADC lookup tables, cell-restricted JVM scan, exact
+    rerank of the top k*rerank_factor. adc_round_to pins the candidate-set
+    boundary across engines (ulp-stable oracle)."""
+    from solrtexttagger_spark.ops.similarity import pq_cosine_topk
+
+    out = pq_cosine_topk(
+        _emb(spark, sf_dir), COSINE_PROBES, k=10,
+        centroids=_pq_coarse(), codebooks=_pq_codebooks(),
+        n_probe=PQ_NPROBE, rerank_factor=PQ_RERANK,
+        adc_round_to=PQ_ADC_ROUND,
+    )
+    return out.select(
+        F.col("probe_id").cast("long"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long"),
+        "cos",
+    )
+
+
 def q_embed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via banded hyperplane LSH + exact rescore (the 100 TB
     plan shape — no all-pairs theta-join; oracle mirrors the banding)."""
@@ -809,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_topk": q_doc_sample_topk,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1553,6 +1634,155 @@ ranked AS (
   SELECT probe_id, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank,
          vec_id, cos
   FROM scored
+)
+SELECT probe_id, rank::BIGINT AS rank, vec_id, cos FROM ranked WHERE rank <= 10
+"""
+
+    # mirrors ops/similarity.ivf_cosine_topk with the PINNED centroids:
+    # argmax-cosine assignment (numpy argmax = first max -> cid asc
+    # tie-break), n_probe nearest cells per probe, exact cosine inside.
+    def _vec_sql(v):
+        return "[" + ", ".join(repr(x) for x in v) + "]::DOUBLE[]"
+
+    ivf_cent_vals = ", ".join(
+        f"({c}, {_vec_sql(v)})" for c, v in enumerate(_ivf_centroids())
+    )
+    sql["ivf_topk"] = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents(cid, cv) AS (VALUES {ivf_cent_vals}),
+norms AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM base),
+assign AS (
+  SELECT vec_id, v, norm, cid FROM (
+    SELECT n.vec_id, n.v, n.norm, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             list_dot_product(n.v, c.cv)
+               / ((CASE WHEN n.norm = 0 THEN 1 ELSE n.norm END)
+                  * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+    FROM norms n CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS probe_id, v AS pv, norm AS pnorm
+  FROM norms WHERE vec_id IN ({probe_list})
+),
+pcells AS (
+  SELECT probe_id, cid FROM (
+    SELECT p.probe_id, c.cid,
+           row_number() OVER (PARTITION BY p.probe_id ORDER BY
+             list_dot_product(p.pv, c.cv)
+               / ((CASE WHEN p.pnorm = 0 THEN 1 ELSE p.pnorm END)
+                  * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+    FROM probes p CROSS JOIN cents c
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT pc.probe_id, a.vec_id,
+         round(list_dot_product(p.pv, a.v) / (p.pnorm * a.norm), 4) AS cos
+  FROM pcells pc
+  JOIN assign a USING (cid)
+  JOIN probes p USING (probe_id)
+  WHERE a.vec_id <> pc.probe_id
+),
+ranked AS (
+  SELECT probe_id,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank,
+         vec_id, cos
+  FROM scored
+)
+SELECT probe_id, rank::BIGINT AS rank, vec_id, cos FROM ranked WHERE rank <= 10
+"""
+
+    # mirrors ops/similarity.pq_cosine_topk with the PINNED coarse
+    # centroids + codebooks: argmin-L2 coarse cell, per-subspace residual
+    # codes (dot(residual, cb) expanded as dot(v,cb) - dot(cv,cb) so no
+    # list arithmetic is needed), probe ADC = off + sum of LUT lookups
+    # (rounded at PQ_ADC_ROUND on BOTH sides so the candidate boundary is
+    # ulp-stable), exact rescore of the top k*rerank_factor.
+    _dsub = EMBED_DIM // PQ_M
+    pq_cent_vals = ", ".join(
+        f"({c}, {_vec_sql(v)})" for c, v in enumerate(_pq_coarse())
+    )
+    _cbs = _pq_codebooks()
+    pq_cb_vals = ", ".join(
+        f"({j}, {c}, {_vec_sql(_cbs[j][c])})"
+        for j in range(PQ_M)
+        for c in range(PQ_KSUB)
+    )
+    sql["pq_topk"] = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents(cid, cv) AS (VALUES {pq_cent_vals}),
+cb(j, c, cbv) AS (VALUES {pq_cb_vals}),
+norms AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM base),
+enc AS (
+  SELECT vec_id, v, norm, cid, cv FROM (
+    SELECT n.vec_id, n.v, n.norm, c.cid, c.cv,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             list_dot_product(n.v, n.v) - 2 * list_dot_product(n.v, c.cv)
+               + list_dot_product(c.cv, c.cv) ASC, c.cid) AS rn
+    FROM norms n CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT e.vec_id, b.j, b.c,
+           row_number() OVER (PARTITION BY e.vec_id, b.j ORDER BY
+             list_dot_product(b.cbv, b.cbv)
+             - 2 * (list_dot_product(list_slice(e.v, b.j * {_dsub} + 1, b.j * {_dsub} + {_dsub}), b.cbv)
+                    - list_dot_product(list_slice(e.cv, b.j * {_dsub} + 1, b.j * {_dsub} + {_dsub}), b.cbv)) ASC,
+             b.c) AS rn
+    FROM enc e CROSS JOIN cb b
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS probe_id, v AS pv,
+         CASE WHEN norm = 0 THEN 1 ELSE norm END AS pnorm
+  FROM norms WHERE vec_id IN ({probe_list})
+),
+pcells AS (
+  SELECT probe_id, cid, off FROM (
+    SELECT p.probe_id, c.cid, list_dot_product(p.pv, c.cv) AS off,
+           row_number() OVER (PARTITION BY p.probe_id ORDER BY
+             list_dot_product(p.pv, c.cv) DESC, c.cid) AS rn
+    FROM probes p CROSS JOIN cents c
+  ) WHERE rn <= {PQ_NPROBE}
+),
+adc AS (
+  SELECT cd.vec_id, ps.probe_id, sum(list_dot_product(b.cbv, ps.pv_sub)) AS s
+  FROM codes cd
+  JOIN cb b ON b.j = cd.j AND b.c = cd.code
+  JOIN (SELECT p.probe_id, t.j,
+               list_slice(p.pv, t.j * {_dsub} + 1, t.j * {_dsub} + {_dsub}) AS pv_sub
+        FROM probes p CROSS JOIN range(0, {PQ_M}) t(j)) ps ON ps.j = cd.j
+  GROUP BY 1, 2
+),
+approx AS (
+  SELECT pc.probe_id, e.vec_id,
+         round((pc.off + a.s) / (p.pnorm * e.norm), {PQ_ADC_ROUND}) AS acos
+  FROM enc e
+  JOIN pcells pc ON pc.cid = e.cid
+  JOIN adc a ON a.vec_id = e.vec_id AND a.probe_id = pc.probe_id
+  JOIN probes p ON p.probe_id = pc.probe_id
+  WHERE e.vec_id <> pc.probe_id
+),
+cand AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+           row_number() OVER (PARTITION BY probe_id ORDER BY acos DESC, vec_id) AS arank
+    FROM approx
+  ) WHERE arank <= {10 * PQ_RERANK}
+),
+rescored AS (
+  SELECT c.probe_id, c.vec_id,
+         round(list_dot_product(p.pv, n.v) / (p.pnorm * n.norm), 4) AS cos
+  FROM cand c
+  JOIN norms n ON n.vec_id = c.vec_id
+  JOIN probes p ON p.probe_id = c.probe_id
+),
+ranked AS (
+  SELECT probe_id,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank,
+         vec_id, cos
+  FROM rescored
 )
 SELECT probe_id, rank::BIGINT AS rank, vec_id, cos FROM ranked WHERE rank <= 10
 """

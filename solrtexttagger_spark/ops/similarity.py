@@ -575,6 +575,7 @@ def pq_cosine_topk(
     codebooks: list[list[list[float]]] | None = None,
     encoded: DataFrame | None = None,
     round_to: int | None = 4,
+    adc_round_to: int | None = None,
 ) -> DataFrame:
     """PQ approximate cosine top-k — the fourth ANN path (exact / LSH /
     IVF / PQ). Asymmetric distance computation (ADC): each probe becomes
@@ -627,14 +628,18 @@ def pq_cosine_topk(
     probe_rows = base.where(F.col("vec_id").isin(list(probe_ids))).collect()
     cells = range(len(C))
     lut_rows, pv_rows = [], []
-    for r in probe_rows:
-        pv = np.asarray(r["v"], dtype=np.float64)
+    if probe_rows:
+        # ONE einsum for every probe's m x ksub LUT and one matmul for all
+        # cell offsets — no Python loop over subspaces/centroids (round-4
+        # verdict #7); the remaining per-probe loop only assembles rows.
+        PV = np.stack([np.asarray(r["v"], dtype=np.float64) for r in probe_rows])
+        luts_all = np.einsum("mkd,pmd->pmk", cb, PV.reshape(len(PV), m, dsub))
+        offs_all = PV @ C.T  # P x n_cells: exact dot(probe, coarse centroid)
+    for i, r in enumerate(probe_rows):
+        pv = PV[i]
         pnorm = float(np.linalg.norm(pv)) or 1.0
-        lut = [
-            [float(cb[j][c] @ pv[j * dsub : (j + 1) * dsub]) for c in range(ksub)]
-            for j in range(m)
-        ]
-        offs = C @ pv  # exact dot(probe, coarse centroid) per cell
+        lut = [[float(x) for x in row] for row in luts_all[i]]
+        offs = offs_all[i]
         probe_cells = cells
         if n_probe > 0 and len(C) > n_probe:
             # nearest cells by centroid dot — deterministic tie-break on cid
@@ -652,14 +657,16 @@ def pq_cosine_topk(
         F.col("off"),
         lambda acc, x: acc + x,
     )
+    acos = adc / (F.col("pnorm") * F.col("norm"))
+    if adc_round_to is not None:
+        # pin the candidate-set boundary across engines: ulp-level ADC
+        # differences at the arank = k*rerank_factor edge would otherwise
+        # flip which candidates reach the exact rescore (oracle mirroring)
+        acos = F.round(acos, adc_round_to)
     approx = (
         encoded.join(F.broadcast(ludf), "cid")
         .where(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "vec_id",
-            (adc / (F.col("pnorm") * F.col("norm"))).alias("acos"),
-        )
+        .select("probe_id", "vec_id", acos.alias("acos"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("acos").desc(), F.col("vec_id"))
     cand = (
