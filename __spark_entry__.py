@@ -130,6 +130,26 @@ def _index(spark: SparkSession, sf_dir: str):
     return idx
 
 
+# One CompressedIndex per (session, sf_dir), blocks persisted — the WAND
+# entries (wand_topk, wand_fq) read the same compressed artifact instead
+# of re-running the compression shuffle per entry, exactly like _INDEX_CACHE
+# above (and like a serving engine, which compresses at build time once).
+_CINDEX_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _cindex(spark: SparkSession, sf_dir: str):
+    from solrtexttagger_spark.index.compressed import compress_index
+
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    c = _CINDEX_CACHE.get(key)
+    if c is None:
+        c = compress_index(_index(spark, sf_dir))
+        c.blocks = c.blocks.persist()
+        c.blocks.count()
+        _CINDEX_CACHE[key] = c
+    return c
+
+
 def _tag_dict(spark: SparkSession):
     from solrtexttagger_spark.tagging.dictionary import build_tag_dictionary
 
@@ -155,13 +175,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-max WAND path over the compressed segmented index — must be
     rank- and score-identical to the exhaustive scorer (same oracle SQL)."""
-    from solrtexttagger_spark.index.compressed import compress_index
     from solrtexttagger_spark.search.wand import wand_topk
 
-    idx = _index(spark, sf_dir)
-    c = compress_index(idx)
-    c.blocks.persist().count()
-    out = wand_topk(c, BM25_QUERIES, k=BM25_K, spark=spark)
+    out = wand_topk(_cindex(spark, sf_dir), BM25_QUERIES, k=BM25_K, spark=spark)
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
@@ -407,15 +423,11 @@ def q_wand_fq(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments through a co-partitioned cogroup (no broadcast), and pruning
     thresholds are derived from the filtered scores (sound: a doc subset
     only lowers true scores under unchanged bounds)."""
-    from solrtexttagger_spark.index.compressed import compress_index
     from solrtexttagger_spark.search.wand import wand_topk
 
-    idx = _index(spark, sf_dir)
-    c = compress_index(idx)
-    c.blocks.persist().count()
     docs = _docs(spark, sf_dir)
     out = wand_topk(
-        c, BM25_QUERIES, k=BM25_K, spark=spark,
+        _cindex(spark, sf_dir), BM25_QUERIES, k=BM25_K, spark=spark,
         allowed_docs=docs.where(BM25_FQ).select("doc_id"),
     )
     return out.select(

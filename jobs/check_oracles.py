@@ -1,10 +1,15 @@
 """Driver-style oracle check: run __spark_entry__.queries()[name] and
 oracle_sql()[name] side by side on DuckDB and compare rows/schema/values.
 
-Usage: python jobs/check_oracles.py [sf_dir] [entry ...]
+Usage: python jobs/check_oracles.py [--json OUT.json] [sf_dir] [entry ...]
 Defaults: sf0.001, all entries that have an oracle.
+
+--json writes a per-entry artifact in the driver's CORRECTNESS shape,
+plus an explicit "sf" scale marker (round-4 verdict #8: the committed
+artifact must state which scale produced it).
 """
 
+import json
 import sys
 
 import duckdb
@@ -19,8 +24,13 @@ TABLES = (
 
 
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    names = sys.argv[2:] or None
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf = args[0] if args else "/root/testdata/sf0.001"
+    names = args[1:] or None
     from pyspark.sql import SparkSession
 
     spark = (
@@ -38,6 +48,7 @@ def main():
     qs, sqls = em.queries(), em.oracle_sql()
     names = names or [n for n in qs if n in sqls]
     failed = []
+    report: dict = {"sf": sf.rstrip("/").split("sf")[-1], "entries": {}}
     for n in names:
         if n not in sqls:
             print(f"{n}: SKIP (no oracle)")
@@ -56,6 +67,14 @@ def main():
             ok_rows = len(srows) == len(orows)
             ok_cols = cols == ocols
             ok_vals = srows == orows
+            report["entries"][n] = {
+                "rows_match": ok_rows,
+                "schema_match": ok_cols,
+                "hash_match": ok_vals,
+                "spark_rows": len(srows),
+                "oracle_rows": len(orows),
+                "err": None,
+            }
             status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
             print(
                 f"{n}: {status} rows={len(srows)}/{len(orows)} "
@@ -72,7 +91,17 @@ def main():
                         print(f"   spark={a}\n  oracle={b}")
         except Exception as e:  # noqa: BLE001
             failed.append(n)
+            report["entries"][n] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"{type(e).__name__}: {e}"[:500],
+            }
             print(f"{n}: ERROR {type(e).__name__}: {e}")
+    if json_out:
+        report["green"] = len(names) - len(failed)
+        report["total"] = len(names)
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1)
     print(f"\n{len(names) - len(failed)}/{len(names)} green")
     sys.exit(1 if failed else 0)
 

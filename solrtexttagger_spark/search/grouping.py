@@ -1,0 +1,184 @@
+"""Solr /select result grouping, field-sorted pages, and facet.pivot —
+three more features of the reference's delegated Solr SearchHandler
+(SURVEY.md §2.4 D1/D4), re-expressed Spark-first.
+
+All three ride the SAME exploded scoring relation as /select
+(search/bm25.exploded_scores: one broadcast join + one groupBy shuffle),
+then differ only in the window/rollup applied on top:
+
+- grouped_topk  — group=true&group.field=f: groups ranked by their best
+  doc score, top docs within each group (field collapsing). Two windows
+  over ONE partitioning family (query_id[, group]): no extra shuffle
+  beyond the scoring groupBy and the final query_id exchange.
+- select_sorted — sort=f asc|desc: the match set ordered by a stored
+  field instead of relevance (score still computed and returned, as Solr
+  does when fl includes score). WindowGroupLimit keeps the top-k per
+  query from fully sorting (same plan shape test_plans pins for bm25).
+- facet_pivot   — facet.pivot=f1,f2: hierarchical value-combination
+  counts over the FULL match set, expressed as a Catalyst ROLLUP (one
+  shuffle produces every pivot level plus the grand total; Solr's nested
+  pivot response is the subtotal tree this relation flattens).
+
+Determinism: score ties break on the group value / doc_id ascending; the
+driver oracle entries round scores to 4 decimals BEFORE ranking on both
+engines so the windows are ulp-stable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from solrtexttagger_spark.index.build import InvertedIndex
+from solrtexttagger_spark.search.bm25 import (
+    B,
+    K1,
+    exploded_scores,
+    queries_to_df,
+)
+
+
+def _scores(index, queries, k1, b, allowed_docs, spark):
+    qdf = (
+        queries
+        if isinstance(queries, DataFrame)
+        else queries_to_df(spark or index.postings.sparkSession, queries)
+    )
+    return exploded_scores(index, qdf, k1=k1, b=b, allowed_docs=allowed_docs)
+
+
+def grouped_topk(
+    index: InvertedIndex,
+    docs_df: DataFrame,
+    queries,
+    group_col: str,
+    *,
+    group_limit: int = 2,
+    k_groups: int = 10,
+    k1: float = K1,
+    b: float = B,
+    allowed_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    round_to: int | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Solr result grouping (group=true&group.field=group_col&
+    group.limit=group_limit&rows=k_groups): for each query, groups are
+    ranked by their BEST document score (desc; ties on group value asc),
+    the top ``k_groups`` groups return, each carrying its top
+    ``group_limit`` docs (score desc, doc_id asc). Returns
+    (query_id, group_value string, group_rank, rank_in_group, doc_id,
+    score). ``allowed_docs`` = fq, restricting groups and members alike;
+    ``round_to`` rounds scores BEFORE ranking (cross-engine-stable
+    windows for the oracle)."""
+    scores = _scores(index, queries, k1, b, allowed_docs, spark)
+    if round_to is not None:
+        scores = scores.withColumn("score", F.round("score", round_to))
+    joined = scores.join(
+        docs_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col).cast("string").alias("group_value"),
+        ),
+        "doc_id",
+    )
+    w_in = Window.partitionBy("query_id", "group_value").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    w_best = Window.partitionBy("query_id", "group_value")
+    ranked = joined.withColumn(
+        "rank_in_group", F.row_number().over(w_in).cast("long")
+    ).withColumn("grp_best", F.max("score").over(w_best))
+    w_grp = Window.partitionBy("query_id").orderBy(
+        F.col("grp_best").desc(), F.col("group_value").asc()
+    )
+    return (
+        ranked.withColumn("group_rank", F.dense_rank().over(w_grp).cast("long"))
+        .where(
+            (F.col("group_rank") <= k_groups)
+            & (F.col("rank_in_group") <= group_limit)
+        )
+        .select(
+            "query_id", "group_value", "group_rank", "rank_in_group",
+            "doc_id", "score",
+        )
+    )
+
+
+def select_sorted(
+    index: InvertedIndex,
+    docs_df: DataFrame,
+    queries,
+    sort_col: str,
+    *,
+    ascending: bool = False,
+    k: int = 10,
+    start: int = 0,
+    k1: float = K1,
+    b: float = B,
+    allowed_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    round_to: int | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Solr `sort=<field> asc|desc`: the query's match set (>= 1 term,
+    under fq) ordered by a STORED FIELD instead of relevance; doc_id asc
+    breaks ties (Solr's stable secondary on the uniqueKey). BM25 score is
+    still computed and returned (Solr keeps score available under any
+    sort). Returns (query_id, rank, doc_id, sort_value, score) for
+    start < rank <= start + k with absolute ranks."""
+    scores = _scores(index, queries, k1, b, allowed_docs, spark)
+    if round_to is not None:
+        scores = scores.withColumn("score", F.round("score", round_to))
+    joined = scores.join(
+        docs_df.select(
+            F.col(id_col).alias("doc_id"), F.col(sort_col).alias("sort_value")
+        ),
+        "doc_id",
+    )
+    key = F.col("sort_value").asc() if ascending else F.col("sort_value").desc()
+    w = Window.partitionBy("query_id").orderBy(key, F.col("doc_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where((F.col("rank") > start) & (F.col("rank") <= start + k))
+        .select("query_id", "rank", "doc_id", "sort_value", "score")
+    )
+
+
+def facet_pivot(
+    index: InvertedIndex,
+    docs_df: DataFrame,
+    query: str,
+    pivot_cols: list[str],
+    *,
+    id_col: str = "doc_id",
+    allowed_docs: DataFrame | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Solr `facet.pivot=f1,f2,...` over the query's match set (OR
+    semantics, fq-aware like facet_counts): hierarchical value-combination
+    counts, expressed as a Catalyst ROLLUP — one shuffle yields every
+    pivot level (leaf combinations, per-prefix subtotals, grand total;
+    subtotal rows carry NULL in the rolled-up columns). Solr's nested
+    pivot response is exactly this subtotal tree. Returns
+    (*pivot_cols as strings, n long)."""
+    from solrtexttagger_spark.search.bm25 import analyze_query_terms
+
+    spark = spark or docs_df.sparkSession
+    terms = sorted(analyze_query_terms(query))
+    if not terms or not pivot_cols:
+        schema = ", ".join(f"{c} string" for c in pivot_cols) or "n long"
+        return spark.createDataFrame([], f"{schema}, n long" if pivot_cols else schema)
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    matched = (
+        index.postings.join(F.broadcast(tdf), "term")
+        .select(F.explode("postings.doc_id").alias(id_col))
+        .distinct()
+    )
+    if allowed_docs is not None:
+        matched = matched.join(
+            allowed_docs.select(F.col("doc_id").alias(id_col)).distinct(),
+            id_col, "left_semi",
+        )
+    joined = docs_df.join(matched, id_col).select(
+        *[F.col(c).cast("string").alias(c) for c in pivot_cols]
+    )
+    return joined.rollup(*pivot_cols).agg(F.count("*").cast("long").alias("n"))

@@ -170,6 +170,26 @@ def _facet_sections(
     return fields, ranges
 
 
+def _hl_section(
+    index, docs_df, query, k, start, allowed_docs, hl_window, text_col, spark
+):
+    """-> [(doc_id, snippet), ...] in rank order for the returned page —
+    Solr's hl=true highlighting component (one extra job per request,
+    like Solr's highlight component; the snippet operator is
+    search/highlight.snippets, fq/pagination-aware via the page ranking)."""
+    from solrtexttagger_spark.search.highlight import snippets
+
+    ranked = bm25_topk(
+        index, [(0, query)], k=k, start=start, allowed_docs=allowed_docs,
+        spark=spark,
+    )
+    rows = snippets(
+        index, docs_df, [(0, query)], window=hl_window, text_col=text_col,
+        spark=spark, topk=ranked,
+    ).collect()
+    return [(r["doc_id"], r["snippet"]) for r in sorted(rows, key=lambda r: r["rank"])]
+
+
 def render_select_xml(
     index: InvertedIndex,
     docs_df: DataFrame,
@@ -181,6 +201,9 @@ def render_select_xml(
     allowed_docs: DataFrame | None = None,
     facet_cols: list[str] | None = None,
     facet_ranges: list[tuple] | None = None,
+    hl: bool = False,
+    hl_window: int = 8,
+    text_col: str = "text",
     spark: SparkSession | None = None,
 ) -> str:
     """Solr /select XML writer (omitHeader=on, indent=off shape, like the
@@ -195,7 +218,10 @@ def render_select_xml(
     count-desc <int name="value">n</int> entries and
     <lst name="facet_ranges"> with the zero-filled bucket counts plus
     gap/start/end, mirroring Solr's facet.range response shape.
-    One request's page renders driver-side by contract."""
+
+    ``hl=True`` appends Solr's highlighting block — one best-window
+    snippet per returned doc (search/highlight.snippets; plain text, no
+    <em> wrapping). One request's page renders driver-side by contract."""
     rows, dtypes, num_found, max_score_v = _select_page(
         index, docs_df, query, fl, k, start, allowed_docs, spark
     )
@@ -233,6 +259,20 @@ def render_select_xml(
             out.append(f'<int name="start">{lo}</int>')
             out.append(f'<int name="end">{hi}</int></lst>')
         out.append("</lst></lst>\n")
+    if hl:
+        out.append('<lst name="highlighting">')
+        for doc_id, snip in _hl_section(
+            index, docs_df, query, k, start, allowed_docs, hl_window,
+            text_col, spark,
+        ):
+            esc = (
+                str(snip).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            )
+            out.append(
+                f'<lst name="{doc_id}"><arr name="{text_col}">'
+                f"<str>{esc}</str></arr></lst>"
+            )
+        out.append("</lst>\n")
     out.append("</response>\n")
     return "".join(out)
 
@@ -248,13 +288,18 @@ def render_select_json(
     allowed_docs: DataFrame | None = None,
     facet_cols: list[str] | None = None,
     facet_ranges: list[tuple] | None = None,
+    hl: bool = False,
+    hl_window: int = 8,
+    text_col: str = "text",
     spark: SparkSession | None = None,
 ) -> str:
     """Solr /select JSON writer shape: {"response": {"numFound", "start",
     "maxScore", "docs": [{"id", "score", ...fl}]}} plus, with
     ``facet_cols``/``facet_ranges``, Solr's default flat-array facet
     block: {"facet_counts": {"facet_fields": {col: [v1, n1, v2, n2, ...]},
-    "facet_ranges": {col: {"counts": [...], "gap", "start", "end"}}}}."""
+    "facet_ranges": {col: {"counts": [...], "gap", "start", "end"}}}},
+    and with ``hl=True`` Solr's highlighting map
+    {"highlighting": {"<id>": {text_col: [snippet]}}}."""
     import json
 
     rows, _dtypes, num_found, max_score_v = _select_page(
@@ -290,5 +335,13 @@ def render_select_json(
                 }
                 for col, (lo, hi, gap, buckets) in ranges.items()
             },
+        }
+    if hl:
+        payload["highlighting"] = {
+            str(doc_id): {text_col: [snip]}
+            for doc_id, snip in _hl_section(
+                index, docs_df, query, k, start, allowed_docs, hl_window,
+                text_col, spark,
+            )
         }
     return json.dumps(payload, separators=(",", ":"))

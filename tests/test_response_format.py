@@ -310,3 +310,41 @@ def test_select_facet_sections_golden(spark):
         )
     )
     assert js2["facet_counts"]["facet_fields"]["lang"] == ["en", 2]
+
+
+def test_select_highlight_section_golden(spark):
+    """hl=true appends Solr's highlighting block: one best-window snippet
+    per RETURNED doc (page-aware), XML-escaped, keyed by doc id."""
+    import json
+
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.search.select import render_select_json, render_select_xml
+
+    docs = [
+        (0, "alpha beta gamma", "en"),
+        (1, "alpha alpha delta", "en"),
+        (2, "beta <b> delta", "de"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    idx = build_index(df.select("doc_id", "text"), num_segments=2)
+    xml = render_select_xml(
+        idx, df, "alpha beta", fl=["lang"], k=2, hl=True, hl_window=2, spark=spark
+    )
+    assert (
+        '<lst name="highlighting">'
+        '<lst name="0"><arr name="text"><str>alpha beta</str></arr></lst>'
+        '<lst name="1"><arr name="text"><str>alpha alpha</str></arr></lst>'
+        "</lst>\n" in xml
+    )
+    js = json.loads(
+        render_select_json(
+            idx, df, "beta delta", fl=["lang"], k=1, hl=True, hl_window=3, spark=spark
+        )
+    )
+    # doc 2 ranks first for "beta delta"; markup in the snippet is raw in
+    # JSON (json escaping suffices) but XML-escaped in the XML writer
+    assert js["highlighting"] == {"2": {"text": ["beta <b> delta"]}}
+    xml2 = render_select_xml(
+        idx, df, "beta delta", fl=["lang"], k=1, hl=True, hl_window=3, spark=spark
+    )
+    assert "<str>beta &lt;b&gt; delta</str>" in xml2
