@@ -534,6 +534,68 @@ def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GROUP_FIELD = "lang"
+GROUP_LIMIT = 2
+SORT_FIELD = "n_chars"
+PIVOT_FIELDS = ["lang", "source"]
+PIVOT_ANY = "<any>"  # rollup-subtotal marker (NULL-free for hash compare)
+
+
+def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr result grouping (group=true&group.field=lang): groups ranked
+    by best member score, top GROUP_LIMIT docs each. Scores round to 4
+    BEFORE ranking on both engines so the windows are ulp-stable."""
+    from solrtexttagger_spark.search.grouping import grouped_topk
+
+    out = grouped_topk(
+        _index(spark, sf_dir), _docs(spark, sf_dir), BM25_QUERIES,
+        GROUP_FIELD, group_limit=GROUP_LIMIT, k_groups=BM25_K,
+        round_to=4, spark=spark,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "group_value",
+        F.col("group_rank").cast("long").alias("group_rank"),
+        F.col("rank_in_group").cast("long").alias("rank_in_group"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+    )
+
+
+def q_select_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr sort=n_chars desc: the match set ordered by a stored field
+    (doc_id asc tie-break), BM25 score still computed and returned."""
+    from solrtexttagger_spark.search.grouping import select_sorted
+
+    out = select_sorted(
+        _index(spark, sf_dir), _docs(spark, sf_dir), BM25_QUERIES,
+        SORT_FIELD, ascending=False, k=BM25_K, round_to=4, spark=spark,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("sort_value").cast("long").alias("sort_value"),
+        "score",
+    )
+
+
+def q_facet_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet.pivot=lang,source over the match set: every pivot level
+    from one ROLLUP (leaves + per-lang subtotals + grand total); NULL
+    subtotal markers coalesce to PIVOT_ANY for the hash compare."""
+    from solrtexttagger_spark.search.grouping import facet_pivot
+
+    out = facet_pivot(
+        _index(spark, sf_dir), _docs(spark, sf_dir), FACET_QUERY,
+        PIVOT_FIELDS, spark=spark,
+    )
+    return out.select(
+        *[F.coalesce(F.col(c), F.lit(PIVOT_ANY)).alias(c) for c in PIVOT_FIELDS],
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 SAMPLE_FRACTION = 0.1
 SAMPLE_STRATA = {"en": 0.05, "de": 0.5}
 SAMPLE_DEFAULT_FRACTION = 0.2
@@ -894,6 +956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": q_snippets,
         "facets": q_facets,
         "facet_range": q_facet_range,
+        "facet_pivot": q_facet_pivot,
+        "group_topk": q_group_topk,
+        "select_sorted": q_select_sorted,
         "more_like_this": q_more_like_this,
         "doc_sample": q_doc_sample,
         "doc_sample_stratified": q_doc_sample_stratified,
@@ -933,9 +998,10 @@ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
 """
 
 
-def _bm25_oracle(fq_where: str = "") -> str:
-    """fq_where: optional `WHERE ...` clause applied to the aggregated
-    scores BEFORE ranking (Solr fq: filters results, never idf/avgdl)."""
+def _bm25_scores_prefix() -> str:
+    """The shared WITH-prefix computing per-(query, doc) total BM25
+    scores for BM25_QUERIES — the SQL twin of bm25.exploded_scores.
+    Consumers append their own ranking/grouping windows."""
     from solrtexttagger_spark.search.bm25 import analyze_query_terms
 
     vals = []
@@ -958,7 +1024,14 @@ scores AS (
   JOIN dl ON dl.doc_id = tok.doc_id
   CROSS JOIN stats s
   GROUP BY 1, 2
-),
+)"""
+
+
+def _bm25_oracle(fq_where: str = "") -> str:
+    """fq_where: optional `WHERE ...` clause applied to the aggregated
+    scores BEFORE ranking (Solr fq: filters results, never idf/avgdl)."""
+    return f"""
+{_bm25_scores_prefix()},
 ranked AS (
   SELECT query_id,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank,
@@ -1304,6 +1377,73 @@ SELECT s.range_start, coalesce(b.n, 0)::BIGINT AS n
 FROM spine s LEFT JOIN b USING (range_start)
 """
     sql["bm25_exploded"] = _bm25_oracle()  # both strategies, same oracle
+
+    # mirrors search/grouping.grouped_topk: scores rounded to 4 BEFORE the
+    # windows on both engines; rank_in_group over (query, group), groups
+    # dense-ranked by (best member score desc, group value asc)
+    sql["group_topk"] = f"""
+{_bm25_scores_prefix()},
+rounded AS (SELECT query_id, doc_id, round(score, 4) AS score FROM scores),
+j AS (
+  SELECT r.query_id, r.doc_id, r.score, d.{GROUP_FIELD}::VARCHAR AS group_value
+  FROM rounded r JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, group_value, doc_id, score,
+         row_number() OVER (PARTITION BY query_id, group_value
+                            ORDER BY score DESC, doc_id) AS rank_in_group,
+         max(score) OVER (PARTITION BY query_id, group_value) AS grp_best
+  FROM j
+),
+grp AS (
+  SELECT *, dense_rank() OVER (PARTITION BY query_id
+                               ORDER BY grp_best DESC, group_value ASC) AS group_rank
+  FROM ranked
+)
+SELECT query_id, group_value, group_rank::BIGINT AS group_rank,
+       rank_in_group::BIGINT AS rank_in_group, doc_id, score
+FROM grp WHERE group_rank <= {BM25_K} AND rank_in_group <= {GROUP_LIMIT}
+"""
+
+    # mirrors search/grouping.select_sorted: match set ordered by the
+    # stored field desc (doc_id asc tie-break), score carried along
+    sql["select_sorted"] = f"""
+{_bm25_scores_prefix()},
+rounded AS (SELECT query_id, doc_id, round(score, 4) AS score FROM scores),
+j AS (
+  SELECT r.query_id, r.doc_id, r.score, d.{SORT_FIELD}::BIGINT AS sort_value
+  FROM rounded r JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sort_value DESC, doc_id ASC) AS rank
+  FROM j
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, sort_value, score
+FROM ranked WHERE rank <= {BM25_K}
+"""
+
+    # mirrors search/grouping.facet_pivot: ROLLUP over the match set;
+    # NULL subtotal markers coalesce to the same sentinel on both sides
+    _pv_cols = ", ".join(PIVOT_FIELDS)
+    _pv_sel = ", ".join(
+        f"coalesce({c}, '{PIVOT_ANY}') AS {c}" for c in PIVOT_FIELDS
+    )
+    sql["facet_pivot"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w IN ({_fq_terms})
+),
+src AS (
+  SELECT {", ".join(f"{c}::VARCHAR AS {c}" for c in PIVOT_FIELDS)}
+  FROM documents JOIN matched USING (doc_id)
+),
+piv AS (
+  SELECT {_pv_cols}, count(*)::BIGINT AS n FROM src GROUP BY ROLLUP ({_pv_cols})
+)
+SELECT {_pv_sel}, n FROM piv
+"""
 
     sql["term_stats"] = f"""
 WITH {_TOK_CTE}
