@@ -208,3 +208,45 @@ def test_remove_dup_spans_plan_jvm_three_exchanges(spark, docs_df):
                      "FlatMapGroupsInPandas"):
         assert py_stage not in plan, plan
     assert n_exchanges(plan) == 3, plan
+
+
+def test_grouping_plans(spark, docs_df, index):
+    """The new /select surface ops keep their scale properties visible:
+    select_sorted is WindowGroupLimit-ed (top-k never fully sorts),
+    grouped_topk runs its two windows with no cartesian/nested-loop join,
+    facet_pivot's rollup is a single Expand+aggregate (one shuffle after
+    the match semi-join), and select_page carries numFound/maxScore in
+    the SAME window stage as the rank (no second aggregation exchange)."""
+    from solrtexttagger_spark.search.grouping import (
+        facet_pivot,
+        grouped_topk,
+        select_sorted,
+    )
+    from solrtexttagger_spark.search.select import select_page
+
+    attrs = docs_df.withColumn("grp", (docs_df.doc_id % 3).cast("string"))
+    p_sort = plan_str(
+        select_sorted(index, attrs, [(0, "common w1")], "doc_id", k=3, spark=spark)
+    )
+    assert "WindowGroupLimit" in p_sort
+    assert "CartesianProduct" not in p_sort
+
+    p_grp = plan_str(
+        grouped_topk(index, attrs, [(0, "common w1")], "grp", spark=spark)
+    )
+    assert "BroadcastNestedLoopJoin" not in p_grp
+    assert "CartesianProduct" not in p_grp
+
+    p_piv = plan_str(facet_pivot(index, attrs, "common w1", ["grp"], spark=spark))
+    assert "Expand" in p_piv  # rollup levels from ONE pass
+    assert "CartesianProduct" not in p_piv
+
+    p_page = plan_str(
+        select_page(index, attrs, "common w1", fl=["grp"], k=3, spark=spark)
+    )
+    # the rank window and the numFound/maxScore aggregates share the
+    # query_id partitioning: Window nodes, no extra HashAggregate after
+    # the scoring aggregation for the counts
+    assert p_page.count("Exchange") <= plan_str(
+        bm25_topk(index, [(0, "common w1")], k=3, spark=spark, strategy="exploded")
+    ).count("Exchange") + 2  # + corpus-fields join side
