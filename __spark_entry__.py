@@ -889,6 +889,19 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_MAX_TOKENS = 256
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM training-batch sequence packing: docs laid head-to-tail in id
+    order, cut into PACK_MAX_TOKENS-capacity bins with document-aligned
+    cuts. Distributed prefix sum (range partition + partition-local
+    window + broadcast offsets) — no single-partition global window."""
+    from solrtexttagger_spark.ops.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), max_tokens=PACK_MAX_TOKENS)
+
+
 PHRASE_QUERY = "hash join"
 
 
@@ -977,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pii_stats": q_pii_stats,
         "repetition_stats": q_repetition_stats,
+        "pack_sequences": q_pack_sequences,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
         "phrase_match": q_phrase_match,
@@ -2144,6 +2158,25 @@ SELECT doc_id,
                      (a, b) -> (a * 31 + b) % 2147483647)
        END AS rhash
 FROM documents
+"""
+
+    # mirrors ops/packing.pack_sequences: cumulative-token layout in id
+    # order, document-aligned bin cuts (the distributed prefix sum equals
+    # the serial window cumsum by construction)
+    sql["pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       (cum_before // {PACK_MAX_TOKENS})::BIGINT AS bin_id,
+       (cum_before % {PACK_MAX_TOKENS})::BIGINT AS bin_offset
+FROM c
 """
 
     sql["sessionize"] = f"""
