@@ -233,6 +233,17 @@ def main() -> None:
 
     timed_repeat("q2g_bool_snippets_facets_mlt", select_surface)
 
+    # q2i: round-5 /select surface additions (result grouping, field sort,
+    # facet.pivot) — separate from q2g so that timing stays comparable
+    # across rounds
+    def grouping_surface():
+        n = _materialize(em.q_group_topk(spark, sf_dir))
+        n += _materialize(em.q_select_sorted(spark, sf_dir))
+        n += _materialize(em.q_facet_pivot(spark, sf_dir))
+        return n
+
+    timed_repeat("q2i_group_sort_pivot", grouping_surface)
+
     # q2c: single-query p50/p95 latency, split COLD (caches reset — every
     # query pays its term-metadata job) vs WARM (identical second pass
     # over populated caches). BASELINE.md target metric: top-k query p95.
@@ -510,6 +521,9 @@ def main() -> None:
         return n
 
     timed("q8b_text_qa_filters", qa2)
+
+    # q8c: sequence packing (distributed prefix sum)
+    timed("q8c_pack_sequences", lambda: _materialize(em.q_pack_sequences(spark, sf_dir)))
 
     # q9: sessionization over events
     timed("q9_sessionize", lambda: _materialize(em.q_sessionize(spark, sf_dir)))
