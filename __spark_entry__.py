@@ -889,6 +889,31 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DELETE_PRED = "lang = 'de'"  # deleteByQuery predicate for the expunge entry
+
+
+def q_bm25_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr deleteByQuery + expungeDeletes, then /select: documents with
+    lang='de' physically removed and EVERY statistic (df, doc_count,
+    avgdl) recomputed over the remaining corpus — unlike bm25_fq, whose
+    tombstone-phase semantics keep corpus-wide stats. The oracle is the
+    BM25 oracle with the documents source filtered the same way."""
+    from solrtexttagger_spark.index.maintenance import expunge_docs
+    from solrtexttagger_spark.search.bm25 import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    idx2 = expunge_docs(
+        _index(spark, sf_dir), docs.where(DELETE_PRED).select("doc_id")
+    )
+    out = bm25_topk(idx2, BM25_QUERIES, k=BM25_K, spark=spark)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 PACK_MAX_TOKENS = 256
 
 
@@ -990,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pii_stats": q_pii_stats,
         "repetition_stats": q_repetition_stats,
+        "bm25_after_delete": q_bm25_after_delete,
         "pack_sequences": q_pack_sequences,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -1350,6 +1376,12 @@ def oracle_sql() -> dict[str, str]:
     )
     # WAND under fq must be rank/score-identical to the exhaustive scorer
     sql["wand_fq"] = sql["bm25_fq"]
+    # expunge semantics: the SAME scoring, but every stat (df, n, avgdl)
+    # derived from the corpus minus the deleted docs — mirrored by
+    # filtering the documents source everywhere the oracle reads it
+    sql["bm25_after_delete"] = _bm25_oracle().replace(
+        "FROM documents", f"FROM (SELECT * FROM documents WHERE NOT ({DELETE_PRED}))"
+    )
     _fl_cols = ", ".join(f"d.{c}" for c in BM25_FL)
     sql["bm25_fl"] = (
         f"SELECT r.query_id, r.rank, r.doc_id, r.score, {_fl_cols}\n"

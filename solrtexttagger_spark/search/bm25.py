@@ -31,6 +31,14 @@ from solrtexttagger_spark.index.build import InvertedIndex
 K1 = 1.2
 B = 0.75
 
+# Per-index memo of global df per term (the segmented scorer's one extra
+# driver job wave per batch — at serving cadence, repeated vocabulary
+# makes it pure overhead). Same policy as the WAND metadata cache
+# (search/wand.py): bounded, whole-reset at the cap with the in-flight
+# terms re-fetched, assumes the InvertedIndex is immutable once queried
+# (search/wand.reset_query_caches clears it).
+BM25_DF_CACHE_MAX_TERMS = 500_000
+
 _SCORE_SCHEMA = T.StructType(
     [
         T.StructField("query_id", T.LongType()),
@@ -235,13 +243,25 @@ def _bm25_topk_segmented(
         )
     n = float(index.doc_count)
     avgdl = float(index.avgdl) if index.avgdl else 1.0
-    df_map = {
-        r["term"]: r["df"]
-        for r in index.postings.where(F.col("term").isin(terms))
-        .groupBy("term")
-        .agg(F.sum("df_seg").alias("df"))
-        .collect()
-    }
+    cache = getattr(index, "_bm25_df", None)
+    if cache is None:
+        cache = {}
+        index._bm25_df = cache
+    missing = [t for t in terms if t not in cache]
+    if missing:
+        if len(cache) + len(missing) > BM25_DF_CACHE_MAX_TERMS:
+            cache.clear()
+            missing = list(terms)  # reset dropped this batch's cached terms
+        got = {
+            r["term"]: r["df"]
+            for r in index.postings.where(F.col("term").isin(missing))
+            .groupBy("term")
+            .agg(F.sum("df_seg").alias("df"))
+            .collect()
+        }
+        for t in missing:  # negative entries too, else re-collected per call
+            cache[t] = got.get(t)
+    df_map = {t: cache[t] for t in terms if cache[t] is not None}
     qterm_list = {}
     for qid, bag in qbags.items():
         lst = []

@@ -70,11 +70,12 @@ def _bounded_insert(cache: dict, missing: list, cap: int) -> bool:
 
 
 def reset_query_caches(cindex) -> None:
-    """Drop the driver-side term-metadata/block caches on a
-    CompressedIndex. Two uses: the bench's cold-path protocol (a cold
-    query pays the one-time metadata job; a warm one reads the cache),
-    and the escape hatch if an index's blocks were rebuilt in place."""
-    for attr in ("_wand_meta", "_wand_blocks"):
+    """Drop the driver-side query caches on a CompressedIndex OR an
+    InvertedIndex (term metadata / raw blocks / BM25 df stats). Two uses:
+    the bench's cold-path protocol (a cold query pays the one-time
+    metadata job; a warm one reads the cache), and the escape hatch if an
+    index's blocks were rebuilt in place."""
+    for attr in ("_wand_meta", "_wand_blocks", "_bm25_df"):
         cache = getattr(cindex, attr, None)
         if cache is not None:
             cache.clear()

@@ -241,3 +241,32 @@ def test_select_topk_stored_fields(spark, docs_df, index):
     lens = {r["doc_id"]: r["nc"] for r in attrs.collect()}
     for r in out:
         assert r["nc"] == lens[r["doc_id"]]
+
+
+def test_bm25_df_cache_and_reset(spark, docs_df, index, monkeypatch):
+    """The segmented scorer memoizes global df per term on the index
+    (one fewer driver job wave per repeated-vocabulary batch); results
+    are identical warm, after a cap-triggered reset, and after an
+    explicit reset_query_caches."""
+    import solrtexttagger_spark.search.bm25 as bmod
+    from solrtexttagger_spark.search.wand import reset_query_caches
+
+    q = [(0, "fast join"), (1, "filter zzz")]
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+    cold = sorted(map(key, bm25_topk(index, q, k=5, spark=spark).collect()))
+    assert getattr(index, "_bm25_df", None)  # populated (incl. negative zzz)
+    assert "zzz" in index._bm25_df and index._bm25_df["zzz"] is None
+    warm = sorted(map(key, bm25_topk(index, q, k=5, spark=spark).collect()))
+    assert warm == cold and cold  # non-empty: real vocabulary
+    # overflow reset mid-batch keeps the in-flight vocabulary correct
+    monkeypatch.setattr(bmod, "BM25_DF_CACHE_MAX_TERMS", 3)
+    over = sorted(map(key, bm25_topk(
+        index, [(2, "fast row merge sort")], k=5, spark=spark).collect()))
+    exp = sorted(map(key, bm25_topk(
+        index, [(2, "fast row merge sort")], k=5, spark=spark, strategy="exploded"
+    ).collect()))
+    assert over and over == exp
+    reset_query_caches(index)
+    assert index._bm25_df == {}
+    again = sorted(map(key, bm25_topk(index, q, k=5, spark=spark).collect()))
+    assert again == cold

@@ -1,0 +1,89 @@
+"""Index maintenance: expunge_docs literal/merge equivalence, stats
+recompute, and the Lucene two-phase delete semantics (tombstone = fq
+with corpus-wide stats vs expunge = recomputed stats)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from solrtexttagger_spark.index.build import build_index
+from solrtexttagger_spark.index.maintenance import expunge_docs
+from solrtexttagger_spark.search.bm25 import bm25_topk
+
+DOCS = [(i, " ".join(f"w{(i * j) % 11}" for j in range(1, 8 + i % 5))) for i in range(60)]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = build_index(df, num_segments=4)
+    idx.postings.persist().count()
+    return df, idx
+
+
+def _norm(idx):
+    rows = {}
+    for r in idx.postings.collect():
+        rows[(r["term"], r["seg"])] = (
+            r["df_seg"], r["cf_seg"],
+            [(p["doc_id"], p["tf"], p["dl"]) for p in r["postings"]],
+        )
+    return rows
+
+
+def test_expunge_literal_merge_identical(spark, corpus):
+    df, idx = corpus
+    deleted = spark.createDataFrame([(i,) for i in range(0, 60, 4)], "doc_id long")
+    a = expunge_docs(idx, deleted, method="literal")
+    b = expunge_docs(idx, deleted, method="merge")
+    assert _norm(a) == _norm(b)
+    assert a.doc_count == b.doc_count == 45
+    assert a.avgdl == pytest.approx(b.avgdl)
+    # no deleted doc survives anywhere; per-shard stats match the arrays
+    for (term, seg), (df_seg, cf_seg, plist) in _norm(a).items():
+        assert df_seg == len(plist) and cf_seg == sum(tf for _, tf, _ in plist)
+        assert all(d % 4 != 0 for d, _, _ in plist)
+    # term_stats re-aggregates the shards
+    ts = {r["term"]: (r["df"], r["cf"]) for r in a.term_stats.collect()}
+    agg = {}
+    for (term, _), (df_seg, cf_seg, _) in _norm(a).items():
+        d0, c0 = agg.get(term, (0, 0))
+        agg[term] = (d0 + df_seg, c0 + cf_seg)
+    assert ts == agg
+
+
+def test_tombstone_vs_expunge_scoring(spark, corpus):
+    """Phase 1 (tombstone): deleted docs stop matching but stats stay
+    corpus-wide == bm25_topk(allowed_docs=live). Phase 2 (expunge):
+    stats recomputed, so scores CHANGE even for surviving docs."""
+    df, idx = corpus
+    deleted = df.where("doc_id % 3 = 0").select("doc_id")
+    live = df.where("doc_id % 3 != 0").select("doc_id")
+    q = [(0, "w1 w2"), (1, "w3 w5 w7")]
+    tomb = bm25_topk(idx, q, k=10, spark=spark, allowed_docs=live).collect()
+    ex_idx = expunge_docs(idx, deleted)
+    exp = bm25_topk(ex_idx, q, k=10, spark=spark).collect()
+    t = {(r["query_id"], r["doc_id"]): r["score"] for r in tomb}
+    e = {(r["query_id"], r["doc_id"]): r["score"] for r in exp}
+    # same matched docs (no deleted doc in either), different stats
+    assert set(t) == set(e)
+    assert all(d % 3 != 0 for _, d in t)
+    assert any(abs(t[k] - e[k]) > 1e-9 for k in t)  # df/avgdl really moved
+    # expunged index equals a fresh build over the surviving corpus
+    fresh = build_index(
+        df.where("doc_id % 3 != 0"), num_segments=idx.num_segments
+    )
+    want = bm25_topk(fresh, q, k=10, spark=spark).collect()
+    w = {(r["query_id"], r["doc_id"]): r["score"] for r in want}
+    assert set(e) == set(w)
+    for k in e:
+        assert e[k] == pytest.approx(w[k], abs=1e-9)
+
+
+def test_expunge_empty_and_errors(spark, corpus):
+    df, idx = corpus
+    none_deleted = spark.createDataFrame([], "doc_id long")
+    same = expunge_docs(idx, none_deleted)
+    assert same.doc_count == idx.doc_count
+    assert _norm(same) == _norm(idx)
+    with pytest.raises(ValueError):
+        expunge_docs(idx, none_deleted, method="bogus")
