@@ -126,3 +126,55 @@ def compress_index(
         num_segments=index.num_segments,
         _avgdl=index._avgdl,
     )
+
+
+def save_compressed(cindex: CompressedIndex, path: str) -> dict:
+    """Persist a compressed index: blocks + term_stats as parquet
+    (blocks partitioned by seg, so a loading cluster prunes to the
+    segments a query's candidate set needs), corpus stats as a JSON
+    manifest. Completes the serving deployment story — build ->
+    compress -> save at index time; load -> LocalSearcher / wand_topk at
+    serve time, no uncompressed index kept around. Returns the manifest."""
+    import json
+    import os
+
+    cindex.blocks.write.mode("overwrite").partitionBy("seg").parquet(
+        os.path.join(path, "blocks")
+    )
+    cindex.term_stats.write.mode("overwrite").parquet(
+        os.path.join(path, "term_stats")
+    )
+    manifest = {
+        "format": "stt-cindex-v1",
+        "doc_count": cindex.doc_count,
+        "num_segments": cindex.num_segments,
+        "avgdl": cindex.avgdl,
+        "with_positions": "pos_block" in cindex.blocks.columns,
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "cindex_manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def load_compressed(spark, path: str) -> CompressedIndex:
+    """Inverse of save_compressed: a fresh CompressedIndex (fresh query
+    caches — see the immutability contract) over the persisted blocks."""
+    import json
+    import os
+
+    with open(os.path.join(path, "cindex_manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest.get("format") != "stt-cindex-v1":
+        raise ValueError(
+            f"not a stt-cindex-v1 manifest: {manifest.get('format')!r}"
+        )
+    cols = [f.name for f in (POS_BLOCK_SCHEMA if manifest["with_positions"] else BLOCK_SCHEMA).fields]
+    blocks = spark.read.parquet(os.path.join(path, "blocks")).select(*cols)
+    return CompressedIndex(
+        blocks=blocks,
+        term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
+        doc_count=int(manifest["doc_count"]),
+        num_segments=int(manifest["num_segments"]),
+        _avgdl=float(manifest["avgdl"]),
+    )

@@ -592,3 +592,40 @@ def test_local_searcher_fq_and_start(spark, corpus_index):
     bfull = s.search_boolean("+w0 w1", k=10, allowed_docs=allowed_ids)
     assert all(d in allowed_ids for _, d, _ in bfull)
     assert s.search_boolean("+w0 w1", k=4, allowed_docs=allowed_ids, start=2) == bfull[2:6]
+
+
+def test_compressed_index_save_load_roundtrip(spark, corpus_index, tmp_path):
+    """build -> compress -> save; load -> WAND / LocalSearcher with
+    identical results (incl. positional phrase serving) — the compressed
+    serving deployment needs no uncompressed index at query time."""
+    from solrtexttagger_spark.index.compressed import (
+        load_compressed,
+        save_compressed,
+    )
+    from solrtexttagger_spark.search.wand import LocalSearcher
+
+    c = compress_index(corpus_index, max_block_postings=7, with_positions=True)
+    path = str(tmp_path / "cindex")
+    manifest = save_compressed(c, path)
+    assert manifest["with_positions"] and manifest["format"] == "stt-cindex-v1"
+    c2 = load_compressed(spark, path)
+    assert (c2.doc_count, c2.num_segments) == (c.doc_count, c.num_segments)
+    assert c2.avgdl == pytest.approx(c.avgdl)
+    queries = [(0, "w0 w1"), (1, "w5 w40 w80")]
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+    a = sorted(map(key, wand_topk(c, queries, k=10, spark=spark).collect()))
+    b = sorted(map(key, wand_topk(c2, queries, k=10, spark=spark).collect()))
+    assert a == b
+    s1, s2 = LocalSearcher(c, positions=True), LocalSearcher(c2, positions=True)
+    for q in ("w0 w1", '+w5 -"w0 w1"'):
+        assert s1.search_boolean(q, k=10) == s2.search_boolean(q, k=10)
+    # a non-positional save round-trips without the pos column
+    c0 = compress_index(corpus_index)
+    p0 = str(tmp_path / "cindex0")
+    assert not save_compressed(c0, p0)["with_positions"]
+    assert "pos_block" not in load_compressed(spark, p0).blocks.columns
+    with pytest.raises(ValueError):
+        import json, os
+        bad = str(tmp_path / "bad"); os.makedirs(bad)
+        json.dump({"format": "nope"}, open(os.path.join(bad, "cindex_manifest.json"), "w"))
+        load_compressed(spark, bad)
