@@ -325,8 +325,20 @@ class LocalSearcher:
         return out
 
     @staticmethod
-    def _allowed_arr(allowed_docs) -> np.ndarray:
+    def prepare_filter(allowed_docs) -> np.ndarray:
+        """Resolve an fq doc-id iterable into the sorted array the search
+        methods consume — the Solr filterCache step: call ONCE per
+        filter, reuse the array across requests (passing a raw set
+        instead re-sorts per request)."""
         return np.asarray(sorted(allowed_docs), dtype=np.int64)
+
+    @classmethod
+    def _allowed_arr(cls, allowed_docs) -> np.ndarray:
+        if isinstance(allowed_docs, np.ndarray):
+            # prepared by prepare_filter: already sorted int64 — no
+            # per-request sort (the filterCache fast path)
+            return allowed_docs
+        return cls.prepare_filter(allowed_docs)
 
     @staticmethod
     def _apply_allowed(uniq: np.ndarray, scores: np.ndarray, allow: np.ndarray):

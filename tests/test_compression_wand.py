@@ -629,3 +629,19 @@ def test_compressed_index_save_load_roundtrip(spark, corpus_index, tmp_path):
         bad = str(tmp_path / "bad"); os.makedirs(bad)
         json.dump({"format": "nope"}, open(os.path.join(bad, "cindex_manifest.json"), "w"))
         load_compressed(spark, bad)
+
+
+def test_local_searcher_prepared_filter(spark, corpus_index):
+    """prepare_filter resolves the fq set once (the filterCache step);
+    the prepared array serves identically to the raw set."""
+    from solrtexttagger_spark.search.wand import LocalSearcher
+
+    c = compress_index(corpus_index)
+    s = LocalSearcher(c)
+    raw = set(range(0, 300, 3))
+    prep = LocalSearcher.prepare_filter(raw)
+    for q in ("w0 w1", "w5 w40"):
+        assert s.search(q, k=7, allowed_docs=prep) == s.search(q, k=7, allowed_docs=raw)
+    assert s.search_boolean("+w0 w1", k=5, allowed_docs=prep) == s.search_boolean(
+        "+w0 w1", k=5, allowed_docs=raw
+    )
