@@ -889,6 +889,58 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TERMS_PREFIX = "s"
+SPELL_WORD = "jion"  # misspelling of the corpus term "join"
+SPELL_MAX_DIST = 2
+SYNONYMS = {"speedy": ["fast"], "lookup": ["scan", "join"], "merge": ["sort"]}
+SYN_QUERIES = [
+    (0, "speedy merge"),
+    (1, "lookup table"),
+    (2, "slow lookup query"),
+    (3, "speedy speedy row"),  # repeated term: expansion scales with qtf
+    (4, "window merge"),
+]
+
+
+def q_terms_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /terms handler: top terms under a prefix by global df
+    (TakeOrdered — no global sort even on a 1e8-term vocabulary)."""
+    from solrtexttagger_spark.search.terms import terms_component
+
+    return terms_component(_index(spark, sf_dir), TERMS_PREFIX, k=10)
+
+
+def q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr spellcheck (DirectSpellChecker shape): corrections from the
+    LIVE index vocabulary within levenshtein max_dist, ranked by
+    (distance asc, df desc, term asc)."""
+    from solrtexttagger_spark.search.terms import spellcheck_terms
+
+    return spellcheck_terms(
+        _index(spark, sf_dir), SPELL_WORD, max_dist=SPELL_MAX_DIST, k=5
+    )
+
+
+def q_bm25_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with query-time synonym expansion (SynonymGraphFilter
+    query-analyzer semantics on the bag model): out-of-corpus terms like
+    'speedy'/'lookup' match through their expansions at the original
+    occurrence weight. The oracle expands with the SAME Python function
+    when building its VALUES rows."""
+    from solrtexttagger_spark.search.bm25 import bm25_topk
+
+    out = bm25_topk(
+        _index(spark, sf_dir), SYN_QUERIES, k=BM25_K, spark=spark,
+        synonyms=SYNONYMS,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 DELETE_PRED = "lang = 'de'"  # deleteByQuery predicate for the expunge entry
 
 
@@ -1016,6 +1068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_stats": q_pii_stats,
         "repetition_stats": q_repetition_stats,
         "bm25_after_delete": q_bm25_after_delete,
+        "terms_prefix": q_terms_prefix,
+        "spellcheck": q_spellcheck,
+        "bm25_synonyms": q_bm25_synonyms,
         "pack_sequences": q_pack_sequences,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -1038,15 +1093,22 @@ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
 """
 
 
-def _bm25_scores_prefix() -> str:
+def _bm25_scores_prefix(queries=None, synonyms=None) -> str:
     """The shared WITH-prefix computing per-(query, doc) total BM25
-    scores for BM25_QUERIES — the SQL twin of bm25.exploded_scores.
-    Consumers append their own ranking/grouping windows."""
-    from solrtexttagger_spark.search.bm25 import analyze_query_terms
+    scores — the SQL twin of bm25.exploded_scores. Consumers append
+    their own ranking/grouping windows. ``synonyms`` expands the term
+    bags with the SAME function the operator uses."""
+    from solrtexttagger_spark.search.bm25 import (
+        analyze_query_terms,
+        expand_synonyms,
+    )
 
     vals = []
-    for qid, q in BM25_QUERIES:
-        for term, qtf in sorted(analyze_query_terms(q).items()):
+    for qid, q in (queries if queries is not None else BM25_QUERIES):
+        bag = analyze_query_terms(q)
+        if synonyms:
+            bag = expand_synonyms(bag, synonyms)
+        for term, qtf in sorted(bag.items()):
             vals.append(f"({qid}, '{term}', {qtf})")
     values = ", ".join(vals)
     return f"""
@@ -1382,6 +1444,50 @@ def oracle_sql() -> dict[str, str]:
     sql["bm25_after_delete"] = _bm25_oracle().replace(
         "FROM documents", f"FROM (SELECT * FROM documents WHERE NOT ({DELETE_PRED}))"
     )
+
+    # mirrors search/bm25 synonyms= : identical scoring CTEs over bags
+    # expanded by the SAME Python function on both sides
+    sql["bm25_synonyms"] = f"""
+{_bm25_scores_prefix(SYN_QUERIES, SYNONYMS)},
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank,
+         doc_id, round(score, 4) AS score
+  FROM scores
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM ranked WHERE rank <= {BM25_K}
+"""
+
+    # mirrors search/terms.terms_component: term_stats derive from the
+    # same tokenization; top-k by (df desc, term asc)
+    sql["terms_prefix"] = f"""
+WITH {_TOK_CTE},
+st AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tok GROUP BY 1),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY df DESC, term ASC) AS rank, term, df, cf
+  FROM st WHERE term LIKE '{TERMS_PREFIX}%'
+)
+SELECT rank::BIGINT AS rank, term, df, cf FROM ranked WHERE rank <= 10
+"""
+
+    # mirrors search/terms.spellcheck_terms: live-vocabulary candidates
+    # within levenshtein max_dist, (dist asc, df desc, term asc)
+    sql["spellcheck"] = f"""
+WITH {_TOK_CTE},
+st AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+cand AS (
+  SELECT term, df, levenshtein(term, '{SPELL_WORD}')::BIGINT AS dist
+  FROM st
+  WHERE abs(len(term) - {len(SPELL_WORD)}) <= {SPELL_MAX_DIST}
+    AND term <> '{SPELL_WORD}' AND df >= 1
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY dist ASC, df DESC, term ASC) AS rank,
+         term, dist, df
+  FROM cand WHERE dist <= {SPELL_MAX_DIST}
+)
+SELECT rank::BIGINT AS rank, term, dist, df FROM ranked WHERE rank <= 5
+"""
     _fl_cols = ", ".join(f"d.{c}" for c in BM25_FL)
     sql["bm25_fl"] = (
         f"SELECT r.query_id, r.rank, r.doc_id, r.score, {_fl_cols}\n"

@@ -54,10 +54,34 @@ def analyze_query_terms(query: str, lowercase: bool = True) -> dict[str, int]:
     return Counter((w.lower() if lowercase else w) for w, _s, _e in words)
 
 
-def queries_to_df(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFrame:
+def expand_synonyms(
+    bag: dict[str, int], synonyms: dict[str, list[str]]
+) -> dict[str, int]:
+    """Query-time synonym expansion — Lucene SynonymGraphFilter's
+    query-analyzer semantics flattened onto the BM25 bag model: every
+    occurrence of a term also contributes each of its synonyms at the
+    same weight, so the expanded clause scores like Solr's
+    (term OR synonym) at equal boost. One-directional (map key ->
+    expansions), index-side text untouched — exactly Solr's recommended
+    query-time-only synonym deployment."""
+    out = dict(bag)
+    for t, qtf in bag.items():
+        for s in synonyms.get(t, ()):
+            out[s] = out.get(s, 0) + qtf
+    return out
+
+
+def queries_to_df(
+    spark: SparkSession,
+    queries: list[tuple[int, str]],
+    synonyms: dict[str, list[str]] | None = None,
+) -> DataFrame:
     rows = []
     for qid, q in queries:
-        for term, qtf in sorted(analyze_query_terms(q).items()):
+        bag = analyze_query_terms(q)
+        if synonyms:
+            bag = expand_synonyms(bag, synonyms)
+        for term, qtf in sorted(bag.items()):
             rows.append((int(qid), term, int(qtf)))
     return spark.createDataFrame(rows, "query_id long, term string, qtf int")
 
@@ -73,6 +97,7 @@ def bm25_topk(
     strategy: str = "segmented",
     allowed_docs: DataFrame | None = None,
     start: int = 0,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Top-k BM25 per query. ``queries`` is a list[(query_id, text)] or a
     DataFrame(query_id, term, qtf). Returns
@@ -104,11 +129,15 @@ def bm25_topk(
     start < rank <= start + k are returned, rank staying the ABSOLUTE
     position (Solr start/rows pagination; the candidate window widens to
     start + k so the page is exact in every strategy).
+
+    ``synonyms`` ({term: [expansion, ...]}) applies query-time synonym
+    expansion (expand_synonyms) to every query's term bag before
+    scoring, both strategies.
     """
     if start:
         out = bm25_topk(
             index, queries, k=start + k, k1=k1, b=b, spark=spark,
-            strategy=strategy, allowed_docs=allowed_docs,
+            strategy=strategy, allowed_docs=allowed_docs, synonyms=synonyms,
         )
         return out.where(F.col("rank") > start)
     if strategy == "segmented":
@@ -120,13 +149,23 @@ def bm25_topk(
                 qbags.setdefault(int(r["query_id"]), {})[r["term"]] = int(r["qtf"])
         else:
             qbags = {int(qid): analyze_query_terms(q) for qid, q in queries}
+        if synonyms:
+            qbags = {qid: expand_synonyms(bag, synonyms) for qid, bag in qbags.items()}
         return _bm25_topk_segmented(
             index, qbags, k=k, k1=k1, b=b, spark=spark, allowed_docs=allowed_docs
         )
     if isinstance(queries, DataFrame):
+        if synonyms:
+            raise ValueError(
+                "synonyms= needs raw (qid, text) queries — expand the "
+                "term bags before building a query DataFrame "
+                "(queries_to_df(..., synonyms=...))"
+            )
         qdf = queries
     else:
-        qdf = queries_to_df(spark or index.postings.sparkSession, queries)
+        qdf = queries_to_df(
+            spark or index.postings.sparkSession, queries, synonyms
+        )
     scores = exploded_scores(index, qdf, k1=k1, b=b, allowed_docs=allowed_docs)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()

@@ -1,0 +1,77 @@
+"""Solr /terms handler, spellcheck, and query-time synonym expansion."""
+
+import pytest
+
+from solrtexttagger_spark.index.build import build_index
+from solrtexttagger_spark.search.bm25 import bm25_topk, expand_synonyms
+from solrtexttagger_spark.search.terms import spellcheck_terms, terms_component
+
+DOCS = [
+    (0, "scan scan scatter merge"),
+    (1, "scan sort merge merge"),
+    (2, "scatter shuffle sort"),
+    (3, "merge join fast"),
+    (4, "join join fast scan"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = build_index(df, num_segments=2)
+    idx.postings.persist().count()
+    return df, idx
+
+
+def test_terms_component_prefix_topk(spark, corpus):
+    _, idx = corpus
+    rows = sorted(
+        (r["rank"], r["term"], r["df"], r["cf"])
+        for r in terms_component(idx, "s", k=3).collect()
+    )
+    # df: scan=3, sort=2, scatter=2, shuffle=1 -> top3 with term-asc tie
+    assert rows == [(1, "scan", 3, 4), (2, "scatter", 2, 2), (3, "sort", 2, 2)]
+    assert terms_component(idx, "zz", k=3).count() == 0
+    # empty prefix = whole vocabulary, still top-k only
+    assert terms_component(idx, "", k=2).count() == 2
+
+
+def test_spellcheck_live_vocabulary(spark, corpus):
+    _, idx = corpus
+    rows = [
+        (r["rank"], r["term"], r["dist"])
+        for r in sorted(
+            spellcheck_terms(idx, "scann", max_dist=2, k=5).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    # dist asc first (scan=1), then df desc among dist-2 candidates
+    assert rows[0] == (1, "scan", 1)
+    assert all(d <= 2 for _, _, d in rows)
+    # the word itself is excluded even when in the vocabulary
+    assert "scan" not in [t for _, t, _ in spellcheck_terms(idx, "scan", k=5).collect()]
+    with pytest.raises(ValueError):
+        spellcheck_terms(idx, "scan", max_dist=0)
+
+
+def test_bm25_synonym_expansion(spark, corpus):
+    _, idx = corpus
+    syn = {"speedy": ["fast"], "blend": ["merge", "sort"]}
+    # bag semantics: repeated source term multiplies the expansion weight
+    assert expand_synonyms({"speedy": 2, "scan": 1}, syn) == {
+        "speedy": 2, "fast": 2, "scan": 1
+    }
+    q = [(0, "speedy scan"), (1, "blend blend")]
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+    got = sorted(map(key, bm25_topk(idx, q, k=5, spark=spark, synonyms=syn).collect()))
+    # equivalent hand-expanded queries (fast has qtf1, blend's pair qtf2)
+    manual = [(0, "fast scan"), (1, "merge merge sort sort")]
+    want = sorted(map(key, bm25_topk(idx, manual, k=5, spark=spark).collect()))
+    assert got and got == want
+    # both strategies expand identically
+    got_ex = sorted(map(key, bm25_topk(
+        idx, q, k=5, spark=spark, synonyms=syn, strategy="exploded").collect()))
+    assert [(a, b, c) for a, b, c, _ in got_ex] == [(a, b, c) for a, b, c, _ in got]
+    # 'speedy' alone (no index hits) matches only via the expansion
+    hits = bm25_topk(idx, [(9, "speedy")], k=5, spark=spark, synonyms=syn).collect()
+    assert {r["doc_id"] for r in hits} == {3, 4}
