@@ -889,6 +889,47 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STATS_FIELD = "n_chars"
+ELEVATIONS = {0: [7, 3], 1: [11], 3: [5, 999999]}  # 999999: non-matching id
+
+
+def q_stats_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr StatsComponent (stats.field=n_chars) over the FACET_QUERY
+    match set: count/missing/min/max/sum/mean/sample-stddev."""
+    from solrtexttagger_spark.search.components import stats_field
+
+    return stats_field(
+        _index(spark, sf_dir), _docs(spark, sf_dir), FACET_QUERY,
+        STATS_FIELD, spark=spark,
+    )
+
+
+def q_elevated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryElevationComponent: pinned docs take the head ranks in the
+    given order (incl. a non-matching injected id at score 0.0), organic
+    results follow by score."""
+    from solrtexttagger_spark.search.components import elevated_topk
+
+    out = elevated_topk(
+        _index(spark, sf_dir), BM25_QUERIES, ELEVATIONS, k=BM25_K, spark=spark
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        "elevated",
+    )
+
+
+def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM cross-entropy per document (the CCNet-style perplexity
+    quality filter, self-fit corpus model)."""
+    from solrtexttagger_spark.ops.textqa import unigram_logppl
+
+    return unigram_logppl(_docs(spark, sf_dir))
+
+
 TERMS_PREFIX = "s"
 SPELL_WORD = "jion"  # misspelling of the corpus term "join"
 SPELL_MAX_DIST = 2
@@ -1071,6 +1112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_prefix": q_terms_prefix,
         "spellcheck": q_spellcheck,
         "bm25_synonyms": q_bm25_synonyms,
+        "stats_field": q_stats_field,
+        "elevated": q_elevated,
+        "unigram_ppl": q_unigram_ppl,
         "pack_sequences": q_pack_sequences,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -1456,6 +1500,70 @@ ranked AS (
   FROM scores
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM ranked WHERE rank <= {BM25_K}
+"""
+
+    # mirrors search/components.stats_field: stats over the FACET_QUERY
+    # match set; DuckDB stddev_samp matches Spark's sample semantics
+    _stats_terms = ", ".join(f"'{t}'" for t in sorted(FACET_QUERY.split()))
+    sql["stats_field"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w IN ({_stats_terms})
+)
+SELECT count({STATS_FIELD})::BIGINT AS n,
+       (count(*) - count({STATS_FIELD}))::BIGINT AS missing,
+       round(min({STATS_FIELD}::DOUBLE), 4) AS min_v,
+       round(max({STATS_FIELD}::DOUBLE), 4) AS max_v,
+       round(sum({STATS_FIELD}::DOUBLE), 4) AS sum_v,
+       round(avg({STATS_FIELD}::DOUBLE), 4) AS mean_v,
+       round(stddev_samp({STATS_FIELD}::DOUBLE), 4) AS stddev_v
+FROM documents JOIN matched USING (doc_id)
+"""
+
+    # mirrors search/components.elevated_topk: full-outer of the
+    # elevation rows into the scoring relation, pinned head + organic tail
+    _elev_vals = ", ".join(
+        f"({qid}, {d}, {pos})"
+        for qid, ids in ELEVATIONS.items()
+        for pos, d in enumerate(ids)
+    )
+    sql["elevated"] = f"""
+{_bm25_scores_prefix()},
+elev(query_id, e_doc_id, pos) AS (VALUES {_elev_vals}),
+joined AS (
+  SELECT coalesce(s.query_id, e.query_id) AS query_id,
+         coalesce(s.doc_id, e.e_doc_id) AS doc_id,
+         coalesce(s.score, 0.0) AS score, e.pos
+  FROM scores s
+  FULL OUTER JOIN elev e
+    ON e.query_id = s.query_id AND e.e_doc_id = s.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score,
+         (pos IS NOT NULL) AS elevated,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           CASE WHEN pos IS NOT NULL THEN 0 ELSE 1 END ASC,
+           coalesce(pos, 0) ASC, score DESC, doc_id ASC) AS rank
+  FROM joined
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score, elevated
+FROM ranked WHERE rank <= {BM25_K}
+"""
+
+    # mirrors ops/textqa.unigram_logppl (self-fit corpus model)
+    sql["unigram_ppl"] = """
+WITH tok AS (
+  SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1, 2
+),
+model AS (SELECT term, sum(tf)::DOUBLE AS cf FROM tok GROUP BY 1),
+tot AS (SELECT sum(cf) AS total FROM model)
+SELECT t.doc_id, sum(t.tf)::BIGINT AS n_tokens,
+       round(-sum(t.tf * ln(m.cf / s.total)) / sum(t.tf), 4) AS cross_entropy
+FROM tok t JOIN model m USING (term) CROSS JOIN tot s
+GROUP BY t.doc_id
 """
 
     # mirrors search/terms.terms_component: term_stats derive from the

@@ -337,3 +337,46 @@ def repetition_stats(
             4,
         ).alias("top_gram_fraction"),
     )
+
+
+def unigram_logppl(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model_stats: DataFrame | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Language-model quality signal (the CCNet/KenLM perplexity filter,
+    with a unigram corpus model): per-document cross-entropy
+    H(doc) = -(1/n) * sum_w tf_w * ln p(w) under p(w) = cf_w / total
+    fit on THIS corpus — or pass ``model_stats`` (term, cf) fit on a
+    reference corpus (the held-out production shape; unseen terms then
+    drop out of the sum, a add-nothing smoothing documented here).
+    Lower H = more typical text; exp(H) is the unigram perplexity.
+    Output (doc_id, n_tokens, cross_entropy).
+
+    Shape: one tokenize + (doc, term) aggregation; the model is a
+    groupBy over the same relation (or the provided stats) joined back
+    on term — all built-in expressions, two shuffles total, no UDF."""
+    words = F.explode(F.split(F.col(text_col), " ")).alias("term")
+    tok = (
+        df.select(F.col(id_col).alias("doc_id"), words)
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    if model_stats is None:
+        model = tok.groupBy("term").agg(F.sum("tf").cast("double").alias("cf"))
+    else:
+        model = model_stats.select("term", F.col("cf").cast("double").alias("cf"))
+    total = model.agg(F.sum("cf")).collect()[0][0] or 1.0
+    ce = -F.sum(F.col("tf") * F.log(F.col("cf") / F.lit(float(total)))) / F.sum("tf")
+    return (
+        tok.join(model, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(ce, round_to).alias("cross_entropy"),
+        )
+    )
