@@ -342,6 +342,19 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end cleaned corpus: the documents SURVIVING near-dup
+    clustering (cluster keeper = min doc id — cluster_id == doc_id).
+    The pipeline-complete 'give me the deduplicated corpus' step over
+    dup_clusters; its oracle wraps the dup_clusters recursive-closure
+    oracle with the keeper filter."""
+    return (
+        q_dup_clusters(spark, sf_dir)
+        .where(F.col("cluster_id") == F.col("doc_id"))
+        .select("doc_id")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solrtexttagger_spark.ops.dedup import simhash
 
@@ -1077,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
+        "dedup_keep": q_dedup_keep,
         "span_dup_stats": q_span_dup_stats,
         "remove_dup_spans": q_remove_dup_spans,
         "bool_search": q_bool_search,
@@ -1865,6 +1879,11 @@ SELECT d.doc_id::BIGINT AS doc_id,
        coalesce(least(c.u, c.mv), d.doc_id)::BIGINT AS cluster_id
 FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
 """
+
+    # cleaned corpus = the clustering oracle wrapped with the keeper filter
+    sql["dedup_keep"] = (
+        f"SELECT doc_id FROM ({sql['dup_clusters']}) WHERE cluster_id = doc_id"
+    )
 
     # deterministic sampling oracles: the cut integers are computed with
     # the SAME python expression the operator uses, so Spark == DuckDB

@@ -244,6 +244,19 @@ def main() -> None:
 
     timed_repeat("q2i_group_sort_pivot", grouping_surface)
 
+    # q2j: round-5 handler surface (terms/spellcheck/synonyms/stats/
+    # elevation/expunge) in one timing
+    def handler_surface():
+        n = _materialize(em.q_terms_prefix(spark, sf_dir))
+        n += _materialize(em.q_spellcheck(spark, sf_dir))
+        n += _materialize(em.q_bm25_synonyms(spark, sf_dir))
+        n += _materialize(em.q_stats_field(spark, sf_dir))
+        n += _materialize(em.q_elevated(spark, sf_dir))
+        n += _materialize(em.q_bm25_after_delete(spark, sf_dir))
+        return n
+
+    timed_repeat("q2j_handlers", handler_surface)
+
     # q2c: single-query p50/p95 latency, split COLD (caches reset — every
     # query pays its term-metadata job) vs WARM (identical second pass
     # over populated caches). BASELINE.md target metric: top-k query p95.

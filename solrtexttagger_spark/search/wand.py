@@ -359,10 +359,14 @@ class LocalSearcher:
         *,
         allowed_docs=None,
         start: int = 0,
+        synonyms: dict[str, list[str]] | None = None,
     ):
         """-> [(rank, doc_id, score)]. k1/b were baked into the per-doc
         factors at warm-up; passing different values here would silently
         score with the warm-up parameters, so it raises instead.
+        ``synonyms`` applies query-time expansion (bm25.expand_synonyms)
+        — Solr's analyzer chain runs regardless of scorer, so the warm
+        path expands identically to the distributed ones.
 
         ``allowed_docs`` (an iterable/set of doc ids) is Solr's fq on the
         serving path — the caller resolves the filter to ids ONCE and
@@ -381,6 +385,10 @@ class LocalSearcher:
                 "LocalSearcher with the desired parameters"
             )
         bag = analyze_query_terms(query)
+        if synonyms:
+            from solrtexttagger_spark.search.bm25 import expand_synonyms
+
+            bag = expand_synonyms(bag, synonyms)
         all_docs, all_contrib = [], []
         for term in sorted(bag):
             entry = self.term_postings.get(term)
@@ -507,6 +515,7 @@ def wand_topk(
     theta_rounds: int = 2,
     allowed_docs: DataFrame | None = None,
     start: int = 0,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Top-k BM25 via block-max segment pruning. queries: [(qid, text)].
     Returns (query_id, rank, doc_id, score). Pass ``prune_stats={}`` to get
@@ -578,6 +587,10 @@ def wand_topk(
         )
 
     qbags = {qid: analyze_query_terms(q) for qid, q in queries}
+    if synonyms:
+        from solrtexttagger_spark.search.bm25 import expand_synonyms
+
+        qbags = {qid: expand_synonyms(bag, synonyms) for qid, bag in qbags.items()}
     terms = sorted({t for bag in qbags.values() for t in bag})
     if not terms:
         return spark.createDataFrame([], "query_id long, rank long, doc_id long, score double")

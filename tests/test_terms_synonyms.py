@@ -75,3 +75,29 @@ def test_bm25_synonym_expansion(spark, corpus):
     # 'speedy' alone (no index hits) matches only via the expansion
     hits = bm25_topk(idx, [(9, "speedy")], k=5, spark=spark, synonyms=syn).collect()
     assert {r["doc_id"] for r in hits} == {3, 4}
+
+
+def test_synonyms_wand_and_serving_parity(spark, corpus):
+    """Solr applies the query analyzer chain regardless of scorer: the
+    WAND path and the warm serving layer expand synonyms identically to
+    the exhaustive scorers."""
+    from solrtexttagger_spark.index.compressed import compress_index
+    from solrtexttagger_spark.search.wand import LocalSearcher, wand_topk
+
+    _, idx = corpus
+    syn = {"speedy": ["fast"], "blend": ["merge", "sort"]}
+    q = [(0, "speedy scan"), (1, "blend blend")]
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+    want = sorted(map(key, bm25_topk(idx, q, k=5, spark=spark, synonyms=syn).collect()))
+    c = compress_index(idx)
+    c.blocks.persist().count()
+    for thr in (0, 100_000):
+        got = sorted(map(key, wand_topk(
+            c, q, k=5, spark=spark, synonyms=syn, local_threshold_postings=thr
+        ).collect()))
+        assert got == want, f"thr={thr}"
+    s = LocalSearcher(c)
+    for qid, text in q:
+        got_local = s.search(text, k=5, synonyms=syn)
+        ref = sorted((r, d, sc) for qq, r, d, sc in want if qq == qid)
+        assert [(r, d) for r, d, _ in got_local] == [(r, d) for r, d, _ in ref]
