@@ -105,6 +105,51 @@ def parse_boolean_query(q: str, lowercase: bool = True, field: str | None = None
     return must, should, must_not, must_phrases, not_phrases
 
 
+def expand_boolean_clauses(
+    must: dict[str, int],
+    should: dict[str, int],
+    must_not: set,
+    synonyms: dict[str, list[str]] | None,
+):
+    """Apply query-time synonym expansion to parsed boolean clauses —
+    Lucene SynonymGraphFilter semantics per clause: an expanded MUST
+    becomes a GROUP satisfied by ANY member (+(term OR syn)), every
+    member scores at the clause weight; SHOULD members score likewise;
+    an expanded MUST_NOT prohibits every member. Phrase clauses are NOT
+    expanded (multi-token synonym graphs are out of scope — documented).
+
+    -> (score_bag {term: qtf}, must_groups {term: sorted tuple of group
+    ids}, n_groups, must_not_expanded). Without synonyms each MUST term
+    is its own group, which reduces to the classic distinct-term count."""
+    synonyms = synonyms or {}
+    groups: dict[str, set[int]] = {}
+    for gid, t in enumerate(sorted(must)):
+        for member in [t, *synonyms.get(t, [])]:
+            groups.setdefault(member, set()).add(gid)
+    combined: dict[str, int] = dict(must)
+    for t, qtf in should.items():
+        combined[t] = combined.get(t, 0) + qtf
+    score_bag: dict[str, int] = dict(combined)
+    for t, qtf in combined.items():
+        for s in synonyms.get(t, ()):
+            score_bag[s] = score_bag.get(s, 0) + qtf
+    not_exp = set(must_not)
+    for t in must_not:
+        not_exp.update(synonyms.get(t, ()))
+    conflict = set(score_bag) & not_exp
+    if conflict:
+        raise ValueError(
+            f"synonym expansion made terms both scored and prohibited: "
+            f"{sorted(conflict)}"
+        )
+    return (
+        score_bag,
+        {t: tuple(sorted(g)) for t, g in groups.items()},
+        len(must),
+        not_exp,
+    )
+
+
 def boolean_bm25_topk(
     index: InvertedIndex,
     queries: list[tuple[int, str]],
@@ -114,6 +159,7 @@ def boolean_bm25_topk(
     b: float = B,
     field: str | None = None,
     allowed_docs: DataFrame | None = None,
+    synonyms: dict[str, list[str]] | None = None,
     spark: SparkSession | None = None,
 ) -> DataFrame:
     """Top-k BM25 under boolean constraints. queries: [(qid, '+a -b c')].
@@ -121,7 +167,10 @@ def boolean_bm25_topk(
     (score desc, doc_id asc) tie-break, rank-identical to bm25_topk for
     pure-SHOULD queries. ``allowed_docs`` is Solr's `fq` (see
     search/bm25.bm25_topk): restricts results via a semi-join on the
-    matched set before the rank window, never the scoring stats."""
+    matched set before the rank window, never the scoring stats.
+    ``synonyms`` expands clauses per expand_boolean_clauses — a MUST
+    group is satisfied by ANY member, so the HAVING-style filter counts
+    distinct satisfied GROUPS, not distinct terms."""
     spark = spark or index.postings.sparkSession
     score_rows, not_rows, must_counts = [], [], {}
     phrase_ids: dict[tuple[str, ...], int] = {}
@@ -130,11 +179,14 @@ def boolean_bm25_topk(
     req_counts: dict[int, int] = {}
     for qid, q in queries:
         must, should, must_not, mphr, nphr = parse_boolean_query(q, field=field)
-        must_counts[int(qid)] = len(must)
-        for t, qtf in sorted(must.items()):
-            score_rows.append((int(qid), t, int(qtf), 1))
-        for t, qtf in sorted(should.items()):
-            score_rows.append((int(qid), t, int(qtf), 0))
+        score_bag, must_groups, n_groups, must_not = expand_boolean_clauses(
+            must, should, must_not, synonyms
+        )
+        must_counts[int(qid)] = n_groups
+        for t, qtf in sorted(score_bag.items()):
+            score_rows.append(
+                (int(qid), t, int(qtf), list(must_groups.get(t, ())))
+            )
         for t in sorted(must_not):
             not_rows.append((int(qid), t))
         req = set()
@@ -151,7 +203,7 @@ def boolean_bm25_topk(
             [], "query_id long, rank long, doc_id long, score double"
         )
     qdf = spark.createDataFrame(
-        score_rows, "query_id long, term string, qtf int, is_must int"
+        score_rows, "query_id long, term string, qtf int, mgroups array<int>"
     )
     postings = index.postings
     n = float(index.doc_count)
@@ -168,7 +220,7 @@ def boolean_bm25_topk(
     ex = joined.select(
         "query_id",
         "term",
-        "is_must",
+        "mgroups",
         idf.alias("idf"),
         F.col("qtf"),
         F.explode("postings").alias("p"),
@@ -181,17 +233,23 @@ def boolean_bm25_topk(
         / (tf + k1 * (1.0 - b + b * dl / avgdl))
         * F.col("qtf").cast("double")
     )
+    # musts_present = number of DISTINCT MUST groups any of whose members
+    # is in the doc (without synonyms every group is one term, so this is
+    # the old distinct-MUST-term count). Group ids travel as a tiny array
+    # per scoring row; one flatten+distinct per (query, doc) group.
     scores = (
         ex.select(
             "query_id",
             F.col("p.doc_id").alias("doc_id"),
             contrib.alias("c"),
-            F.when(F.col("is_must") == 1, F.col("term")).alias("mterm"),
+            F.col("mgroups"),
         )
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum("c").alias("score"),
-            F.count_distinct("mterm").alias("musts_present"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("mgroups")))
+            ).alias("musts_present"),
         )
     )
     # per-query required-MUST count as a broadcast map literal (tiny)

@@ -425,6 +425,7 @@ class LocalSearcher:
         *,
         allowed_docs=None,
         start: int = 0,
+        synonyms: dict[str, list[str]] | None = None,
     ):
         """Warm-path `/select` with boolean clause syntax: `+must -not
         should field:term`, plus `+"quoted phrase"` / `-"quoted phrase"`
@@ -433,11 +434,19 @@ class LocalSearcher:
         parse, same BM25 accumulation, same shifted-position contiguity).
         Without positional warm-up, phrase clauses raise (the distributed
         path serves those). ``allowed_docs``/``start`` as in search():
-        precomputed fq doc-id set + absolute-rank paging.
+        precomputed fq doc-id set + absolute-rank paging. ``synonyms``
+        expands clauses exactly like boolean_bm25_topk(synonyms=): a
+        MUST group is satisfied by ANY member.
         -> [(rank, doc_id, score)]."""
-        from solrtexttagger_spark.search.boolean import parse_boolean_query
+        from solrtexttagger_spark.search.boolean import (
+            expand_boolean_clauses,
+            parse_boolean_query,
+        )
 
         must, should, must_not, mphr, nphr = parse_boolean_query(query, field=field)
+        score_bag, must_groups, n_groups, must_not = expand_boolean_clauses(
+            must, should, must_not, synonyms
+        )
         if (mphr or nphr) and self.term_pos is None:
             raise NotImplementedError(
                 "phrase clauses need positional postings; warm this "
@@ -447,15 +456,12 @@ class LocalSearcher:
             )
         # every clause term must be inside the warm-up subset — an unwarmed
         # MUST would wrong-empty, an unwarmed MUST_NOT would wrongly KEEP
-        for term in set(must) | set(should) | set(must_not):
+        for term in set(score_bag) | set(must_not):
             if term not in self.term_postings:
                 self._require_warmed(term)
-        # a MUST term missing from the index matches nothing
-        if any(t not in self.term_postings for t in must):
-            return []
         all_docs, all_contrib = [], []
-        for term in sorted({**must, **should}):
-            qtf = must.get(term, 0) + should.get(term, 0)
+        for term in sorted(score_bag):
+            qtf = score_bag[term]
             entry = self.term_postings.get(term)
             if entry is None:
                 continue
@@ -471,13 +477,21 @@ class LocalSearcher:
         uniq, inv = np.unique(docs, return_inverse=True)
         scores = np.bincount(inv, weights=contrib, minlength=len(uniq))
         keep = np.ones(len(uniq), dtype=bool)
-        if must:
-            # per-doc count of distinct MUST terms present == len(must)
-            present = np.zeros(len(uniq), dtype=np.int64)
-            for term in must:
-                idx = np.searchsorted(uniq, self.term_postings[term][0])
-                present[idx] += 1
-            keep &= present == len(must)
+        if n_groups:
+            # per-doc: every MUST group must have >= 1 member present
+            # (without synonyms, one term per group == the classic
+            # distinct-MUST-term count). A group with no member in the
+            # index satisfies nothing -> empty result, as it must.
+            sat = np.zeros((n_groups, len(uniq)), dtype=bool)
+            for term, gids in must_groups.items():
+                entry = self.term_postings.get(term)
+                if entry is None:
+                    continue
+                idx = np.searchsorted(uniq, entry[0])
+                pos = idx[np.take(uniq, idx, mode="clip") == entry[0]]
+                for g in gids:
+                    sat[g, pos] = True
+            keep &= sat.all(axis=0)
         for term in must_not:
             entry = self.term_postings.get(term)
             if entry is not None:

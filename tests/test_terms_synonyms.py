@@ -101,3 +101,46 @@ def test_synonyms_wand_and_serving_parity(spark, corpus):
         got_local = s.search(text, k=5, synonyms=syn)
         ref = sorted((r, d, sc) for qq, r, d, sc in want if qq == qid)
         assert [(r, d) for r, d, _ in got_local] == [(r, d) for r, d, _ in ref]
+
+
+def test_boolean_synonym_groups(spark, corpus):
+    """An expanded MUST is a GROUP satisfied by ANY member (+(term OR
+    syn)), members all score; MUST_NOT prohibits every member; the warm
+    serving path matches the distributed operator exactly."""
+    from solrtexttagger_spark.index.compressed import compress_index
+    from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+    from solrtexttagger_spark.search.wand import LocalSearcher
+
+    _, idx = corpus
+    # corpus: 0 "scan scan scatter merge", 1 "scan sort merge merge",
+    # 2 "scatter shuffle sort", 3 "merge join fast", 4 "join join fast scan"
+    syn = {"blend": ["merge", "sort"], "fast": ["scan"]}
+    # +blend alone matches nothing literally; via the group it matches
+    # any doc containing merge OR sort (docs 0,1,2,3)
+    got = boolean_bm25_topk(idx, [(0, "+blend")], k=10, synonyms=syn, spark=spark)
+    assert {r["doc_id"] for r in got.collect()} == {0, 1, 2, 3}
+    # -fast prohibits fast AND its synonym scan
+    got2 = boolean_bm25_topk(
+        idx, [(1, "+merge -fast")], k=10, synonyms=syn, spark=spark
+    ).collect()
+    assert got2 == []  # every merge doc also has fast|scan
+    # group + ordinary MUST combine: +blend +join -> docs with (merge|sort) AND join
+    got3 = boolean_bm25_topk(
+        idx, [(2, "+blend +join")], k=10, synonyms=syn, spark=spark
+    ).collect()
+    assert {r["doc_id"] for r in got3} == {3}
+    # serving-path identity on all three queries
+    c = compress_index(idx)
+    s = LocalSearcher(c)
+    for qid, q in ((0, "+blend"), (1, "+merge -fast"), (2, "+blend +join"), (3, "blend scatter")):
+        dist = sorted(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in boolean_bm25_topk(idx, [(qid, q)], k=10, synonyms=syn, spark=spark).collect()
+        )
+        local = [(r, d, round(sc, 9)) for r, d, sc in s.search_boolean(q, k=10, synonyms=syn)]
+        assert [(r, d) for r, d, _ in local] == [(r, d) for r, d, _ in dist], q
+        for (_, _, a), (_, _, b) in zip(local, dist):
+            assert a == pytest.approx(b, abs=1e-9)
+    # without synonyms: behavior identical to before (distinct-term count)
+    plain = boolean_bm25_topk(idx, [(0, "+merge -join")], k=10, spark=spark).collect()
+    assert {r["doc_id"] for r in plain} == {0, 1}
