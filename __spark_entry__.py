@@ -665,6 +665,58 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_dup_spans(_docs(spark, sf_dir), span=SPAN_DUP_SPAN)
 
 
+def q_doc_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three deterministic samplers in ONE driver entry (round-6
+    consolidation, r5 verdict #1: the driver artifact caps at 50 entries,
+    so same-family operators share a row — `mode` tags which operator
+    produced each row, and the hash compare still pins each operator's
+    exact output)."""
+    from solrtexttagger_spark.ops.sampling import (
+        hash_sample,
+        hash_top_k,
+        stratified_hash_sample,
+    )
+
+    d = _docs(spark, sf_dir)
+    bern = hash_sample(d, SAMPLE_FRACTION, key_cols=["doc_id"]).select(
+        F.lit("bernoulli").alias("mode"), "doc_id", "lang"
+    )
+    strat = stratified_hash_sample(
+        d, SAMPLE_STRATA, strata_col="lang", key_cols=["doc_id"],
+        default_fraction=SAMPLE_DEFAULT_FRACTION,
+    ).select(F.lit("stratified").alias("mode"), "doc_id", "lang")
+    top = hash_top_k(d, SAMPLE_TOP_K, key_cols=["doc_id"]).select(
+        F.lit("topk").alias("mode"), "doc_id", "lang"
+    )
+    return bern.unionByName(strat).unionByName(top)
+
+
+def q_dup_span_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_dup_stats + remove_dup_spans joined per doc — one driver row
+    for the exact-substring family (round-6 consolidation); every column
+    of both operators stays hash-pinned."""
+    stats = q_span_dup_stats(spark, sf_dir)
+    removed = q_remove_dup_spans(spark, sf_dir)
+    return stats.join(removed, "doc_id")
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fingerprint + rolling_hash joined per doc — one driver row for the
+    per-doc hashing family (round-6 consolidation)."""
+    return q_fingerprint(spark, sf_dir).join(q_rolling_hash(spark, sf_dir), "doc_id")
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """language_id + quality_score + token_stats joined per doc — one
+    driver row for the per-doc text-QA profile family (round-6
+    consolidation; n_tokens comes from quality_score, identical by
+    construction to token_stats')."""
+    quality = q_quality_score(spark, sf_dir)
+    lang = q_lang_id(spark, sf_dir)
+    toks = q_token_stats(spark, sf_dir).select("doc_id", "n_distinct", "n_chars")
+    return quality.join(lang, "doc_id").join(toks, "doc_id")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solrtexttagger_spark.ops.dedup import ngram_jaccard_pairs
 
@@ -975,6 +1027,28 @@ def q_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPELL_COLLATE_QUERY = "hash jion window"  # exactly one out-of-vocab term
+
+
+def q_spellcheck_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr spellcheck.collate: rewrite the query with each top
+    suggestion for its out-of-vocabulary term and report the corrected
+    query's conjunctive hit count; 0-hit collations dropped (the Solr
+    verified-collation contract). Runs on the SymSpell
+    deletion-neighborhood path (candidate set bounded by delkey
+    collisions, never a vocabulary scan)."""
+    from solrtexttagger_spark.search.terms import (
+        deletion_neighborhood,
+        spellcheck_collate,
+    )
+
+    idx = _index(spark, sf_dir)
+    nb = deletion_neighborhood(idx, max_dist=SPELL_MAX_DIST)
+    return spellcheck_collate(
+        idx, SPELL_COLLATE_QUERY, max_dist=SPELL_MAX_DIST, k=5, neighborhood=nb
+    )
+
+
 def q_bm25_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with query-time synonym expansion (SynonymGraphFilter
     query-analyzer semantics on the bag model): out-of-corpus terms like
@@ -1074,6 +1148,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # CONSOLIDATED to <= 50 entries (round-6, r5 verdict #1): the driver's
+    # CORRECTNESS artifact records at most the first 50 entries in dict
+    # order, so every operator family must fit inside that budget.
+    #   - dropped (strategy twins, pinned by pytest parity instead):
+    #     tag_join_nosub (== tag_nosub, test_tag_join.py),
+    #     bm25_exploded (== bm25_topk, test_index_bm25.py),
+    #     wand_fq (== bm25_fq, test_compression_wand.py)
+    #   - merged same-family per-doc operators (each column still
+    #     hash-pinned): doc_samples (bernoulli/stratified/topk),
+    #     dup_span_ops (span stats + removal), fingerprints
+    #     (fingerprint + rolling hash), doc_quality (lang id + quality +
+    #     token stats)
     return {
         "bm25_topk": q_bm25_topk,
         "wand_topk": q_wand_topk,
@@ -1082,8 +1168,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_partial": q_tag_partial,
         "tag_nosub": q_tag_nosub,
         "tag_ldr": q_tag_ldr,
-        "tag_join_nosub": q_tag_join_nosub,
-        "bm25_exploded": q_bm25_exploded,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
@@ -1091,12 +1175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
         "dedup_keep": q_dedup_keep,
-        "span_dup_stats": q_span_dup_stats,
-        "remove_dup_spans": q_remove_dup_spans,
+        "dup_span_ops": q_dup_span_ops,
         "bool_search": q_bool_search,
         "bool_phrase": q_bool_phrase,
         "bm25_fq": q_bm25_fq,
-        "wand_fq": q_wand_fq,
         "bm25_fl": q_bm25_fl,
         "snippets": q_snippets,
         "facets": q_facets,
@@ -1105,26 +1187,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_topk": q_group_topk,
         "select_sorted": q_select_sorted,
         "more_like_this": q_more_like_this,
-        "doc_sample": q_doc_sample,
-        "doc_sample_stratified": q_doc_sample_stratified,
-        "doc_sample_topk": q_doc_sample_topk,
+        "doc_samples": q_doc_samples,
         "cosine_topk": q_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "token_stats": q_token_stats,
-        "fingerprint": q_fingerprint,
+        "doc_quality": q_doc_quality,
+        "fingerprints": q_fingerprints,
         "tfidf_keywords": q_tfidf_keywords,
-        "rolling_hash": q_rolling_hash,
         "contamination": q_contamination,
         "pii_stats": q_pii_stats,
         "repetition_stats": q_repetition_stats,
         "bm25_after_delete": q_bm25_after_delete,
         "terms_prefix": q_terms_prefix,
         "spellcheck": q_spellcheck,
+        "spellcheck_collate": q_spellcheck_collate,
         "bm25_synonyms": q_bm25_synonyms,
         "stats_field": q_stats_field,
         "elevated": q_elevated,
@@ -1609,6 +1687,49 @@ ranked AS (
   FROM cand WHERE dist <= {SPELL_MAX_DIST}
 )
 SELECT rank::BIGINT AS rank, term, dist, df FROM ranked WHERE rank <= 5
+"""
+
+    # mirrors search/terms.spellcheck_collate: same suggestion ranking as
+    # spellcheck, collation = analyzer-sorted query with the
+    # out-of-vocabulary term replaced, hits = conjunctive doc count,
+    # 0-hit collations dropped, rank = suggestion order among survivors
+    _collate_vals = ", ".join(
+        f"('{t}')" for t in sorted(set(SPELL_COLLATE_QUERY.split()))
+    )
+    sql["spellcheck_collate"] = f"""
+WITH {_TOK_CTE},
+st AS (SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1),
+qt(term) AS (VALUES {_collate_vals}),
+miss AS (SELECT term FROM qt WHERE term NOT IN (SELECT term FROM st)),
+good AS (SELECT term FROM qt WHERE term IN (SELECT term FROM st)),
+sugg AS (
+  SELECT * FROM (
+    SELECT row_number() OVER (ORDER BY dist ASC, df DESC, term ASC) AS srank,
+           term
+    FROM (
+      SELECT s.term, s.df, levenshtein(s.term, m.term)::BIGINT AS dist
+      FROM st s CROSS JOIN miss m
+      WHERE s.term <> m.term
+        AND abs(len(s.term) - len(m.term)) <= {SPELL_MAX_DIST}
+    ) WHERE dist <= {SPELL_MAX_DIST}
+  ) WHERE srank <= 5
+),
+hits AS (
+  SELECT sg.srank, sg.term AS sugg,
+    (SELECT count(*) FROM (
+       SELECT t.doc_id FROM tok t
+       WHERE t.term IN (SELECT term FROM good) OR t.term = sg.term
+       GROUP BY t.doc_id
+       HAVING count(DISTINCT t.term) = (SELECT count(*) + 1 FROM good)
+     )) AS hits
+  FROM sugg sg
+)
+SELECT row_number() OVER (ORDER BY srank)::BIGINT AS rank,
+       (SELECT string_agg(
+          CASE WHEN q.term IN (SELECT term FROM miss) THEN h.sugg
+               ELSE q.term END, ' ' ORDER BY q.term) FROM qt q) AS collation,
+       hits::BIGINT AS hits
+FROM hits h WHERE hits > 0
 """
     _fl_cols = ", ".join(f"d.{c}" for c in BM25_FL)
     sql["bm25_fl"] = (
@@ -2483,4 +2604,39 @@ SELECT epoch_ms(date_trunc('hour', ts))::BIGINT AS window_start,
 FROM events GROUP BY 1, 2
 """
 
+    # --- round-6 consolidation (r5 verdict #1): merged driver entries ---
+    # The driver artifact caps at 50 rows, so same-family operators share
+    # one entry. The merged SQL is a pure composition of the standalone
+    # oracles above (pop: the standalone keys leave the driver surface;
+    # their q_ functions stay pytest-covered via the merged entries).
+    sql["doc_samples"] = (
+        "SELECT 'bernoulli' AS mode, doc_id, lang FROM ("
+        + sql.pop("doc_sample")
+        + ")\nUNION ALL SELECT 'stratified' AS mode, doc_id, lang FROM ("
+        + sql.pop("doc_sample_stratified")
+        + ")\nUNION ALL SELECT 'topk' AS mode, doc_id, lang FROM ("
+        + sql.pop("doc_sample_topk")
+        + ")"
+    )
+    sql["dup_span_ops"] = (
+        "SELECT s.doc_id, s.n_spans, s.n_dup_spans, s.dup_span_fraction,\n"
+        "       r.n_tokens, r.n_removed, r.dup_removed_fraction, r.text_kept\n"
+        "FROM (" + sql.pop("span_dup_stats") + ") s\n"
+        "JOIN (" + sql.pop("remove_dup_spans") + ") r USING (doc_id)"
+    )
+    sql["fingerprints"] = (
+        "SELECT f.doc_id, f.fp, r.rhash\n"
+        "FROM (" + sql.pop("fingerprint") + ") f\n"
+        "JOIN (" + sql.pop("rolling_hash") + ") r USING (doc_id)"
+    )
+    sql["doc_quality"] = (
+        "SELECT q.doc_id, q.n_tokens, q.ttr, q.mean_word_len, q.stop_ratio,\n"
+        "       q.quality, l.pred_lang, l.pred_score, t.n_distinct, t.n_chars\n"
+        "FROM (" + sql.pop("quality_score") + ") q\n"
+        "JOIN (" + sql.pop("lang_id") + ") l USING (doc_id)\n"
+        "JOIN (" + sql.pop("token_stats") + ") t USING (doc_id)"
+    )
+    # strategy twins dropped from the driver surface (pytest parity pins
+    # them: test_tag_join.py, test_index_bm25.py, test_compression_wand.py)
+    del sql["tag_join_nosub"], sql["bm25_exploded"], sql["wand_fq"]
     return sql

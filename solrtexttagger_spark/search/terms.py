@@ -14,9 +14,26 @@ build.
   length-difference pre-filter (|len(term) - len(word)| <= max_dist, a
   provable consequence of the distance bound) prunes the vocabulary
   before levenshtein runs; both predicates are built-in JVM expressions.
+- deletion_neighborhood + spellcheck_terms(neighborhood=...): the
+  1e8-vocabulary serving shape. Lucene's DirectSpellChecker intersects
+  a Levenshtein automaton with the terms FST so a request never scans
+  the vocabulary; the Spark-native analogue is a PRECOMPUTED
+  deletion-neighborhood relation (SymSpell: levenshtein(a, b) <= d
+  implies the <=d-deletion sets of a and b intersect). The index-build
+  side materialises (delkey, term, df) once; a request generates the
+  word's own tiny deletion set driver-side and pushes it down as an
+  IN-list into the neighborhood scan — candidate set bounded by key
+  collisions, never the vocabulary.
+- spellcheck_collate: Solr's spellcheck.collate — rewrite the query
+  with each top suggestion for its out-of-vocabulary term and report
+  the corrected query's hit count (docs matching ALL collation terms,
+  Solr's collateParam q.op=AND shape); only collations with hits > 0
+  return, ranked in suggestion order.
 """
 
 from __future__ import annotations
+
+from itertools import combinations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -45,6 +62,67 @@ def terms_component(
     )
 
 
+def _deletion_set(word: str, max_dist: int) -> list[str]:
+    """All strings reachable from ``word`` by deleting up to ``max_dist``
+    characters (the word itself included) — the SymSpell request-side
+    key set. Size is O(len^max_dist), tiny for real words."""
+    out = {word}
+    for d in range(1, max_dist + 1):
+        for idx in combinations(range(len(word)), d):
+            drop = set(idx)
+            out.add("".join(c for i, c in enumerate(word) if i not in drop))
+    return sorted(out)
+
+
+def deletion_neighborhood(
+    index: InvertedIndex, *, max_dist: int = 2, min_df: int = 1
+) -> DataFrame:
+    """Precomputed SymSpell candidate index over the live vocabulary:
+    (delkey, term, df), one row per <=``max_dist``-deletion variant of
+    each term. Built once per index generation (persist/save it like any
+    other index artifact — the FST analogue); ``spellcheck_terms``
+    then resolves a request with an IN-list pushdown against ``delkey``
+    instead of a vocabulary scan.
+
+    Physical shape: one pass over term_stats; the deletion fan-out is
+    pure JVM (nested ``transform`` over position index sequences +
+    flatten + array_distinct + explode) — no Python in the build, and
+    the relation partitions/buckets by delkey for pushdown at scale."""
+    if max_dist < 1 or max_dist > 2:
+        raise ValueError("max_dist must be 1 or 2")
+    t = F.col("term")
+    length = F.length(t)
+    # delete position i (0-based): prefix [1..i] + suffix [i+2..]
+    del1 = F.transform(
+        F.sequence(F.lit(0), length - 1),
+        lambda i: F.concat(t.substr(F.lit(1), i), t.substr(i + 2, length)),
+    )
+    keys = F.concat(F.array(t), del1)
+    if max_dist == 2:
+        # delete positions i < j of the ORIGINAL word: applying j first
+        # keeps i's meaning (i < j so deleting j never shifts i)
+        del2 = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), length - 1),
+                lambda j: F.transform(
+                    F.sequence(F.lit(0), j - 1),
+                    lambda i: F.concat(
+                        t.substr(F.lit(1), i),
+                        t.substr(i + 2, j - i - 1),
+                        t.substr(j + 2, length),
+                    ),
+                ),
+            )
+        )
+        keys = F.concat(keys, del2)
+    base = index.term_stats.where(F.col("df") >= min_df)
+    return base.select(
+        F.explode(F.array_distinct(keys)).alias("delkey"),
+        "term",
+        F.col("df").cast("long").alias("df"),
+    )
+
+
 def spellcheck_terms(
     index: InvertedIndex,
     word: str,
@@ -52,6 +130,7 @@ def spellcheck_terms(
     max_dist: int = 2,
     k: int = 5,
     min_df: int = 1,
+    neighborhood: DataFrame | None = None,
 ) -> DataFrame:
     """Solr spellcheck (DirectSpellChecker): index terms within
     ``max_dist`` levenshtein of ``word`` (the word itself excluded),
@@ -61,17 +140,128 @@ def spellcheck_terms(
     Physical shape: the vocabulary-wide work (length band + levenshtein)
     is embarrassingly parallel scan predicates; orderBy+limit =
     TakeOrderedAndProject (no global sort), and the rank window runs
-    over only the k survivors."""
+    over only the k survivors.
+
+    ``neighborhood`` (a ``deletion_neighborhood`` relation built with
+    >= this ``max_dist`` and <= this ``min_df``) switches to the SymSpell
+    path: the word's own deletion set becomes an IN-list pushed into the
+    delkey scan, so the levenshtein verify runs over key-collision
+    candidates only — the 1e8-term serving shape. Output is identical to
+    the scan path (SymSpell completeness: every term within max_dist
+    shares a deletion key)."""
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1")
-    cand = index.term_stats.where(
-        (F.abs(F.length("term") - len(word)) <= max_dist)
-        & (F.col("term") != word)
-        & (F.col("df") >= min_df)
-    ).withColumn("dist", F.levenshtein(F.col("term"), F.lit(word)).cast("long"))
+    if neighborhood is not None:
+        keys = _deletion_set(word, max_dist)
+        cand = (
+            neighborhood.where(F.col("delkey").isin(keys))
+            .select("term", "df")
+            .distinct()
+            .where((F.col("term") != word) & (F.col("df") >= min_df))
+        )
+    else:
+        cand = index.term_stats.where(
+            (F.abs(F.length("term") - len(word)) <= max_dist)
+            & (F.col("term") != word)
+            & (F.col("df") >= min_df)
+        )
+    cand = cand.withColumn(
+        "dist", F.levenshtein(F.col("term"), F.lit(word)).cast("long")
+    )
     order = [F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()]
     top = cand.where(F.col("dist") <= max_dist).orderBy(*order).limit(k)
     w = Window.orderBy(*order)
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "term", "dist", F.col("df").cast("long")
     )
+
+
+def spellcheck_collate(
+    index: InvertedIndex,
+    query: str,
+    *,
+    max_dist: int = 2,
+    k: int = 5,
+    min_df: int = 1,
+    neighborhood: DataFrame | None = None,
+) -> DataFrame:
+    """Solr spellcheck.collate (the SearchHandler half of spellcheck UX:
+    solrconfig.xml wires DirectSpellChecker + collate into /select):
+    tokenize ``query`` with the index analyzer, find the OUT-OF-VOCABULARY
+    terms, and for each top suggestion build the corrected query
+    (collation) plus its hit count. Returns (rank, collation, hits):
+    hits = docs containing ALL collation terms (Solr's
+    spellcheck.collateParam.q.op=AND shape), collations with 0 hits
+    dropped (Solr only returns verified collations), rank = suggestion
+    order among the survivors.
+
+    Scope: one misspelled term per query (multiple in-vocabulary terms
+    fine) — Solr's common case; multi-misspelling cross-products raise.
+    Physical shape: 3 tiny jobs — query-term df probe (broadcast IN-list
+    on term_stats), suggestion top-k (scan or SymSpell ``neighborhood``
+    path), then ONE postings pass counting hits for every candidate
+    collation at once (conjunctive count via per-doc distinct-term
+    match)."""
+    from solrtexttagger_spark.search.bm25 import analyze_query_terms
+
+    qterms = sorted(analyze_query_terms(query))
+    if not qterms:
+        raise ValueError("empty query after analysis")
+    present = {
+        r["term"]
+        for r in index.term_stats.where(F.col("term").isin(qterms))
+        .select("term")
+        .collect()
+    }
+    missing = [t for t in qterms if t not in present]
+    spark = index.postings.sparkSession
+    if not missing:
+        return spark.createDataFrame([], "rank long, collation string, hits long")
+    if len(missing) > 1:
+        raise ValueError(
+            f"collate supports one misspelled term per query, got {missing}"
+        )
+    bad = missing[0]
+    sugg = [
+        r["term"]
+        for r in spellcheck_terms(
+            index, bad, max_dist=max_dist, k=k, min_df=min_df,
+            neighborhood=neighborhood,
+        ).collect()
+    ]
+    if not sugg:
+        return spark.createDataFrame([], "rank long, collation string, hits long")
+    keep = sorted(present)
+    need = len(keep) + 1  # every in-vocab term + the substituted one
+    cand_terms = sorted(set(keep) | set(sugg))
+    # one postings pass: docs x matched-term pairs for every term any
+    # collation needs, then per-suggestion conjunctive doc counts
+    pairs = (
+        index.postings.where(F.col("term").isin(cand_terms))
+        .select("term", F.explode("postings.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sugg)], "sugg_id int, sugg string"
+    )
+    on_sugg = F.col("term") == F.col("sugg")
+    cond = (F.col("term").isin(keep) | on_sugg) if keep else on_sugg
+    hits = (
+        pairs.join(F.broadcast(sdf), cond)
+        .groupBy("sugg_id", "sugg", "doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .where(F.col("nt") == need)
+        .groupBy("sugg_id", "sugg")
+        .agg(F.count("*").alias("hits"))
+        .collect()
+    )
+    by_sugg = {r["sugg"]: int(r["hits"]) for r in hits}
+    rows = []
+    for s in sugg:
+        h = by_sugg.get(s, 0)
+        if h > 0:
+            # collation = the analyzed query with the misspelling replaced
+            # (analyzer-normalized form, like Solr's collation echo)
+            coll = " ".join(s if t == bad else t for t in qterms)
+            rows.append((len(rows) + 1, coll, h))
+    return spark.createDataFrame(rows, "rank long, collation string, hits long")

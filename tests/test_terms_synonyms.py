@@ -144,3 +144,89 @@ def test_boolean_synonym_groups(spark, corpus):
     # without synonyms: behavior identical to before (distinct-term count)
     plain = boolean_bm25_topk(idx, [(0, "+merge -join")], k=10, spark=spark).collect()
     assert {r["doc_id"] for r in plain} == {0, 1}
+
+
+# --- SymSpell deletion-neighborhood + collate (round 6) ---
+
+
+def test_deletion_neighborhood_parity_and_pruning(spark, corpus):
+    """The SymSpell path must return EXACTLY the scan path's output
+    (completeness theorem), and its candidate set must be a strict
+    subset of the vocabulary (the point of the prefilter)."""
+    from solrtexttagger_spark.search.terms import (
+        _deletion_set,
+        deletion_neighborhood,
+    )
+    from pyspark.sql import functions as F
+
+    _, idx = corpus
+    nb = deletion_neighborhood(idx, max_dist=2)
+    nb.persist().count()
+    try:
+        for word in ["scann", "jion", "merg", "shuffl", "zzz", "sort"]:
+            scan = [tuple(r) for r in spellcheck_terms(
+                idx, word, max_dist=2, k=5).collect()]
+            sym = [tuple(r) for r in spellcheck_terms(
+                idx, word, max_dist=2, k=5, neighborhood=nb).collect()]
+            assert sym == scan, word
+        # pruning: candidates reached via delkey collisions < vocabulary
+        keys = _deletion_set("scann", 2)
+        cands = (
+            nb.where(F.col("delkey").isin(keys)).select("term").distinct().count()
+        )
+        vocab = idx.term_stats.count()
+        assert 0 < cands < vocab
+    finally:
+        nb.unpersist()
+
+
+def test_deletion_neighborhood_contents(spark, corpus):
+    """delkeys of a term = the term plus every <=d-deletion variant,
+    JVM fan-out identical to the Python reference implementation."""
+    from solrtexttagger_spark.search.terms import (
+        _deletion_set,
+        deletion_neighborhood,
+    )
+    from pyspark.sql import functions as F
+
+    _, idx = corpus
+    nb = deletion_neighborhood(idx, max_dist=2)
+    got = sorted(
+        r["delkey"] for r in nb.where(F.col("term") == "scan").collect()
+    )
+    assert got == _deletion_set("scan", 2)
+    nb1 = deletion_neighborhood(idx, max_dist=1)
+    got1 = sorted(
+        r["delkey"] for r in nb1.where(F.col("term") == "join").collect()
+    )
+    assert got1 == _deletion_set("join", 1)
+
+
+def test_spellcheck_collate(spark, corpus):
+    """Collations substitute the out-of-vocabulary term, carry
+    conjunctive hit counts, and drop 0-hit rewrites."""
+    from solrtexttagger_spark.search.terms import spellcheck_collate
+
+    _, idx = corpus
+    # "jion" -> join (dist 2); docs with BOTH fast and join: 3, 4 -> hits 2
+    rows = [
+        (r["rank"], r["collation"], r["hits"])
+        for r in spellcheck_collate(idx, "fast jion", max_dist=2, k=5).collect()
+    ]
+    assert rows and rows[0][1] == "fast join" and rows[0][2] == 2
+    ranks = [r[0] for r in rows]
+    assert ranks == list(range(1, len(rows) + 1))
+    # every reported collation verifies: hits > 0
+    assert all(h > 0 for _, _, h in rows)
+    # fully in-vocabulary query -> no collations
+    assert spellcheck_collate(idx, "fast join", max_dist=2).count() == 0
+    # only the misspelled term alone: hits = docs containing the suggestion
+    solo = [
+        (r["collation"], r["hits"])
+        for r in spellcheck_collate(idx, "jion", max_dist=2, k=5).collect()
+    ]
+    assert ("join", 2) in solo
+    with pytest.raises(ValueError):
+        spellcheck_collate(idx, "jion scann zzz", max_dist=2)
+    with pytest.raises(ValueError):
+        spellcheck_collate(idx, "", max_dist=2)
