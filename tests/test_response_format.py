@@ -348,3 +348,53 @@ def test_select_highlight_section_golden(spark):
         idx, df, "beta delta", fl=["lang"], k=1, hl=True, hl_window=3, spark=spark
     )
     assert "<str>beta &lt;b&gt; delta</str>" in xml2
+
+
+def test_select_fully_dressed_job_budget(spark):
+    """Round-6 (r5 verdict #2): a page + field-facet + MULTIPLE
+    facet.range + hl request runs exactly 3 actions — the page, ONE
+    combined facet job covering every section, and one tiny snippet job
+    that reuses the already-ranked page (no bm25 re-run) — matching
+    Solr's one-DocSet-per-request component model. Output stays
+    byte-identical to the per-section jobs (golden tests above)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.search.select import render_select_xml
+
+    docs = [
+        (0, "alpha beta gamma", "en", 10, 1),
+        (1, "alpha alpha delta", "en", 20, 2),
+        (2, "beta delta", "de", 30, 3),
+        (3, "epsilon zeta", "en", 40, 4),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, n long, m long"
+    )
+    idx = build_index(df.select("doc_id", "text"), num_segments=2)
+    idx.postings.persist().count()
+    render_select_xml(idx, df, "alpha", fl=["lang"], k=1, spark=spark)  # warm stats
+
+    calls = []
+    orig = DataFrame.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    try:
+        DataFrame.collect = counting
+        xml = render_select_xml(
+            idx, df, "alpha beta", fl=["lang"], k=2,
+            facet_cols=["lang"],
+            facet_ranges=[("n", 0, 40, 20), ("m", 0, 4, 2)],
+            hl=True, spark=spark,
+        )
+    finally:
+        DataFrame.collect = orig
+        idx.postings.unpersist()
+    assert len(calls) == 3  # page + one facet job (all sections) + hl
+    # both range columns rendered, zero-filled, from the one job
+    assert '<lst name="n"><lst name="counts">' in xml
+    assert '<lst name="m"><lst name="counts">' in xml
+    assert '<lst name="highlighting">' in xml
