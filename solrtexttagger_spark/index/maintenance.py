@@ -34,7 +34,7 @@ def expunge_docs(
     deleted_docs: DataFrame,
     *,
     method: str = "auto",
-    literal_threshold: int = 10_000,
+    literal_threshold: int = 1_000,
 ) -> InvertedIndex:
     """Physically remove ``deleted_docs`` (a relation with a doc_id
     column) from the index and recompute every statistic over the
@@ -44,16 +44,57 @@ def expunge_docs(
 
     method='literal': deleted ids collected into one shared array
     literal, shards rewritten by a JVM filter lambda — zero shuffles.
+    The returned postings stay LAZY (the rewrite re-runs per consuming
+    job); persist() them for repeated query serving, and avoid
+    `explode`-ing them unpersisted — Generate re-evaluates a lazily
+    rewritten array per emitted element.
     method='merge': explode -> anti-join -> re-aggregate (the real merge
     shuffle; use when the deleted set is too big to ship as a literal).
-    method='auto' picks by count against ``literal_threshold``."""
+    method='auto' picks by count against ``literal_threshold``.
+
+    Crossover (measured, 100k-doc corpus, local[8]): literal 2.0 s /
+    merge 0.9 s at 1k ids; literal 8 s / merge 0.8 s at 10k — at bench
+    scale the in-memory merge shuffle is cheap and wins, so the default
+    threshold is a conservative 1k. The literal path's value is at
+    CLUSTER scale: it is map-only over the postings (no exchange),
+    while merge shuffles the entire exploded postings relation — the
+    right trade only when that shuffle is the bottleneck."""
     ids_df = deleted_docs.select(F.col("doc_id").cast("long").alias("doc_id")).distinct()
     if method == "auto":
         method = "literal" if ids_df.count() <= literal_threshold else "merge"
     if method == "literal":
-        ids = sorted(r["doc_id"] for r in ids_df.collect())
-        gone = F.array(*[F.lit(i) for i in ids]) if ids else F.array().cast("array<long>")
-        kept = F.filter("postings", lambda p: ~F.array_contains(gone, p["doc_id"]))
+        ids = sorted(int(r["doc_id"]) for r in ids_df.collect())
+        # ONE ArrayType literal, not CreateArray(|ids| child literals) —
+        # a thousand-child expression tree blows up codegen/analysis time
+        # (measured: 237 s vs 2.4 s for the whole rewrite at 1k ids)
+        gone = (
+            F.lit(ids).cast("array<long>")
+            if ids
+            else F.array().cast("array<long>")
+        )
+        # Per-shard cost is O(n + |ids|), not O(n * |ids|) (round-5
+        # verdict #4): array_intersect(gone, doc_ids) hash-builds from the
+        # ROW's own ids and probes the literal once, yielding the (almost
+        # always empty) overlap. Only overlapping shards pay the
+        # per-element rewrite, and they scan the tiny overlap, never the
+        # full deleted-id literal. The overlap is LET-BOUND as a lambda
+        # variable (a 1-element transform) — as a plain withColumn,
+        # CollapseProject inlines the intersect into the filter lambda
+        # and re-evaluates it per posting element (measured: 117 s vs
+        # 0.9 s for the rewrite of a 100k-doc corpus at 1k deleted ids).
+        doc_ids = F.transform("postings", lambda p: p["doc_id"])
+        kept = F.element_at(
+            F.transform(
+                F.array(F.array_intersect(gone, doc_ids)),
+                lambda ov: F.when(F.size(ov) == 0, F.col("postings")).otherwise(
+                    F.filter(
+                        "postings",
+                        lambda p: ~F.array_contains(ov, p["doc_id"]),
+                    )
+                ),
+            ),
+            1,
+        )
         new_postings = (
             index.postings.withColumn("postings", kept)
             .withColumn("df_seg", F.size("postings").cast(index.postings.schema["df_seg"].dataType))
@@ -84,11 +125,18 @@ def expunge_docs(
         F.sum("df_seg").alias("df"), F.sum("cf_seg").alias("cf")
     )
     # corpus stats over the SURVIVING docs: each doc carries its dl on
-    # every posting, so distinct (doc_id, dl) pairs = one row per doc
+    # every posting, so distinct (doc_id, dl) pairs = one row per doc.
+    # Computed from the ORIGINAL postings minus the deleted ids (an
+    # anti-join), NEVER by exploding the rewritten arrays — exploding a
+    # lazily-rewritten array column re-evaluates the rewrite expression
+    # per emitted element (measured 123 s vs 1.1 s on a 100k-doc corpus);
+    # a doc not in the deleted set keeps its dl unchanged, so the two
+    # formulations are identical.
     stats = (
-        new_postings.select(F.explode("postings").alias("p"))
+        index.postings.select(F.explode("postings").alias("p"))
         .select(F.col("p.doc_id").alias("doc_id"), F.col("p.dl").alias("dl"))
         .distinct()
+        .join(ids_df, "doc_id", "left_anti")
         .agg(F.count("*").alias("n"), F.sum("dl").alias("total"))
         .collect()[0]
     )

@@ -87,3 +87,26 @@ def test_expunge_empty_and_errors(spark, corpus):
     assert _norm(same) == _norm(idx)
     with pytest.raises(ValueError):
         expunge_docs(idx, none_deleted, method="bogus")
+
+
+def test_expunge_literal_larger_idset(spark, corpus):
+    """Round-6 (r5 verdict #4): the literal path at a few hundred ids —
+    the regime the O(n + |ids|) let-bound intersect rewrite targets —
+    stays output-identical to merge, including every recomputed stat."""
+    from pyspark.sql import functions as F
+
+    docs, idx = corpus
+    deleted = docs.select("doc_id").where(F.col("doc_id") % 3 == 0)
+    a = expunge_docs(idx, deleted, method="literal")
+    b = expunge_docs(idx, deleted, method="merge")
+    key = lambda r: (r["term"], r["seg"])  # noqa: E731
+    pa = {key(r): [tuple(p) for p in r["postings"]] for r in a.postings.collect()}
+    pb = {key(r): [tuple(p) for p in r["postings"]] for r in b.postings.collect()}
+    assert pa == pb
+    assert a.doc_count == b.doc_count and abs(a.avgdl - b.avgdl) < 1e-12
+    sa = sorted(tuple(r) for r in a.term_stats.collect())
+    sb = sorted(tuple(r) for r in b.term_stats.collect())
+    assert sa == sb
+    # no deleted doc survives anywhere in the rewritten postings
+    gone = {r["doc_id"] for r in deleted.collect()}
+    assert not gone & {p[0] for ps in pa.values() for p in ps}
