@@ -31,9 +31,13 @@ from solrtexttagger_spark.index.build import InvertedIndex
 K1 = 1.2
 B = 0.75
 
-# Per-index memo of global df per term (the segmented scorer's one extra
-# driver job wave per batch — at serving cadence, repeated vocabulary
-# makes it pure overhead). Same policy as the WAND metadata cache
+# Per-index memo of global df per term. A COLD batch never pays a
+# driver job wave for df (round-5 verdict #5): the segmented scorer
+# broadcast-joins per-term df into the scoring job itself, so the whole
+# batch is ONE action end-to-end. The memo is for serving cadence —
+# warm it explicitly with ``warm_df_cache`` (or any wand/LocalSearcher
+# path that already collected stats) and fully-cached vocabularies skip
+# the df-join stage entirely. Same policy as the WAND metadata cache
 # (search/wand.py): bounded, whole-reset at the cap with the in-flight
 # terms re-fetched, assumes the InvertedIndex is immutable once queried
 # (search/wand.reset_query_caches clears it).
@@ -84,6 +88,34 @@ def queries_to_df(
         for term, qtf in sorted(bag.items()):
             rows.append((int(qid), term, int(qtf)))
     return spark.createDataFrame(rows, "query_id long, term string, qtf int")
+
+
+def warm_df_cache(index: InvertedIndex, terms) -> dict[str, int | None]:
+    """Explicitly memoize global df for ``terms`` on the index (one
+    collect; negative entries recorded so absent terms are never
+    re-fetched). Serving paths call this once per vocabulary burst; the
+    segmented scorer then skips its in-job df stage for fully-cached
+    batches. Cold batches NEVER call this implicitly — their df joins
+    inside the scoring job itself (round-5 verdict #5)."""
+    cache = getattr(index, "_bm25_df", None)
+    if cache is None:
+        cache = {}
+        index._bm25_df = cache
+    missing = sorted({t for t in terms if t not in cache})
+    if missing:
+        if len(cache) + len(missing) > BM25_DF_CACHE_MAX_TERMS:
+            cache.clear()
+            missing = sorted(set(terms))  # reset dropped this batch's terms
+        got = {
+            r["term"]: r["df"]
+            for r in index.postings.where(F.col("term").isin(missing))
+            .groupBy("term")
+            .agg(F.sum("df_seg").alias("df"))
+            .collect()
+        }
+        for t in missing:
+            cache[t] = got.get(t)
+    return {t: cache[t] for t in terms}
 
 
 def bm25_topk(
@@ -288,34 +320,38 @@ def _bm25_topk_segmented(
         index._bm25_df = cache
     missing = [t for t in terms if t not in cache]
     if missing:
-        if len(cache) + len(missing) > BM25_DF_CACHE_MAX_TERMS:
-            cache.clear()
-            missing = list(terms)  # reset dropped this batch's cached terms
-        got = {
-            r["term"]: r["df"]
-            for r in index.postings.where(F.col("term").isin(missing))
-            .groupBy("term")
-            .agg(F.sum("df_seg").alias("df"))
-            .collect()
+        # COLD vocabulary: df rides the scoring job as a broadcast-joined
+        # column (round-5 verdict #5) — the whole batch is ONE action, no
+        # serial df-collect wave ahead of it (the Amdahl floor that
+        # capped 1->4 batch scaling at 0.41). The kernel computes idf
+        # from the per-row df; qterm weights ship as plain qtf.
+        qterm_list = {
+            qid: [(t, float(qtf)) for t, qtf in sorted(bag.items())]
+            for qid, bag in qbags.items()
         }
-        for t in missing:  # negative entries too, else re-collected per call
-            cache[t] = got.get(t)
-    df_map = {t: cache[t] for t in terms if cache[t] is not None}
-    qterm_list = {}
-    for qid, bag in qbags.items():
-        lst = []
-        for t in sorted(bag):
-            df = df_map.get(t)
-            if df is not None:
-                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-                lst.append((t, idf * bag[t]))
-        if lst:
-            qterm_list[qid] = lst
-    bc = spark.sparkContext.broadcast((qterm_list, k, k1, b, avgdl))
+        df_in_dag = True
+    else:
+        # WARM (explicitly via warm_df_cache, or a prior wand path):
+        # precompute idf*qtf driver-side, skip the df-join stage
+        df_map = {t: cache[t] for t in terms if cache[t] is not None}
+        qterm_list = {}
+        for qid, bag in qbags.items():
+            lst = []
+            for t in sorted(bag):
+                df = df_map.get(t)
+                if df is not None:
+                    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                    lst.append((t, idf * bag[t]))
+            if lst:
+                qterm_list[qid] = lst
+        df_in_dag = False
+    bc = spark.sparkContext.broadcast((qterm_list, k, k1, b, avgdl, df_in_dag, n))
 
     def _score_pdf(pdf: pd.DataFrame, allowed: "np.ndarray | None") -> pd.DataFrame:
-        qterms_, k_, k1_, b_, avgdl_ = bc.value
+        qterms_, k_, k1_, b_, avgdl_, df_in_dag_, n_ = bc.value
         term_arrays: dict[str, tuple] = {}
+        if df_in_dag_:
+            dfs = dict(zip(pdf["term"], pdf["df"]))
         for term, postings in zip(pdf["term"], pdf["postings"]):
             m = len(postings)
             docs = np.fromiter((p["doc_id"] for p in postings), np.int64, m)
@@ -329,6 +365,10 @@ def _bm25_topk_segmented(
                 e = term_arrays.get(t)
                 if e is None:
                     continue
+                if df_in_dag_:
+                    # w is the raw qtf; df is GLOBAL (joined pre-shuffle)
+                    df_t = float(dfs[t])
+                    w = w * math.log(1.0 + (n_ - df_t + 0.5) / (df_t + 0.5))
                 docs, tf, dl = e
                 contrib = (
                     w * tf * (k1_ + 1.0) / (tf + k1_ * (1.0 - b_ + b_ * dl / avgdl_))
@@ -381,6 +421,17 @@ def _bm25_topk_segmented(
             ),
         ).alias("postings"),
     )
+    if df_in_dag:
+        # GLOBAL df per query term from a narrow projected re-scan
+        # (term + df_seg only — no postings payload), broadcast-joined
+        # onto every (term, seg) row: an extra parallel stage inside the
+        # same job, replacing the serial driver collect
+        df_rel = (
+            index.postings.where(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("df_seg").cast("double").alias("df"))
+        )
+        narrowed = narrowed.join(F.broadcast(df_rel), "term")
     if allowed_docs is None:
         scored = narrowed.groupBy("seg").applyInPandas(fn, schema=_SCORE_SCHEMA)
     else:

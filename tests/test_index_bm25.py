@@ -244,22 +244,30 @@ def test_select_topk_stored_fields(spark, docs_df, index):
 
 
 def test_bm25_df_cache_and_reset(spark, docs_df, index, monkeypatch):
-    """The segmented scorer memoizes global df per term on the index
-    (one fewer driver job wave per repeated-vocabulary batch); results
-    are identical warm, after a cap-triggered reset, and after an
-    explicit reset_query_caches."""
+    """Round-6 df protocol (r5 verdict #5): a COLD batch runs as ONE
+    action — df broadcast-joins inside the scoring job and the driver
+    memo stays untouched; ``warm_df_cache`` populates it explicitly
+    (negative entries included) and fully-cached batches then skip the
+    df stage. Results identical cold, warm, after a cap-triggered
+    reset, and after reset_query_caches."""
     import solrtexttagger_spark.search.bm25 as bmod
+    from solrtexttagger_spark.search.bm25 import warm_df_cache
     from solrtexttagger_spark.search.wand import reset_query_caches
 
+    reset_query_caches(index)
     q = [(0, "fast join"), (1, "filter zzz")]
     key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
     cold = sorted(map(key, bm25_topk(index, q, k=5, spark=spark).collect()))
-    assert getattr(index, "_bm25_df", None)  # populated (incl. negative zzz)
-    assert "zzz" in index._bm25_df and index._bm25_df["zzz"] is None
+    # cold batches never collect df driver-side
+    assert not getattr(index, "_bm25_df", None)
+    got = warm_df_cache(index, ["fast", "join", "filter", "zzz"])
+    assert got["zzz"] is None and got["fast"]  # negative entry memoized
+    assert index._bm25_df["zzz"] is None
     warm = sorted(map(key, bm25_topk(index, q, k=5, spark=spark).collect()))
     assert warm == cold and cold  # non-empty: real vocabulary
-    # overflow reset mid-batch keeps the in-flight vocabulary correct
+    # cap overflow inside warm_df_cache keeps the in-flight terms correct
     monkeypatch.setattr(bmod, "BM25_DF_CACHE_MAX_TERMS", 3)
+    warm_df_cache(index, ["fast", "row", "merge", "sort"])
     over = sorted(map(key, bm25_topk(
         index, [(2, "fast row merge sort")], k=5, spark=spark).collect()))
     exp = sorted(map(key, bm25_topk(
