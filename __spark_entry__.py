@@ -998,13 +998,23 @@ def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 TERMS_PREFIX = "s"
 SPELL_WORD = "jion"  # misspelling of the corpus term "join"
 SPELL_MAX_DIST = 2
-SYNONYMS = {"speedy": ["fast"], "lookup": ["scan", "join"], "merge": ["sort"]}
+SYNONYMS = {
+    "speedy": ["fast"],
+    "lookup": ["scan", "join"],
+    "merge": ["sort"],
+    # multi-word expansion (round-6, r5 verdict #6): the bag model
+    # flattens it into constituent terms at the clause weight (classic
+    # SynonymFilter "sausage"); the boolean path upgrades it to
+    # contiguity-checked graph semantics (test_terms_synonyms)
+    "hashjoin": ["hash join"],
+}
 SYN_QUERIES = [
     (0, "speedy merge"),
     (1, "lookup table"),
     (2, "slow lookup query"),
     (3, "speedy speedy row"),  # repeated term: expansion scales with qtf
     (4, "window merge"),
+    (5, "hashjoin filter"),  # multi-word mapping through the bag model
 ]
 
 

@@ -67,11 +67,21 @@ def expand_synonyms(
     same weight, so the expanded clause scores like Solr's
     (term OR synonym) at equal boost. One-directional (map key ->
     expansions), index-side text untouched — exactly Solr's recommended
-    query-time-only synonym deployment."""
+    query-time-only synonym deployment.
+
+    MULTI-WORD expansions ("ny" -> "new york") are analyzed with the
+    query tokenizer and contribute each constituent term at the clause
+    weight — the classic flattened ("sausagized") SynonymFilter
+    behavior, the right semantics for a pure-OR bag model with no
+    positional filter. The boolean path upgrades multi-word expansions
+    to TRUE graph semantics (contiguity-checked phrase membership) —
+    see search/boolean.expand_boolean_clauses."""
     out = dict(bag)
     for t, qtf in bag.items():
         for s in synonyms.get(t, ()):
-            out[s] = out.get(s, 0) + qtf
+            for w, _s, _e in (tok for tok in tokenize(s) if tok is not None):
+                w = w.lower()
+                out[w] = out.get(w, 0) + qtf
     return out
 
 
@@ -187,13 +197,21 @@ def bm25_topk(
             index, qbags, k=k, k1=k1, b=b, spark=spark, allowed_docs=allowed_docs
         )
     if isinstance(queries, DataFrame):
-        if synonyms:
-            raise ValueError(
-                "synonyms= needs raw (qid, text) queries — expand the "
-                "term bags before building a query DataFrame "
-                "(queries_to_df(..., synonyms=...))"
-            )
         qdf = queries
+        if synonyms:
+            # same contract as the segmented strategy (round-5 advice:
+            # strategy toggles must not change which calls error): the
+            # query table is tiny by contract — collect, expand, rebuild
+            sp = spark or index.postings.sparkSession
+            bags: dict[int, dict[str, int]] = {}
+            for r in queries.collect():
+                bags.setdefault(int(r["query_id"]), {})[r["term"]] = int(r["qtf"])
+            rows = [
+                (qid, term, int(qtf))
+                for qid, bag in bags.items()
+                for term, qtf in sorted(expand_synonyms(bag, synonyms).items())
+            ]
+            qdf = sp.createDataFrame(rows, "query_id long, term string, qtf int")
     else:
         qdf = queries_to_df(
             spark or index.postings.sparkSession, queries, synonyms

@@ -105,6 +105,11 @@ def parse_boolean_query(q: str, lowercase: bool = True, field: str | None = None
     return must, should, must_not, must_phrases, not_phrases
 
 
+def _syn_tokens(s: str, lowercase: bool = True) -> tuple[str, ...]:
+    """Analyze one synonym expansion with the query tokenizer."""
+    return tuple(phrase_terms(s, lowercase))
+
+
 def expand_boolean_clauses(
     must: dict[str, int],
     should: dict[str, int],
@@ -115,27 +120,65 @@ def expand_boolean_clauses(
     Lucene SynonymGraphFilter semantics per clause: an expanded MUST
     becomes a GROUP satisfied by ANY member (+(term OR syn)), every
     member scores at the clause weight; SHOULD members score likewise;
-    an expanded MUST_NOT prohibits every member. Phrase clauses are NOT
-    expanded (multi-token synonym graphs are out of scope — documented).
+    an expanded MUST_NOT prohibits every member.
+
+    MULTI-WORD expansions get TRUE graph semantics (round-5 verdict #6,
+    Solr's SynonymGraphFilter: "ny" -> "new york" becomes
+    +(ny OR "new york")): the expansion joins its MUST group as a
+    CONTIGUITY-CHECKED phrase (satisfying the group only when the words
+    appear adjacent, resolved through the same multi_phrase_match pass
+    as explicit phrase clauses), its constituent terms join the score
+    bag at the clause weight (the same score model as explicit phrases:
+    quotes filter, constituents score); a multi-word MUST_NOT synonym
+    prohibits docs containing the contiguous phrase; a multi-word SHOULD
+    synonym contributes constituent scores only (an unscored optional
+    contiguity clause has no effect in this model — same documented
+    simplification as bare phrase promotion).
 
     -> (score_bag {term: qtf}, must_groups {term: sorted tuple of group
-    ids}, n_groups, must_not_expanded). Without synonyms each MUST term
-    is its own group, which reduces to the classic distinct-term count."""
+    ids}, n_groups, must_not_expanded,
+    phrase_groups {phrase tokens: sorted tuple of group ids},
+    not_phrases [phrase tokens]). Without synonyms each MUST term is its
+    own group, which reduces to the classic distinct-term count."""
     synonyms = synonyms or {}
     groups: dict[str, set[int]] = {}
+    phrase_groups: dict[tuple[str, ...], set[int]] = {}
+    syn_not_phrases: list[tuple[str, ...]] = []
+    extra_bag: dict[str, int] = {}
     for gid, t in enumerate(sorted(must)):
-        for member in [t, *synonyms.get(t, [])]:
-            groups.setdefault(member, set()).add(gid)
+        groups.setdefault(t, set()).add(gid)
+        for s in synonyms.get(t, ()):
+            toks = _syn_tokens(s)
+            if not toks:
+                continue
+            if len(toks) == 1:
+                groups.setdefault(toks[0], set()).add(gid)
+            else:
+                phrase_groups.setdefault(toks, set()).add(gid)
+                for w in toks:  # constituents score at the clause weight
+                    extra_bag[w] = extra_bag.get(w, 0) + must[t]
     combined: dict[str, int] = dict(must)
     for t, qtf in should.items():
         combined[t] = combined.get(t, 0) + qtf
     score_bag: dict[str, int] = dict(combined)
     for t, qtf in combined.items():
         for s in synonyms.get(t, ()):
-            score_bag[s] = score_bag.get(s, 0) + qtf
+            toks = _syn_tokens(s)
+            if len(toks) == 1:
+                score_bag[toks[0]] = score_bag.get(toks[0], 0) + qtf
+            elif t in should:  # MUST constituents were handled above
+                for w in toks:
+                    extra_bag[w] = extra_bag.get(w, 0) + qtf
+    for w, qtf in extra_bag.items():
+        score_bag[w] = score_bag.get(w, 0) + qtf
     not_exp = set(must_not)
     for t in must_not:
-        not_exp.update(synonyms.get(t, ()))
+        for s in synonyms.get(t, ()):
+            toks = _syn_tokens(s)
+            if len(toks) == 1:
+                not_exp.add(toks[0])
+            elif toks:
+                syn_not_phrases.append(toks)
     conflict = set(score_bag) & not_exp
     if conflict:
         raise ValueError(
@@ -147,6 +190,8 @@ def expand_boolean_clauses(
         {t: tuple(sorted(g)) for t, g in groups.items()},
         len(must),
         not_exp,
+        {p: tuple(sorted(g)) for p, g in phrase_groups.items()},
+        sorted(set(syn_not_phrases)),
     )
 
 
@@ -176,10 +221,12 @@ def boolean_bm25_topk(
     phrase_ids: dict[tuple[str, ...], int] = {}
     req_rows: list[tuple[int, int]] = []
     proh_phrase_rows: list[tuple[int, int]] = []
+    pgroup_rows: list[tuple[int, int, int]] = []  # (qid, phrase_id, gid)
     req_counts: dict[int, int] = {}
     for qid, q in queries:
         must, should, must_not, mphr, nphr = parse_boolean_query(q, field=field)
-        score_bag, must_groups, n_groups, must_not = expand_boolean_clauses(
+        (score_bag, must_groups, n_groups, must_not, phrase_groups,
+         syn_not_phrases) = expand_boolean_clauses(
             must, should, must_not, synonyms
         )
         must_counts[int(qid)] = n_groups
@@ -195,9 +242,13 @@ def boolean_bm25_topk(
             req.add(pid)
         req_counts[int(qid)] = len(req)
         req_rows.extend((int(qid), pid) for pid in sorted(req))
-        for toks in nphr:
+        for toks in nphr + syn_not_phrases:
             pid = phrase_ids.setdefault(toks, len(phrase_ids))
             proh_phrase_rows.append((int(qid), pid))
+        # multi-word synonym members: contiguity-checked group membership
+        for toks, gids in sorted(phrase_groups.items()):
+            pid = phrase_ids.setdefault(toks, len(phrase_ids))
+            pgroup_rows.extend((int(qid), pid, gid) for gid in gids)
     if not score_rows:
         return spark.createDataFrame(
             [], "query_id long, rank long, doc_id long, score double"
@@ -233,10 +284,12 @@ def boolean_bm25_topk(
         / (tf + k1 * (1.0 - b + b * dl / avgdl))
         * F.col("qtf").cast("double")
     )
-    # musts_present = number of DISTINCT MUST groups any of whose members
-    # is in the doc (without synonyms every group is one term, so this is
-    # the old distinct-MUST-term count). Group ids travel as a tiny array
-    # per scoring row; one flatten+distinct per (query, doc) group.
+    # groups_present = the DISTINCT MUST groups any of whose TERM members
+    # is in the doc (without synonyms every group is one term, so the
+    # count reduces to the old distinct-MUST-term count). Group ids
+    # travel as a tiny array per scoring row; one flatten+distinct per
+    # (query, doc) group. Multi-word synonym members add their groups
+    # through the phrase-match relation below (contiguity-checked).
     scores = (
         ex.select(
             "query_id",
@@ -247,16 +300,42 @@ def boolean_bm25_topk(
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum("c").alias("score"),
-            F.size(
-                F.array_distinct(F.flatten(F.collect_list("mgroups")))
-            ).alias("musts_present"),
+            F.array_distinct(F.flatten(F.collect_list("mgroups"))).alias(
+                "tgroups"
+            ),
         )
     )
+    pm = None
+    if phrase_ids:
+        # ONE extra postings pass resolves every phrase across every
+        # query — explicit clauses AND multi-word synonym members alike
+        ordered = [" ".join(t) for t, _ in sorted(phrase_ids.items(), key=lambda kv: kv[1])]
+        pm = multi_phrase_match(index, ordered)
+    if pgroup_rows:
+        pgdf = spark.createDataFrame(
+            pgroup_rows, "query_id long, phrase_id int, gid int"
+        )
+        phits = (
+            pm.join(F.broadcast(pgdf), "phrase_id")
+            .groupBy("query_id", "doc_id")
+            .agg(F.array_distinct(F.collect_list("gid")).alias("pgroups"))
+        )
+        scores = scores.join(phits, ["query_id", "doc_id"], "left")
+        musts_present = F.size(
+            F.array_distinct(
+                F.concat(
+                    F.col("tgroups"),
+                    F.coalesce(F.col("pgroups"), F.array().cast("array<int>")),
+                )
+            )
+        )
+    else:
+        musts_present = F.size("tgroups")
     # per-query required-MUST count as a broadcast map literal (tiny)
     mc = F.create_map(*[F.lit(x) for kv in must_counts.items() for x in kv])
     matched = scores.where(
-        F.col("musts_present") == mc[F.col("query_id")].cast("long")
-    )
+        musts_present == mc[F.col("query_id")].cast("long")
+    ).drop("tgroups", "pgroups")
     if not_rows:
         ndf = spark.createDataFrame(not_rows, "query_id long, term string")
         prohibited = (
@@ -268,9 +347,6 @@ def boolean_bm25_topk(
         )
         matched = matched.join(prohibited, ["query_id", "doc_id"], "left_anti")
     if phrase_ids:
-        # ONE extra postings pass resolves every phrase across every query
-        ordered = [" ".join(t) for t, _ in sorted(phrase_ids.items(), key=lambda kv: kv[1])]
-        pm = multi_phrase_match(index, ordered)
         if req_rows:
             reqdf = spark.createDataFrame(req_rows, "query_id long, phrase_id int")
             hits = (

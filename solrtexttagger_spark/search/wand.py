@@ -444,10 +444,13 @@ class LocalSearcher:
         )
 
         must, should, must_not, mphr, nphr = parse_boolean_query(query, field=field)
-        score_bag, must_groups, n_groups, must_not = expand_boolean_clauses(
+        (score_bag, must_groups, n_groups, must_not, phrase_groups,
+         syn_not_phrases) = expand_boolean_clauses(
             must, should, must_not, synonyms
         )
-        if (mphr or nphr) and self.term_pos is None:
+        # multi-word synonym members are contiguity clauses too
+        nphr = nphr + syn_not_phrases
+        if (mphr or nphr or phrase_groups) and self.term_pos is None:
             raise NotImplementedError(
                 "phrase clauses need positional postings; warm this "
                 "LocalSearcher with positional_index= or positions=True "
@@ -491,6 +494,16 @@ class LocalSearcher:
                 pos = idx[np.take(uniq, idx, mode="clip") == entry[0]]
                 for g in gids:
                     sat[g, pos] = True
+            for toks, gids in phrase_groups.items():
+                # multi-word synonym member: satisfies its group only
+                # where the words appear CONTIGUOUSLY (graph semantics)
+                pd_ = self._phrase_docs(toks)
+                if pd_:
+                    pos = np.nonzero(
+                        np.isin(uniq, np.fromiter(pd_, np.int64, len(pd_)))
+                    )[0]
+                    for g in gids:
+                        sat[g, pos] = True
             keep &= sat.all(axis=0)
         for term in must_not:
             entry = self.term_postings.get(term)

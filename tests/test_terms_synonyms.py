@@ -230,3 +230,107 @@ def test_spellcheck_collate(spark, corpus):
         spellcheck_collate(idx, "jion scann zzz", max_dist=2)
     with pytest.raises(ValueError):
         spellcheck_collate(idx, "", max_dist=2)
+
+
+# --- multi-word (phrase) synonym expansion (round 6, r5 verdict #6) ---
+
+
+def test_bag_multiword_synonym_flattens(spark, corpus):
+    """bm25_topk's bag model flattens a multi-word expansion into its
+    constituent terms at the clause weight (classic SynonymFilter), and
+    the DataFrame-queries + synonyms combination now works identically
+    on BOTH strategies (round-5 advice)."""
+    from solrtexttagger_spark.search.bm25 import queries_to_df
+
+    _, idx = corpus
+    syn = {"mergesort": ["merge sort"]}
+    assert expand_synonyms({"mergesort": 2}, syn) == {
+        "mergesort": 2, "merge": 2, "sort": 2,
+    }
+    q = [(0, "mergesort scan")]
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+    seg = sorted(map(key, bm25_topk(idx, q, k=5, spark=spark, synonyms=syn).collect()))
+    expl = sorted(map(key, bm25_topk(
+        idx, q, k=5, spark=spark, synonyms=syn, strategy="exploded").collect()))
+    assert seg == expl and seg
+    # DataFrame queries + synonyms: both strategies accept and agree
+    qdf = queries_to_df(spark, q)
+    seg_df = sorted(map(key, bm25_topk(
+        idx, qdf, k=5, spark=spark, synonyms=syn).collect()))
+    expl_df = sorted(map(key, bm25_topk(
+        idx, qdf, k=5, spark=spark, synonyms=syn, strategy="exploded").collect()))
+    assert seg_df == seg and expl_df == seg
+
+
+def test_boolean_multiword_synonym_graph_semantics(spark, corpus):
+    """The boolean path gives multi-word expansions TRUE graph
+    semantics: +term with synonym "a b" is satisfied only by the term
+    itself or by "a b" CONTIGUOUS; docs with the words apart fail."""
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+
+    docs = [
+        (0, "sort merge runs fast"),      # contiguous "sort merge": NO ("merge sort" needed)
+        (1, "merge sort wins always"),    # contiguous "merge sort": satisfies
+        (2, "merge the sort columns"),    # words apart: fails the group
+        (3, "mergesort is classic"),      # the term itself: satisfies
+        (4, "nothing relevant here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = build_index(df, num_segments=2)
+    syn = {"mergesort": ["merge sort"]}
+    hits = {
+        r["doc_id"]
+        for r in boolean_bm25_topk(
+            idx, [(0, "+mergesort")], k=10, spark=spark, synonyms=syn
+        ).collect()
+    }
+    assert hits == {1, 3}
+    # MUST_NOT with a multi-word synonym prohibits the contiguous phrase
+    hits2 = {
+        r["doc_id"]
+        for r in boolean_bm25_topk(
+            idx, [(0, "merge -mergesort")], k=10, spark=spark, synonyms=syn
+        ).collect()
+    }
+    # docs containing "merge": 0,1,2; doc 3 has the term mergesort ->
+    # prohibited; doc 1 has contiguous "merge sort" -> prohibited
+    assert hits2 == {0, 2}
+
+
+def test_local_searcher_multiword_synonym_parity(spark, corpus):
+    """LocalSearcher.search_boolean matches the distributed path under a
+    multi-word synonym (positional warm-up), and raises without it."""
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+    from solrtexttagger_spark.index.compressed import compress_index
+    from solrtexttagger_spark.search.wand import LocalSearcher
+
+    docs = [
+        (0, "sort merge runs fast"),
+        (1, "merge sort wins always"),
+        (2, "merge the sort columns"),
+        (3, "mergesort is classic"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = build_index(df, num_segments=2)
+    syn = {"mergesort": ["merge sort"]}
+    q = "+mergesort merge"
+    dist = [
+        (r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in boolean_bm25_topk(
+            idx, [(0, q)], k=10, spark=spark, synonyms=syn
+        ).collect()
+    ]
+    cix = compress_index(idx, with_positions=True)
+    ls = LocalSearcher(
+        cix, ["mergesort", "merge", "sort"], positional_index=idx
+    )
+    local = [
+        (rank, doc, round(score, 9))
+        for rank, doc, score in ls.search_boolean(q, k=10, synonyms=syn)
+    ]
+    assert local == sorted(dist)
+    ls2 = LocalSearcher(cix, ["mergesort", "merge", "sort"])
+    with pytest.raises(NotImplementedError):
+        ls2.search_boolean(q, k=10, synonyms=syn)
