@@ -595,8 +595,11 @@ def q_select_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_facet_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr facet.pivot=lang,source over the match set: every pivot level
-    from one ROLLUP (leaves + per-lang subtotals + grand total); NULL
-    subtotal markers coalesce to PIVOT_ANY for the hash compare."""
+    from one ROLLUP (leaves + per-lang subtotals + grand total). The
+    `level` grouping bitmask tags subtotal rows, so a rolled-up NULL is
+    distinguishable from a genuinely NULL pivot value (round-5 advice);
+    values still coalesce to PIVOT_ANY only to keep the hash compare
+    NULL-free."""
     from solrtexttagger_spark.search.grouping import facet_pivot
 
     out = facet_pivot(
@@ -606,6 +609,7 @@ def q_facet_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         *[F.coalesce(F.col(c), F.lit(PIVOT_ANY)).alias(c) for c in PIVOT_FIELDS],
         F.col("n").cast("long").alias("n"),
+        F.col("level").cast("long").alias("level"),
     )
 
 
@@ -1845,9 +1849,14 @@ src AS (
   FROM documents JOIN matched USING (doc_id)
 ),
 piv AS (
-  SELECT {_pv_cols}, count(*)::BIGINT AS n FROM src GROUP BY ROLLUP ({_pv_cols})
+  SELECT {_pv_cols}, count(*)::BIGINT AS n,
+         ({" + ".join(
+             f"GROUPING({c})::BIGINT * {1 << (len(PIVOT_FIELDS) - 1 - i)}"
+             for i, c in enumerate(PIVOT_FIELDS)
+         )})::BIGINT AS level
+  FROM src GROUP BY ROLLUP ({_pv_cols})
 )
-SELECT {_pv_sel}, n FROM piv
+SELECT {_pv_sel}, n, level FROM piv
 """
 
     sql["term_stats"] = f"""

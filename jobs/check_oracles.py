@@ -48,10 +48,15 @@ def main():
     qs, sqls = em.queries(), em.oracle_sql()
     names = names or [n for n in qs if n in sqls]
     failed = []
+    skipped = []
     report: dict = {"sf": sf.rstrip("/").split("sf")[-1], "entries": {}}
     for n in names:
         if n not in sqls:
+            # skips are recorded and EXCLUDED from green/total (round-5
+            # advice: counting them overstated coverage)
             print(f"{n}: SKIP (no oracle)")
+            skipped.append(n)
+            report["entries"][n] = {"skipped": True}
             continue
         try:
             sdf = qs[n](spark, sf)
@@ -97,12 +102,15 @@ def main():
                 "err": f"{type(e).__name__}: {e}"[:500],
             }
             print(f"{n}: ERROR {type(e).__name__}: {e}")
+    checked = len(names) - len(skipped)
     if json_out:
-        report["green"] = len(names) - len(failed)
-        report["total"] = len(names)
+        report["green"] = checked - len(failed)
+        report["total"] = checked
+        report["skipped"] = skipped
         with open(json_out, "w") as f:
             json.dump(report, f, indent=1)
-    print(f"\n{len(names) - len(failed)}/{len(names)} green")
+    extra = f" ({len(skipped)} skipped)" if skipped else ""
+    print(f"\n{checked - len(failed)}/{checked} green{extra}")
     sys.exit(1 if failed else 0)
 
 

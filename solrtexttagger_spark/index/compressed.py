@@ -128,13 +128,43 @@ def compress_index(
     )
 
 
+def _fs_write_text(spark, path: str, content: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API — the
+    SAME filesystem resolution the parquet writers use, so a manifest
+    lands beside its data on file://, hdfs:// or s3a:// alike (round-5
+    advice: driver-local open() wrote it to the local disk even when the
+    data went remote)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark, path: str) -> str:
+    """Read a small text file through the Hadoop FileSystem API (see
+    _fs_write_text)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    return bytes(baos.toByteArray()).decode("utf-8")
+
+
 def save_compressed(cindex: CompressedIndex, path: str) -> dict:
     """Persist a compressed index: blocks + term_stats as parquet
     (blocks partitioned by seg, so a loading cluster prunes to the
     segments a query's candidate set needs), corpus stats as a JSON
     manifest. Completes the serving deployment story — build ->
     compress -> save at index time; load -> LocalSearcher / wand_topk at
-    serve time, no uncompressed index kept around. Returns the manifest."""
+    serve time, no uncompressed index kept around. All three artifacts
+    go through the same Hadoop filesystem, so `path` may be local,
+    HDFS, or object storage. Returns the manifest."""
     import json
     import os
 
@@ -151,9 +181,11 @@ def save_compressed(cindex: CompressedIndex, path: str) -> dict:
         "avgdl": cindex.avgdl,
         "with_positions": "pos_block" in cindex.blocks.columns,
     }
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "cindex_manifest.json"), "w") as f:
-        json.dump(manifest, f)
+    _fs_write_text(
+        cindex.blocks.sparkSession,
+        os.path.join(path, "cindex_manifest.json"),
+        json.dumps(manifest),
+    )
     return manifest
 
 
@@ -163,8 +195,9 @@ def load_compressed(spark, path: str) -> CompressedIndex:
     import json
     import os
 
-    with open(os.path.join(path, "cindex_manifest.json")) as f:
-        manifest = json.load(f)
+    manifest = json.loads(
+        _fs_read_text(spark, os.path.join(path, "cindex_manifest.json"))
+    )
     if manifest.get("format") != "stt-cindex-v1":
         raise ValueError(
             f"not a stt-cindex-v1 manifest: {manifest.get('format')!r}"

@@ -159,14 +159,19 @@ def facet_pivot(
     pivot level (leaf combinations, per-prefix subtotals, grand total;
     subtotal rows carry NULL in the rolled-up columns). Solr's nested
     pivot response is exactly this subtotal tree. Returns
-    (*pivot_cols as strings, n long)."""
+    (*pivot_cols as strings, n long, level long) where ``level`` is the
+    grouping bitmask (grouping(f1)*2^(k-1) + ... + grouping(fk); 0 =
+    leaf row) — a SUBTOTAL's NULL is therefore distinguishable from a
+    document whose pivot value is genuinely NULL (round-5 advice)."""
     from solrtexttagger_spark.search.bm25 import analyze_query_terms
 
     spark = spark or docs_df.sparkSession
     terms = sorted(analyze_query_terms(query))
     if not terms or not pivot_cols:
         schema = ", ".join(f"{c} string" for c in pivot_cols) or "n long"
-        return spark.createDataFrame([], f"{schema}, n long" if pivot_cols else schema)
+        return spark.createDataFrame(
+            [], f"{schema}, n long, level long" if pivot_cols else schema
+        )
     tdf = spark.createDataFrame([(t,) for t in terms], "term string")
     matched = (
         index.postings.join(F.broadcast(tdf), "term")
@@ -181,4 +186,10 @@ def facet_pivot(
     joined = docs_df.join(matched, id_col).select(
         *[F.col(c).cast("string").alias(c) for c in pivot_cols]
     )
-    return joined.rollup(*pivot_cols).agg(F.count("*").cast("long").alias("n"))
+    level = sum(
+        (F.grouping(c).cast("long") * (1 << (len(pivot_cols) - 1 - i)))
+        for i, c in enumerate(pivot_cols)
+    )
+    return joined.rollup(*pivot_cols).agg(
+        F.count("*").cast("long").alias("n"), level.alias("level")
+    )

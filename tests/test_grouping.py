@@ -110,6 +110,15 @@ def test_facet_pivot_rollup(spark, corpus):
         ("en", None): 2, ("de", None): 2,
         (None, None): 4,
     }
+    # the grouping bitmask separates subtotal NULLs from value NULLs
+    # (round-5 advice): leaf=0, source rolled=1, both rolled=3
+    levels = {(r["lang"], r["source"]): r["level"] for r in rows}
+    assert levels == {
+        ("en", "web"): 0, ("en", "book"): 0,
+        ("de", "web"): 0, ("de", "book"): 0,
+        ("en", None): 1, ("de", None): 1,
+        (None, None): 3,
+    }
     # fq-aware: only English matches counted
     en_only = df.where("lang = 'en'").select("doc_id")
     rows2 = facet_pivot(
