@@ -68,17 +68,28 @@ def main() -> None:
     # q1: inverted-index build (tokenize -> postings materialized)
     from solrtexttagger_spark.index.build import build_index
 
+    # q1 carries repeat samples too (round-5 verdict #7: the single-shot
+    # gb/h on this micro corpus was pure noise round to round); each
+    # sample rebuilds from scratch, the previous build is unpersisted
+    _built: dict = {}
+
     def build():
+        if "idx" in _built:
+            _built["idx"].postings.unpersist()
         idx = build_index(docs, use_split=True)
         idx.postings.persist().count()
+        _built["idx"] = idx
         return idx
 
-    idx = timed("q1_index_build", build)
+    idx = timed_repeat("q1_index_build", build)
     secs = max(timings["q1_index_build"], 1e-9)
     extras["index_build_gb_per_hour"] = round(
         corpus_bytes / 1e9 / (secs / 3600.0), 3
     )
     extras["index_build_docs_per_sec"] = round(n_docs / secs, 1)
+    # the authoritative build-throughput number is the replicated-corpus
+    # scaling run, not this micro corpus (see BENCH.md scaling section)
+    extras["index_build_authoritative"] = "scaling_bench replicated corpus (BENCH.md)"
 
     # q2: BM25 top-k latency over a query batch (p95 via per-batch timing)
     from solrtexttagger_spark.search.bm25 import bm25_topk
@@ -245,10 +256,12 @@ def main() -> None:
     timed_repeat("q2i_group_sort_pivot", grouping_surface)
 
     # q2j: round-5 handler surface (terms/spellcheck/synonyms/stats/
-    # elevation/expunge) in one timing
+    # elevation/expunge) in one timing; round 6 adds spellcheck.collate
+    # on the SymSpell deletion-neighborhood path
     def handler_surface():
         n = _materialize(em.q_terms_prefix(spark, sf_dir))
         n += _materialize(em.q_spellcheck(spark, sf_dir))
+        n += _materialize(em.q_spellcheck_collate(spark, sf_dir))
         n += _materialize(em.q_bm25_synonyms(spark, sf_dir))
         n += _materialize(em.q_stats_field(spark, sf_dir))
         n += _materialize(em.q_elevated(spark, sf_dir))
