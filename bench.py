@@ -270,6 +270,22 @@ def main() -> None:
 
     timed_repeat("q2j_handlers", handler_surface)
 
+    # q2k: ONE fully-dressed /select request through the golden writer —
+    # page + facet fields + TWO facet.range columns + highlighting is
+    # exactly 3 actions since round 6 (shared match set, hl reuses the
+    # ranked page; see search/select.py docstring)
+    def dressed_select():
+        from solrtexttagger_spark.search.select import render_select_json
+
+        return len(render_select_json(
+            idx, docs, "join merge window", fl=["lang", "source"], k=10,
+            facet_cols=["lang", "source"],
+            facet_ranges=[("n_chars", 0, 200, 50), ("doc_id", 0, 4000, 1000)],
+            hl=True, spark=spark,
+        ))
+
+    timed_repeat("q2k_select_dressed", dressed_select)
+
     # q2c: single-query p50/p95 latency, split COLD (caches reset — every
     # query pays its term-metadata job) vs WARM (identical second pass
     # over populated caches). BASELINE.md target metric: top-k query p95.

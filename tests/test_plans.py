@@ -250,3 +250,71 @@ def test_grouping_plans(spark, docs_df, index):
     assert p_page.count("Exchange") <= plan_str(
         bm25_topk(index, [(0, "common w1")], k=3, spark=spark, strategy="exploded")
     ).count("Exchange") + 2  # + corpus-fields join side
+
+
+def test_cold_bm25_builder_runs_no_driver_action(spark, index):
+    """Round-6 (r5 verdict #5): BUILDING a cold-vocabulary segmented
+    bm25 plan performs ZERO driver actions — the per-term df arrives as
+    a broadcast-joined column inside the scoring job, not via a
+    collect wave ahead of it. The plan carries the df join; results
+    stay rank-identical to the exploded strategy."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from solrtexttagger_spark.search.wand import reset_query_caches
+
+    reset_query_caches(index)
+    _ = index.avgdl  # one-time per-INDEX stat, not a per-batch wave
+    calls = []
+    orig = DataFrame.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    try:
+        DataFrame.collect = counting
+        out = bm25_topk(index, [(0, "common w1")], k=5, spark=spark)
+    finally:
+        DataFrame.collect = orig
+    assert calls == []  # plan construction is action-free when cold
+    plan = plan_str(out)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "sum(df_seg" in plan  # in-DAG global df aggregation
+    assert "BroadcastHashJoin" in plan  # ...broadcast-joined, never collected
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+    cold = sorted(map(key, out.collect()))
+    exp = sorted(map(key, bm25_topk(
+        index, [(0, "common w1")], k=5, spark=spark, strategy="exploded"
+    ).collect()))
+    assert cold == exp and cold
+
+
+def test_facet_sections_single_aggregation(spark, docs_df, index):
+    """Round-6 (r5 verdict #2): the writer-side facet assembly computes
+    field facets and EVERY facet.range column in one aggregation over
+    one match set — a single groupBy(sec, field, value), no per-range
+    re-scan."""
+    from solrtexttagger_spark.search.select import _facet_sections
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = []
+    orig = DataFrame.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    docs = docs_df.withColumn("n", (docs_df.doc_id * 7) % 40)
+    try:
+        DataFrame.collect = counting
+        fields, ranges = _facet_sections(
+            index, docs, "common w1", ["lang"] if "lang" in docs.columns else [],
+            [("n", 0, 40, 20), ("n", 0, 40, 10)], None, spark,
+        )
+    finally:
+        DataFrame.collect = orig
+    assert len(calls) == 1  # one job for every facet section
+    assert len(ranges) >= 1
+    for _col, (lo, hi, gap, buckets) in ranges.items():
+        assert [b for b, _n in buckets] == list(range(lo, hi, gap))
