@@ -923,6 +923,45 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir), n=REP_N)
 
 
+def q_doc_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contamination + PII + repetition stats joined per doc — one
+    driver row for the corpus-risk family (round-6 consolidation;
+    contamination's DISTINCT-gram count renamed n_distinct_grams to
+    coexist with repetition's total n_grams)."""
+    contam = q_contamination(spark, sf_dir).withColumnRenamed(
+        "n_grams", "n_distinct_grams"
+    )
+    pii = q_pii_stats(spark, sf_dir)
+    rep = q_repetition_stats(spark, sf_dir)
+    return contam.join(pii, "doc_id").join(rep, "doc_id")
+
+
+CHUNK_TOKENS = 12
+CHUNK_OVERLAP = 4
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/pretraining chunking: overlapping token windows with stable
+    (doc_id, chunk_idx) identities — map-only, no shuffle."""
+    from solrtexttagger_spark.ops.chunking import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+
+
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash — disjoint
+    consecutive ranges, partition/rerun/engine-invariant (randomSplit
+    is not), leakage-safe across tables sharing the salt."""
+    from solrtexttagger_spark.ops.sampling import hash_split
+
+    return hash_split(_docs(spark, sf_dir), SPLITS, key_cols=["doc_id"]).select(
+        "doc_id", "lang", "split"
+    )
+
+
 def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solrtexttagger_spark.ops.textqa import rolling_hash
 
@@ -1173,7 +1212,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     hash-pinned): doc_samples (bernoulli/stratified/topk),
     #     dup_span_ops (span stats + removal), fingerprints
     #     (fingerprint + rolling hash), doc_quality (lang id + quality +
-    #     token stats)
+    #     token stats), doc_risk (contamination + pii + repetition)
+    #   - round-6 additions inside the freed budget: spellcheck_collate,
+    #     chunk_docs (overlapping token windows), doc_split
+    #     (deterministic train/val/test hash split)
     return {
         "bm25_topk": q_bm25_topk,
         "wand_topk": q_wand_topk,
@@ -1210,9 +1252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "fingerprints": q_fingerprints,
         "tfidf_keywords": q_tfidf_keywords,
-        "contamination": q_contamination,
-        "pii_stats": q_pii_stats,
-        "repetition_stats": q_repetition_stats,
+        "doc_risk": q_doc_risk,
+        "chunk_docs": q_chunk_docs,
+        "doc_split": q_doc_split,
         "bm25_after_delete": q_bm25_after_delete,
         "terms_prefix": q_terms_prefix,
         "spellcheck": q_spellcheck,
@@ -2655,6 +2697,44 @@ FROM events GROUP BY 1, 2
         "JOIN (" + sql.pop("lang_id") + ") l USING (doc_id)\n"
         "JOIN (" + sql.pop("token_stats") + ") t USING (doc_id)"
     )
+    sql["doc_risk"] = (
+        "SELECT c.doc_id, c.n_grams AS n_distinct_grams, c.n_contaminated,\n"
+        "       c.contamination, p.n_email_like, p.n_url_like,\n"
+        "       p.n_digit_tokens, r.n_grams, r.n_dup_grams, r.dup_fraction,\n"
+        "       r.top_gram_fraction\n"
+        "FROM (" + sql.pop("contamination") + ") c\n"
+        "JOIN (" + sql.pop("pii_stats") + ") p USING (doc_id)\n"
+        "JOIN (" + sql.pop("repetition_stats") + ") r USING (doc_id)"
+    )
+    # mirrors ops/chunking.chunk_documents: stride = chunk - overlap,
+    # starts < max(n - overlap, 1), final window clamped
+    _stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    sql["chunk_docs"] = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+st AS (
+  SELECT doc_id, w, len(w) AS n,
+         unnest(range(0, greatest(len(w) - {CHUNK_OVERLAP}, 1), {_stride})) AS start
+  FROM words
+)
+SELECT doc_id, (start / {_stride})::BIGINT AS chunk_idx,
+       start::BIGINT AS chunk_start,
+       least({CHUNK_TOKENS}, n - start)::BIGINT AS n_tokens,
+       array_to_string(w[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk_text
+FROM st
+"""
+    # mirrors ops/sampling.hash_split: SAME float accumulation for the
+    # cumulative bounds (0.8 + 0.1 != 0.9 exactly — the truncation must
+    # match bit for bit), same md5 key hash as doc_samples
+    _bounds, _upper = [], 0.0
+    for _name, _frac in SPLITS.items():
+        _upper += _frac
+        _bounds.append((_name, int(_upper * (1 << 60))))
+    _split_case = "CASE " + " ".join(
+        f"WHEN {_keyhash} < {b} THEN '{nm}'" for nm, b in _bounds
+    ) + " ELSE NULL END"
+    sql["doc_split"] = f"""
+SELECT doc_id, lang, {_split_case} AS split FROM documents
+"""
     # strategy twins dropped from the driver surface (pytest parity pins
     # them: test_tag_join.py, test_index_bm25.py, test_compression_wand.py)
     del sql["tag_join_nosub"], sql["bm25_exploded"], sql["wand_fq"]

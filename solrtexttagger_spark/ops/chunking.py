@@ -1,0 +1,73 @@
+"""Document chunking — the splitting step of a RAG / pretraining data
+pipeline: fixed-size overlapping token windows with stable, rerun-safe
+chunk identities. (No reference counterpart — SolrTextTagger operates on
+whole documents — but a 100 TB training-data engine needs it as a
+first-class operator next to packing/dedup; see ops/packing.py for the
+downstream batch-assembly step.)
+
+Chunking contract (deterministic, SQL-mirrorable):
+
+  tokens   = whitespace split of ``text_col`` (the engine's use_split
+             contract; analyzer-grade chunking would tokenize first)
+  stride   = chunk_tokens - overlap            (> 0 enforced)
+  starts   = 0, stride, 2*stride, ...  while start < max(n - overlap, 1)
+  chunk i  = tokens[start : start + chunk_tokens]
+
+Every token is covered; consecutive chunks share exactly ``overlap``
+tokens (except a shorter final chunk); an empty/short document yields
+exactly one chunk. chunk_idx = start / stride, so (doc_id, chunk_idx)
+is a stable identity under any partitioning or rerun — downstream dedup
+or labeling can join on it.
+
+Physical shape: one projection — split, a JVM ``sequence`` of window
+starts, ``posexplode``, and per-chunk ``slice``/``concat_ws``. No
+shuffle, no Python; Catalyst prunes the scan to (id, text). At 100 TB
+this is a map-only pass whose output partitioning inherits the input's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def chunk_documents(
+    docs_df: DataFrame,
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token windows. Returns
+    (doc_id, chunk_idx long, chunk_start long, n_tokens long,
+    chunk_text) — chunk_start is the 0-based token offset, n_tokens the
+    actual window size (= chunk_tokens except the final partial
+    window)."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be > 0")
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    # starts < max(n - overlap, 1); sequence() is stop-INCLUSIVE, so the
+    # stop is that bound minus one (integer starts)
+    stop = F.greatest(n - overlap, F.lit(1)) - 1
+    starts = F.sequence(F.lit(0), stop, F.lit(stride))
+    ex = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        w.alias("_w"),
+        n.alias("_n"),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("chunk_start"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice("_w", F.col("chunk_start") + 1, chunk_tokens)
+        ).alias("chunk_text"),
+    )

@@ -85,3 +85,41 @@ def hash_top_k(
     partitioning-independent, and growing the corpus only ever swaps
     items in/out by hash rank (stable prefix property)."""
     return df.orderBy(_key_hash(key_cols, salt).asc(), *key_cols).limit(k)
+
+
+def hash_split(
+    df: DataFrame,
+    splits: dict,
+    *,
+    key_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: ``splits`` maps a split
+    name to its proportion (must sum to <= 1.0; keys are assigned to
+    DISJOINT consecutive hash ranges in the given order, rows past the
+    total get NULL). Every row keeps its split under any partitioning,
+    rerun, or engine, and a row key lands in the SAME split across
+    tables sharing the salt (leakage-safe joins between a corpus and
+    its derived features). Adds a ``split`` column; one narrow
+    projection, no shuffle.
+
+    The canonical training-data split step — `randomSplit()` is
+    partitioning-dependent and silently re-deals rows between splits on
+    a repartitioned rerun, which leaks eval data into training."""
+    total = 0.0
+    for name, frac in splits.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"split {name!r} fraction {frac} not in [0, 1]")
+        total += frac
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    h = _key_hash(key_cols, salt)
+    expr = F.lit(None).cast("string")
+    upper = 0.0
+    bounds = []
+    for name, frac in splits.items():
+        upper += frac
+        bounds.append((name, int(upper * _HASH_SPACE)))
+    for name, bound in reversed(bounds):
+        expr = F.when(h < F.lit(bound).cast("long"), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -265,3 +265,130 @@ def spellcheck_collate(
             coll = " ".join(s if t == bad else t for t in qterms)
             rows.append((len(rows) + 1, coll, h))
     return spark.createDataFrame(rows, "rank long, collation string, hits long")
+
+
+def _levenshtein(a: str, b: str, bound: int) -> int:
+    """Banded Levenshtein with early abort past ``bound`` (returns
+    bound + 1 when exceeded) — the driver-side serving kernel."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > bound:
+        return bound + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        best = i
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+            if cur[j] < best:
+                best = cur[j]
+        if best > bound:
+            return bound + 1
+        prev = cur
+    return prev[lb]
+
+
+class LocalSpeller:
+    """Driver-resident SymSpell speller — the serving-side analogue of
+    LocalSearcher (search/wand.py): collect (term, df) once for the
+    vocabulary (or a warmed subset), build the deletion-neighborhood
+    dict in memory, and serve suggest()/collate() as pure dict lookups
+    + a handful of banded levenshteins — Lucene DirectSpellChecker's
+    interactive shape, microseconds per request.
+
+    ``collate`` needs document sets for the hit counts; pass a
+    LocalSearcher warmed with the query vocabulary (its term_postings
+    doc arrays intersect with numpy). Output is identical to the
+    distributed spellcheck_terms / spellcheck_collate on the same
+    vocabulary (parity-tested)."""
+
+    def __init__(
+        self,
+        index: InvertedIndex,
+        *,
+        max_dist: int = 2,
+        min_df: int = 1,
+        terms: "list[str] | None" = None,
+    ):
+        if max_dist < 1 or max_dist > 2:
+            raise ValueError("max_dist must be 1 or 2")
+        self.max_dist = max_dist
+        self.min_df = min_df
+        base = index.term_stats.where(F.col("df") >= min_df)
+        if terms is not None:
+            base = base.where(F.col("term").isin(sorted(set(terms))))
+        rows = base.select("term", "df").collect()
+        self.df = {r["term"]: int(r["df"]) for r in rows}
+        self.neighborhood: dict[str, list[str]] = {}
+        for t in sorted(self.df):
+            for key in _deletion_set(t, max_dist):
+                self.neighborhood.setdefault(key, []).append(t)
+
+    def suggest(self, word: str, *, k: int = 5) -> list[tuple[int, str, int, int]]:
+        """-> [(rank, term, dist, df)], ranked (dist asc, df desc, term
+        asc) — identical to spellcheck_terms."""
+        cand = set()
+        for key in _deletion_set(word, self.max_dist):
+            cand.update(self.neighborhood.get(key, ()))
+        cand.discard(word)
+        scored = []
+        for t in cand:
+            d = _levenshtein(t, word, self.max_dist)
+            if d <= self.max_dist:
+                scored.append((d, -self.df[t], t))
+        scored.sort()
+        return [
+            (rank, t, d, -ndf)
+            for rank, (d, ndf, t) in enumerate(scored[:k], start=1)
+        ]
+
+    def collate(
+        self, query: str, searcher, *, k: int = 5
+    ) -> list[tuple[int, str, int]]:
+        """-> [(rank, collation, hits)] — identical semantics to
+        spellcheck_collate (one misspelled term, conjunctive hits,
+        0-hit collations dropped). ``searcher`` is a LocalSearcher
+        warmed with the query's in-vocabulary terms and the candidate
+        suggestions (its term_postings doc-id arrays provide the
+        intersection counts)."""
+        import numpy as np
+
+        from solrtexttagger_spark.search.bm25 import analyze_query_terms
+
+        qterms = sorted(analyze_query_terms(query))
+        if not qterms:
+            raise ValueError("empty query after analysis")
+        missing = [t for t in qterms if t not in self.df]
+        if not missing:
+            return []
+        if len(missing) > 1:
+            raise ValueError(
+                f"collate supports one misspelled term per query, got {missing}"
+            )
+        bad = missing[0]
+        keep = [t for t in qterms if t != bad]
+
+        def docs_of(term):
+            entry = searcher.term_postings.get(term)
+            if entry is None:
+                searcher._require_warmed(term)
+                return np.empty(0, dtype=np.int64)
+            return entry[0]
+
+        base = None
+        for t in keep:
+            d = docs_of(t)
+            base = d if base is None else np.intersect1d(base, d, assume_unique=True)
+        out = []
+        for _rank, sugg, _dist, _df in self.suggest(bad, k=k):
+            d = docs_of(sugg)
+            hits = len(d) if base is None else len(
+                np.intersect1d(base, d, assume_unique=True)
+            )
+            if hits > 0:
+                coll = " ".join(sugg if t == bad else t for t in qterms)
+                out.append((len(out) + 1, coll, int(hits)))
+        return out

@@ -334,3 +334,32 @@ def test_local_searcher_multiword_synonym_parity(spark, corpus):
     ls2 = LocalSearcher(cix, ["mergesort", "merge", "sort"])
     with pytest.raises(NotImplementedError):
         ls2.search_boolean(q, k=10, synonyms=syn)
+
+
+def test_local_speller_parity(spark, corpus):
+    """LocalSpeller (driver-resident SymSpell) suggest/collate match the
+    distributed spellcheck_terms/spellcheck_collate exactly."""
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.index.compressed import compress_index
+    from solrtexttagger_spark.search.terms import (
+        LocalSpeller,
+        spellcheck_collate,
+        spellcheck_terms,
+    )
+    from solrtexttagger_spark.search.wand import LocalSearcher
+
+    _, idx = corpus
+    sp = LocalSpeller(idx, max_dist=2)
+    for word in ["scann", "jion", "merg", "zzz", "sort"]:
+        dist = [tuple(r) for r in spellcheck_terms(idx, word, max_dist=2, k=5).collect()]
+        assert sp.suggest(word, k=5) == dist, word
+    # collate parity via a warmed LocalSearcher
+    cix = compress_index(idx)
+    ls = LocalSearcher(cix, ["fast", "join", "scan", "sort", "merge", "shuffle", "scatter"])
+    for q in ["fast jion", "jion"]:
+        dist = [tuple(r) for r in spellcheck_collate(idx, q, max_dist=2, k=5).collect()]
+        assert sp.collate(q, ls, k=5) == dist, q
+    assert sp.collate("fast join", ls) == []  # fully in-vocabulary
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sp.collate("jion scann zzz", ls)
