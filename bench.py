@@ -328,6 +328,25 @@ def main() -> None:
     extras["serve_query_p50_ms"] = round(srt_ms[len(srt_ms) // 2], 2)
     extras["serve_query_p95_ms"] = round(srt_ms[int(len(srt_ms) * 0.95)], 2)
 
+    # q2e2: LocalSpeller serving latency (round 6) — suggest() over the
+    # driver-resident SymSpell dict, the spellcheck analogue of the q2e
+    # LocalSearcher numbers (Solr spellcheck runs per request at QTime
+    # scale; warm-up = one term_stats collect + dict build)
+    from solrtexttagger_spark.search.terms import LocalSpeller
+
+    t0 = time.perf_counter()
+    speller = LocalSpeller(idx, max_dist=2)
+    extras["speller_warmup_s"] = round(time.perf_counter() - t0, 3)
+    misspellings = ["jion", "merg", "winow", "sprak", "qury"] * 40
+    sp_ms = []
+    for w in misspellings:
+        t0 = time.perf_counter()
+        speller.suggest(w, k=5)
+        sp_ms.append((time.perf_counter() - t0) * 1000)
+    sp_srt = sorted(sp_ms)
+    extras["speller_suggest_p50_ms"] = round(sp_srt[len(sp_srt) // 2], 3)
+    extras["speller_suggest_p95_ms"] = round(sp_srt[int(len(sp_srt) * 0.95)], 3)
+
     # q3: dictionary tagging (NO_SUB) over the whole corpus
     n_tagged = timed_repeat(
         "q3_tag_nosub", lambda: _materialize(em.q_tag_nosub(spark, sf_dir))
