@@ -392,3 +392,26 @@ class LocalSpeller:
                 coll = " ".join(sugg if t == bad else t for t in qterms)
                 out.append((len(out) + 1, coll, int(hits)))
         return out
+
+
+def save_neighborhood(neighborhood: DataFrame, path: str) -> None:
+    """Persist a deletion_neighborhood relation RANGE-SORTED on delkey,
+    so a request's IN-list prunes parquet row groups via min/max stats —
+    the layout that keeps per-request IO sub-linear at a 1e8-term
+    vocabulary (the persisted analogue of Lucene's FST living on disk).
+    Written through the normal Spark writer: local, HDFS, or object
+    storage alike."""
+    (
+        neighborhood.repartitionByRange("delkey")
+        .sortWithinPartitions("delkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_neighborhood(spark, path: str) -> DataFrame:
+    """Inverse of save_neighborhood; pass the result as
+    ``spellcheck_terms(..., neighborhood=...)``. The delkey IN-list
+    predicate reaches the parquet scan (PushedFilters), and the
+    range-sorted layout makes it prune."""
+    return spark.read.parquet(path)

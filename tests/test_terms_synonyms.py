@@ -363,3 +363,68 @@ def test_local_speller_parity(spark, corpus):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sp.collate("jion scann zzz", ls)
+
+
+def test_neighborhood_persistence_and_pushdown(spark, corpus, tmp_path):
+    """Persisted SymSpell index: save/load round-trip is output-identical,
+    and the request's delkey IN-list reaches the parquet scan as a
+    pushed filter (the sub-linear-IO contract at big vocabularies)."""
+    from solrtexttagger_spark.search.terms import (
+        deletion_neighborhood,
+        load_neighborhood,
+        save_neighborhood,
+    )
+
+    _, idx = corpus
+    nb = deletion_neighborhood(idx, max_dist=2)
+    path = str(tmp_path / "nb")
+    save_neighborhood(nb, path)
+    loaded = load_neighborhood(spark, path)
+    for word in ["scann", "jion", "zzz"]:
+        scan = [tuple(r) for r in spellcheck_terms(idx, word, max_dist=2, k=5).collect()]
+        via = [tuple(r) for r in spellcheck_terms(
+            idx, word, max_dist=2, k=5, neighborhood=loaded).collect()]
+        assert via == scan, word
+    plan = spellcheck_terms(
+        idx, "scann", max_dist=2, k=5, neighborhood=loaded
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(delkey" in plan
+
+
+def test_chunk_documents_streaming(spark, tmp_path):
+    """chunk_documents is a stateless narrow projection, so it runs
+    unchanged under Structured Streaming (the streaming chunking step of
+    an ingest pipeline)."""
+    import os
+
+    from solrtexttagger_spark.ops.chunking import chunk_documents
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batch = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(25))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    batch.write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = chunk_documents(stream, chunk_tokens=10, overlap=3)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chunks")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in spark.sql("SELECT * FROM chunks").collect()
+    }
+    exp = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in chunk_documents(batch, chunk_tokens=10, overlap=3).collect()
+    }
+    assert got == exp and len(got) == 5
