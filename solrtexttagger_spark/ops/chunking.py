@@ -71,3 +71,84 @@ def chunk_documents(
             " ", F.slice("_w", F.col("chunk_start") + 1, chunk_tokens)
         ).alias("chunk_text"),
     )
+
+
+def chunk_documents_analyzed(
+    docs_df: DataFrame,
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Analyzer-grade chunking: the index tokenizer (analysis/core.
+    tokenize — the same chain the inverted index uses) instead of a
+    whitespace split, emitting CHARACTER spans so each chunk slices
+    exactly out of the raw document even when whitespace runs,
+    punctuation, or markup misalign a split() view. Same window rule as
+    chunk_documents (stride = chunk_tokens - overlap, starts <
+    max(n - overlap, 1)).
+
+    Returns (doc_id, chunk_idx, chunk_start, n_tokens, chunk_char_start,
+    chunk_char_end, chunk_text) where chunk_text =
+    text[chunk_char_start:chunk_char_end] — the raw substring from the
+    first window token's start to the last's end (a document with no
+    analyzer tokens yields one empty chunk).
+
+    Physical shape: Arrow-batched mapInPandas over (id, text) only
+    (column-pruned scan); map-only like the JVM path — the Python
+    analyzer is the honest cost of offset fidelity, exactly as in the
+    tagger operator."""
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be > 0")
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    import pandas as pd
+
+    from solrtexttagger_spark.analysis.core import tokenize
+
+    schema = (
+        "doc_id long, chunk_idx long, chunk_start long, n_tokens long, "
+        "chunk_char_start long, chunk_char_end long, chunk_text string"
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "chunk_idx", "chunk_start", "n_tokens",
+                "chunk_char_start", "chunk_char_end", "chunk_text",
+            )}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                text = text or ""
+                toks = [t for t in tokenize(text) if t is not None]
+                n = len(toks)
+                for ci, s in enumerate(range(0, max(n - overlap, 1), stride)):
+                    win = toks[s:s + chunk_tokens]
+                    cs = win[0][1] if win else 0
+                    ce = win[-1][2] if win else 0
+                    out["doc_id"].append(int(doc_id))
+                    out["chunk_idx"].append(ci)
+                    out["chunk_start"].append(s)
+                    out["n_tokens"].append(len(win))
+                    out["chunk_char_start"].append(cs)
+                    out["chunk_char_end"].append(ce)
+                    out["chunk_text"].append(text[cs:ce])
+            # explicit dtypes: empty Arrow batches default to float64
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "chunk_idx": pd.Series(out["chunk_idx"], dtype="int64"),
+                "chunk_start": pd.Series(out["chunk_start"], dtype="int64"),
+                "n_tokens": pd.Series(out["n_tokens"], dtype="int64"),
+                "chunk_char_start": pd.Series(
+                    out["chunk_char_start"], dtype="int64"
+                ),
+                "chunk_char_end": pd.Series(out["chunk_char_end"], dtype="int64"),
+                "chunk_text": pd.Series(out["chunk_text"], dtype="object"),
+            })
+
+    narrowed = docs_df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return narrowed.mapInPandas(fn, schema)

@@ -96,3 +96,40 @@ def test_hash_split_disjoint_stable_and_partition_invariant(spark):
         hash_split(df, {"a": 0.9, "b": 0.2}, key_cols=["doc_id"])
     with pytest.raises(ValueError):
         hash_split(df, {"a": -0.1}, key_cols=["doc_id"])
+
+
+def test_chunking_analyzed_char_spans(spark):
+    """Analyzer-grade chunking: char spans slice exactly out of the raw
+    text (markup/multi-space safe), window rule identical to the
+    whitespace path on clean text."""
+    from solrtexttagger_spark.ops.chunking import chunk_documents_analyzed
+
+    clean = " ".join(f"t{i}" for i in range(25))
+    messy = "Hello,  world!   This   is  spaced.  " + " ".join(
+        f"w{i}" for i in range(10)
+    )
+    df = spark.createDataFrame(
+        [(1, clean), (2, messy), (3, "")], "doc_id long, text string"
+    )
+    rows = chunk_documents_analyzed(df, chunk_tokens=10, overlap=3).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # clean text: same windows as the whitespace path
+    ws = sorted(
+        chunk_documents(df.where("doc_id = 1"), chunk_tokens=10, overlap=3).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [(r["chunk_start"], r["n_tokens"]) for r in by_doc[1]] == [
+        (r["chunk_start"], r["n_tokens"]) for r in ws
+    ]
+    assert [r["chunk_text"] for r in by_doc[1]] == [r["chunk_text"] for r in ws]
+    # char spans are exact substrings of the raw text, tokens included
+    for r in by_doc[2]:
+        assert messy[r["chunk_char_start"]:r["chunk_char_end"]] == r["chunk_text"]
+        assert r["n_tokens"] > 0
+    # windows cover all 15 analyzer tokens of the messy doc with overlap 3
+    assert sum(r["n_tokens"] for r in by_doc[2]) >= 15
+    # empty document -> exactly one empty chunk
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_text"] == "" \
+        and by_doc[3][0]["n_tokens"] == 0
