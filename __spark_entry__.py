@@ -1771,12 +1771,18 @@ sugg AS (
   ) WHERE srank <= 5
 ),
 hits AS (
+  -- required distinct-term count is the size of good UNION the
+  -- suggestion: one coinciding with an in-vocab query term collapses it
   SELECT sg.srank, sg.term AS sugg,
     (SELECT count(*) FROM (
        SELECT t.doc_id FROM tok t
        WHERE t.term IN (SELECT term FROM good) OR t.term = sg.term
        GROUP BY t.doc_id
-       HAVING count(DISTINCT t.term) = (SELECT count(*) + 1 FROM good)
+       HAVING count(DISTINCT t.term) = (
+         SELECT count(*) + (CASE WHEN sg.term IN (SELECT term FROM good)
+                                 THEN 0 ELSE 1 END)
+         FROM good
+       )
      )) AS hits
   FROM sugg sg
 )

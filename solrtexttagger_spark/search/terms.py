@@ -232,25 +232,28 @@ def spellcheck_collate(
     if not sugg:
         return spark.createDataFrame([], "rank long, collation string, hits long")
     keep = sorted(present)
-    need = len(keep) + 1  # every in-vocab term + the substituted one
     cand_terms = sorted(set(keep) | set(sugg))
     # one postings pass: docs x matched-term pairs for every term any
-    # collation needs, then per-suggestion conjunctive doc counts
+    # collation needs, then per-suggestion conjunctive doc counts. The
+    # required distinct-term count is per suggestion: |keep ∪ {sugg}| —
+    # a suggestion may COINCIDE with an in-vocabulary query term
+    # ("join jion" suggests "join"), collapsing the conjunction
     pairs = (
         index.postings.where(F.col("term").isin(cand_terms))
         .select("term", F.explode("postings.doc_id").alias("doc_id"))
         .distinct()
     )
     sdf = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(sugg)], "sugg_id int, sugg string"
+        [(i, s, len(set(keep) | {s})) for i, s in enumerate(sugg)],
+        "sugg_id int, sugg string, need int",
     )
     on_sugg = F.col("term") == F.col("sugg")
     cond = (F.col("term").isin(keep) | on_sugg) if keep else on_sugg
     hits = (
         pairs.join(F.broadcast(sdf), cond)
-        .groupBy("sugg_id", "sugg", "doc_id")
+        .groupBy("sugg_id", "sugg", "need", "doc_id")
         .agg(F.count_distinct("term").alias("nt"))
-        .where(F.col("nt") == need)
+        .where(F.col("nt") == F.col("need"))
         .groupBy("sugg_id", "sugg")
         .agg(F.count("*").alias("hits"))
         .collect()

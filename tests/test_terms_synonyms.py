@@ -428,3 +428,18 @@ def test_chunk_documents_streaming(spark, tmp_path):
         for r in chunk_documents(batch, chunk_tokens=10, overlap=3).collect()
     }
     assert got == exp and len(got) == 5
+
+
+def test_collate_suggestion_coincides_with_query_term(spark, corpus):
+    """A suggestion equal to an in-vocabulary query term collapses the
+    conjunction (|keep ∪ {sugg}| distinct terms, not |keep| + 1) —
+    "join jion" suggesting "join" must report docs containing join."""
+    from solrtexttagger_spark.search.terms import spellcheck_collate
+
+    _, idx = corpus
+    rows = {
+        r["collation"]: r["hits"]
+        for r in spellcheck_collate(idx, "join jion", max_dist=2, k=5).collect()
+    }
+    # docs containing join: 3, 4 -> the self-collation reports 2 hits
+    assert rows.get("join join") == 2
