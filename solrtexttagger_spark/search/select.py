@@ -211,7 +211,7 @@ def _facet_sections(
         )
         for c in facet_cols
     ]
-    for col, lo, hi, gap in franges:
+    for i, (col, lo, hi, gap) in enumerate(franges):
         if gap <= 0 or hi <= lo:
             raise ValueError("need gap > 0 and end > start")
         c = F.col(col)
@@ -219,7 +219,9 @@ def _facet_sections(
         structs.append(
             F.struct(
                 F.lit("r").alias("sec"),
-                F.lit(col).alias("field"),
+                # keyed by REQUEST ordinal, not column name: two range
+                # requests on the same column must not pool their buckets
+                F.lit(str(i)).alias("field"),
                 F.when((c >= lo) & (c < hi), bucket.cast("string")).alias("value"),
             )
         )
@@ -237,12 +239,14 @@ def _facet_sections(
         ]
         # Solr facet.sort=count default: count desc, then value asc
         fields[col] = sorted(vals, key=lambda t: (-t[1], t[0]))
-    for col, lo, hi, gap in franges:
+    for i, (col, lo, hi, gap) in enumerate(franges):
         got = {
             int(r["value"]): r["n"]
             for r in rows
-            if r["sec"] == "r" and r["field"] == col
+            if r["sec"] == "r" and r["field"] == str(i)
         }
+        # keyed by col (last request wins), matching the per-request
+        # dict shape the writers render
         ranges[col] = (
             lo, hi, gap, [(b, got.get(b, 0)) for b in range(lo, hi, gap)]
         )
