@@ -100,7 +100,12 @@ def deletion_neighborhood(
     keys = F.concat(F.array(t), del1)
     if max_dist == 2:
         # delete positions i < j of the ORIGINAL word: applying j first
-        # keeps i's meaning (i < j so deleting j never shifts i)
+        # keeps i's meaning (i < j so deleting j never shifts i).
+        # Note the j=0 inner sequence(0, -1) descends to [0, -1]; both
+        # spurious pairs reduce to valid delete-1 variants (negative
+        # substr lengths collapse to ""), so array_distinct leaves the
+        # exact <=2-deletion set — pinned against the Python reference
+        # in test_deletion_neighborhood_contents
         del2 = F.flatten(
             F.transform(
                 F.sequence(F.lit(0), length - 1),

@@ -356,7 +356,7 @@ def test_local_speller_parity(spark, corpus):
     # collate parity via a warmed LocalSearcher
     cix = compress_index(idx)
     ls = LocalSearcher(cix, ["fast", "join", "scan", "sort", "merge", "shuffle", "scatter"])
-    for q in ["fast jion", "jion"]:
+    for q in ["fast jion", "jion", "join jion"]:  # last: suggestion == keep term
         dist = [tuple(r) for r in spellcheck_collate(idx, q, max_dist=2, k=5).collect()]
         assert sp.collate(q, ls, k=5) == dist, q
     assert sp.collate("fast join", ls) == []  # fully in-vocabulary
