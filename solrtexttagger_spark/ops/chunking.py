@@ -48,7 +48,9 @@ def chunk_documents(
     if overlap < 0 or overlap >= chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    w = F.split(F.col(text_col), " ")
+    # NULL text behaves like the empty document (one empty chunk) —
+    # size(NULL) would otherwise poison n_tokens through least()
+    w = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n = F.size(w)
     # starts < max(n - overlap, 1); sequence() is stop-INCLUSIVE, so the
     # stop is that bound minus one (integer starts)

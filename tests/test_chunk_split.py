@@ -133,3 +133,11 @@ def test_chunking_analyzed_char_spans(spark):
     # empty document -> exactly one empty chunk
     assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_text"] == "" \
         and by_doc[3][0]["n_tokens"] == 0
+
+
+def test_chunking_null_text_one_empty_chunk(spark):
+    df = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in chunk_documents(df, chunk_tokens=3, overlap=1).collect()}
+    for d in (1, 2):
+        assert rows[d]["chunk_idx"] == 0 and rows[d]["chunk_text"] == ""
+        assert rows[d]["n_tokens"] == 1  # split('') = [''] — one empty token
