@@ -443,3 +443,20 @@ def test_collate_suggestion_coincides_with_query_term(spark, corpus):
     }
     # docs containing join: 3, 4 -> the self-collation reports 2 hits
     assert rows.get("join join") == 2
+
+
+def test_multiword_synonyms_wand_parity(spark, corpus):
+    """wand_topk flattens multi-word synonyms exactly like the bag
+    model (same expand function), so the two scorers stay
+    rank/score-identical under a multi-word mapping."""
+    from solrtexttagger_spark.index.compressed import compress_index
+    from solrtexttagger_spark.search.wand import wand_topk
+
+    _, idx = corpus
+    syn = {"mergesort": ["merge sort"], "speedy": ["fast"]}
+    q = [(0, "mergesort scan"), (1, "speedy mergesort")]
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+    want = sorted(map(key, bm25_topk(idx, q, k=5, spark=spark, synonyms=syn).collect()))
+    c = compress_index(idx)
+    got = sorted(map(key, wand_topk(c, q, k=5, spark=spark, synonyms=syn).collect()))
+    assert got == want and got
