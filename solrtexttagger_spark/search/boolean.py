@@ -25,6 +25,17 @@ Clause syntax:
                  unscored optional contiguity clause has no effect in this
                  model, and Lucene's interestingness-weighted optional
                  phrases are out of scope)
+  term~ / term~1 / term~2   FUZZY clause (Lucene FuzzyQuery, default
+                 distance 2): rewritten against the live vocabulary into
+                 a group of all terms within the levenshtein bound,
+                 df-desc capped at maxExpansions=50 (Lucene's default);
+                 group/score/prohibition semantics identical to a
+                 synonym expansion. Members score at the clause weight
+                 (similarity-decayed fuzzy boosts out of scope).
+  term*          PREFIX wildcard clause (Lucene PrefixQuery): same
+                 rewrite over the startswith matches. A marker with no
+                 vocabulary match under + matches nothing, like an empty
+                 Lucene rewrite.
 
 Score = BM25 sum over the MUST + SHOULD terms present in the doc (same
 k1/b/idf as bm25_topk — a pure-OR query is score-identical to it).
@@ -52,6 +63,13 @@ from solrtexttagger_spark.search.bm25 import B, K1
 from solrtexttagger_spark.search.phrase import multi_phrase_match, phrase_terms
 
 _CLAUSE_RE = re.compile(r'([+-]?)(?:([A-Za-z_]\w*):)?(?:"([^"]*)"|(\S+))')
+# Lucene FuzzyQuery / PrefixQuery clause forms: word~ / word~1 / word~2,
+# and a trailing-star prefix wildcard (pre*). Detected BEFORE the
+# analyzer runs (the tokenizer would split at '~'/'*'); the canonical
+# marker string becomes the clause key and vocabulary expansion
+# (expand_vocab_markers) later rewrites it into a synonym-style group.
+_FUZZY_RE = re.compile(r"^(\w+)~([12])?$")
+_PREFIX_RE = re.compile(r"^(\w+)\*$")
 
 
 def parse_boolean_query(q: str, lowercase: bool = True, field: str | None = None):
@@ -88,6 +106,25 @@ def parse_boolean_query(q: str, lowercase: bool = True, field: str | None = None
                 for t in toks:
                     must[t] = must.get(t, 0) + 1
             continue
+        fz = _FUZZY_RE.match(bare)
+        px = _PREFIX_RE.match(bare)
+        if fz or px:
+            # marker clause: keep the canonical marker as the clause key
+            # (base lowercased; fuzzy distance defaults to 2, Lucene's
+            # FuzzyQuery default); expand_vocab_markers rewrites it
+            if fz:
+                base = fz.group(1).lower() if lowercase else fz.group(1)
+                marker = f"{base}~{fz.group(2) or 2}"
+            else:
+                base = px.group(1).lower() if lowercase else px.group(1)
+                marker = f"{base}*"
+            if role == "not":
+                must_not.add(marker)
+            elif role == "must":
+                must[marker] = must.get(marker, 0) + 1
+            else:
+                should[marker] = should.get(marker, 0) + 1
+            continue
         for w, _s, _e in (t for t in tokenize(bare) if t is not None):
             term = w.lower() if lowercase else w
             if role == "not":
@@ -103,6 +140,74 @@ def parse_boolean_query(q: str, lowercase: bool = True, field: str | None = None
     if conflict:
         raise ValueError(f"terms both required/optional and prohibited: {sorted(conflict)}")
     return must, should, must_not, must_phrases, not_phrases
+
+
+def parse_marker(term: str):
+    """-> ('fuzzy', base, dist) | ('prefix', base, None) | None for a
+    canonical marker clause key produced by parse_boolean_query."""
+    m = re.match(r"^(\w+)~([12])$", term)
+    if m:
+        return ("fuzzy", m.group(1), int(m.group(2)))
+    m = re.match(r"^(\w+)\*$", term)
+    if m:
+        return ("prefix", m.group(1), None)
+    return None
+
+
+def expand_vocab_markers(
+    index: InvertedIndex, markers, *, max_expansions: int = 50
+) -> dict[str, list[str]]:
+    """Resolve fuzzy (``word~d``) and prefix-wildcard (``word*``) clause
+    markers against the LIVE vocabulary in ONE term_stats job — Lucene's
+    FuzzyQuery / PrefixQuery rewrite, including its default
+    ``maxExpansions=50`` cap (members ranked df desc, term asc; Lucene
+    keeps the highest-weight rewrites). Returns a synonyms-style dict
+    {marker: [member terms]} that feeds expand_boolean_clauses: the
+    marker key itself never matches a posting, so its group is satisfied
+    purely by members — a marker with NO vocabulary match under MUST
+    therefore matches nothing, exactly like an empty FuzzyQuery rewrite.
+    Scoring simplification (documented): members score at the clause
+    weight; Lucene's similarity-decayed fuzzy boosts are out of scope."""
+    from solrtexttagger_spark.search.terms import _levenshtein
+
+    specs = []
+    for mk in markers:
+        parsed = parse_marker(mk)
+        if parsed is not None:
+            specs.append((mk, *parsed))
+    if not specs:
+        return {}
+    cond = None
+    for _mk, kind, base, dist in specs:
+        c = (
+            F.abs(F.length("term") - len(base)) <= dist
+            if kind == "fuzzy"
+            else F.col("term").startswith(base)
+        )
+        cond = c if cond is None else (cond | c)
+    cand = index.term_stats.where(cond).select("term", "df").collect()
+    out: dict[str, list[str]] = {}
+    for mk, kind, base, dist in specs:
+        if kind == "fuzzy":
+            members = [
+                (int(r["df"]), r["term"])
+                for r in cand
+                if r["term"] != base
+                and _levenshtein(r["term"], base, dist) <= dist
+            ]
+            # the base itself, when in vocabulary, is a distance-0 member
+            members += [
+                (int(r["df"]), r["term"]) for r in cand if r["term"] == base
+            ]
+        else:
+            members = [
+                (int(r["df"]), r["term"])
+                for r in cand
+                if r["term"].startswith(base)
+            ]
+        members.sort(key=lambda t: (-t[0], t[1]))
+        out[mk] = [t for _df, t in members[:max_expansions]]
+    return out
 
 
 def _syn_tokens(s: str, lowercase: bool = True) -> tuple[str, ...]:
@@ -223,8 +328,20 @@ def boolean_bm25_topk(
     proh_phrase_rows: list[tuple[int, int]] = []
     pgroup_rows: list[tuple[int, int, int]] = []  # (qid, phrase_id, gid)
     req_counts: dict[int, int] = {}
-    for qid, q in queries:
-        must, should, must_not, mphr, nphr = parse_boolean_query(q, field=field)
+    parsed = [
+        (int(qid), parse_boolean_query(q, field=field)) for qid, q in queries
+    ]
+    # fuzzy/prefix clause markers resolve against the live vocabulary in
+    # ONE job for ALL queries, then ride the synonym-group machinery
+    markers = {
+        t
+        for _qid, (m_, s_, n_, _mp, _np) in parsed
+        for t in (*m_, *s_, *n_)
+        if parse_marker(t)
+    }
+    if markers:
+        synonyms = {**(synonyms or {}), **expand_vocab_markers(index, markers)}
+    for qid, (must, should, must_not, mphr, nphr) in parsed:
         (score_bag, must_groups, n_groups, must_not, phrase_groups,
          syn_not_phrases) = expand_boolean_clauses(
             must, should, must_not, synonyms

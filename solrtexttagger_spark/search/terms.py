@@ -353,6 +353,15 @@ class LocalSpeller:
             for rank, (d, ndf, t) in enumerate(scored[:k], start=1)
         ]
 
+    def expand_marker(self, marker: str, *, max_expansions: int = 50):
+        """Fuzzy (``word~d``) / prefix (``word*``) clause expansion over
+        the speller's in-memory vocabulary — the serving-side twin of
+        boolean.expand_vocab_markers (same df-desc ranking and Lucene
+        maxExpansions cap), feeding LocalSearcher.search_boolean."""
+        return _marker_members_local(
+            self.df, marker, max_expansions=max_expansions
+        )
+
     def collate(
         self, query: str, searcher, *, k: int = 5
     ) -> list[tuple[int, str, int]]:
@@ -423,3 +432,26 @@ def load_neighborhood(spark, path: str) -> DataFrame:
     predicate reaches the parquet scan (PushedFilters), and the
     range-sorted layout makes it prune."""
     return spark.read.parquet(path)
+
+
+def _marker_members_local(
+    df_map: dict, marker: str, *, max_expansions: int = 50
+):
+    """Shared driver-side marker expansion over a {term: df} map — same
+    ranking/cap contract as boolean.expand_vocab_markers."""
+    from solrtexttagger_spark.search.boolean import parse_marker
+
+    parsed = parse_marker(marker)
+    if parsed is None:
+        raise ValueError(f"not a fuzzy/prefix marker: {marker!r}")
+    kind, base, dist = parsed
+    if kind == "fuzzy":
+        members = [
+            (df, t)
+            for t, df in df_map.items()
+            if _levenshtein(t, base, dist) <= dist
+        ]
+    else:
+        members = [(df, t) for t, df in df_map.items() if t.startswith(base)]
+    members.sort(key=lambda x: (-x[0], x[1]))
+    return [t for _df, t in members[:max_expansions]]

@@ -426,6 +426,7 @@ class LocalSearcher:
         allowed_docs=None,
         start: int = 0,
         synonyms: dict[str, list[str]] | None = None,
+        speller=None,
     ):
         """Warm-path `/select` with boolean clause syntax: `+must -not
         should field:term`, plus `+"quoted phrase"` / `-"quoted phrase"`
@@ -441,9 +442,26 @@ class LocalSearcher:
         from solrtexttagger_spark.search.boolean import (
             expand_boolean_clauses,
             parse_boolean_query,
+            parse_marker,
         )
 
         must, should, must_not, mphr, nphr = parse_boolean_query(query, field=field)
+        # fuzzy (word~d) / prefix (word*) clauses expand from a
+        # LocalSpeller's in-memory vocabulary (same ranking/cap as the
+        # distributed expand_vocab_markers), then ride the synonym-group
+        # machinery exactly like boolean_bm25_topk
+        markers = {t for t in (*must, *should, *must_not) if parse_marker(t)}
+        if markers:
+            if speller is None:
+                raise NotImplementedError(
+                    "fuzzy/prefix clauses need a vocabulary: pass "
+                    "speller=LocalSpeller(index) (the distributed "
+                    "boolean_bm25_topk expands them from term_stats)"
+                )
+            synonyms = {
+                **(synonyms or {}),
+                **{mk: speller.expand_marker(mk) for mk in sorted(markers)},
+            }
         (score_bag, must_groups, n_groups, must_not, phrase_groups,
          syn_not_phrases) = expand_boolean_clauses(
             must, should, must_not, synonyms
@@ -458,8 +476,12 @@ class LocalSearcher:
                 "boolean_bm25_topk on the distributed index"
             )
         # every clause term must be inside the warm-up subset — an unwarmed
-        # MUST would wrong-empty, an unwarmed MUST_NOT would wrongly KEEP
+        # MUST would wrong-empty, an unwarmed MUST_NOT would wrongly KEEP.
+        # Marker pseudo-terms (word~d / word*) are exempt: they match only
+        # through their expansions, which ARE checked here.
         for term in set(score_bag) | set(must_not):
+            if parse_marker(term):
+                continue
             if term not in self.term_postings:
                 self._require_warmed(term)
         all_docs, all_contrib = [], []

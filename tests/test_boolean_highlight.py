@@ -275,3 +275,97 @@ def test_facets_respect_fq(spark, docs_df, index):
     ).collect()
     assert sum(r["n"] for r in r_fq) <= sum(r["n"] for r in r_full)
     assert [r["range_start"] for r in r_fq] == [0, 10, 20, 30]  # spine intact
+
+
+class TestFuzzyPrefixClauses:
+    """Lucene FuzzyQuery / PrefixQuery clause rewrites (round 6): markers
+    expand against the live vocabulary into synonym-style groups."""
+
+    DOCS = [
+        (0, "scan scan scatter merge"),
+        (1, "scan sort merge merge"),
+        (2, "scatter shuffle sort"),
+        (3, "merge join fast"),
+        (4, "join join fast scan"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        from solrtexttagger_spark.index.build import build_index
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        idx = build_index(df, num_segments=2)
+        idx.postings.persist().count()
+        yield df, idx
+        idx.postings.unpersist()
+
+    def test_parse_markers(self):
+        from solrtexttagger_spark.search.boolean import (
+            parse_boolean_query,
+            parse_marker,
+        )
+
+        must, should, must_not, _m, _n = parse_boolean_query("+scann~1 sor* -jon~")
+        assert "scann~1" in must and "sor*" in should and "jon~2" in must_not
+        assert parse_marker("scann~1") == ("fuzzy", "scann", 1)
+        assert parse_marker("jon~2") == ("fuzzy", "jon", 2)
+        assert parse_marker("sor*") == ("prefix", "sor", None)
+        assert parse_marker("plain") is None
+
+    def test_fuzzy_must_matches_expansion_group(self, spark, corpus):
+        from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+
+        _, idx = corpus
+        # scann~1 -> {scan}; docs with scan: 0, 1, 4
+        got = boolean_bm25_topk(idx, [(0, "+scann~1")], k=10, spark=spark)
+        assert {r["doc_id"] for r in got.collect()} == {0, 1, 4}
+        # equivalent explicit query is score-identical
+        key = lambda r: (r["rank"], r["doc_id"], round(r["score"], 9))  # noqa: E731
+        want = sorted(map(key, boolean_bm25_topk(
+            idx, [(0, "+scan")], k=10, spark=spark).collect()))
+        assert sorted(map(key, boolean_bm25_topk(
+            idx, [(0, "+scann~1")], k=10, spark=spark).collect())) == want
+        # distance widens the group: jorn~1 -> {join} (docs 3, 4);
+        # jorn~2 adds sort (dist 2) -> docs 1, 2 join the match set
+        got1 = boolean_bm25_topk(idx, [(0, "+jorn~1")], k=10, spark=spark)
+        assert {r["doc_id"] for r in got1.collect()} == {3, 4}
+        got2 = boolean_bm25_topk(idx, [(0, "+jorn~2")], k=10, spark=spark)
+        assert {r["doc_id"] for r in got2.collect()} == {1, 2, 3, 4}
+        # no vocabulary match under MUST -> empty, like Lucene's rewrite
+        assert boolean_bm25_topk(
+            idx, [(0, "+zzzzzzz~1")], k=10, spark=spark
+        ).count() == 0
+
+    def test_prefix_clause_and_prohibition(self, spark, corpus):
+        from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+
+        _, idx = corpus
+        # sc* -> {scan, scatter}: +sc* matches docs 0, 1, 2, 4
+        got = boolean_bm25_topk(idx, [(0, "+sc*")], k=10, spark=spark)
+        assert {r["doc_id"] for r in got.collect()} == {0, 1, 2, 4}
+        # -sc* prohibits every member: only doc 3 has merge w/o scan|scatter
+        got2 = boolean_bm25_topk(idx, [(1, "+merge -sc*")], k=10, spark=spark)
+        assert {r["doc_id"] for r in got2.collect()} == {3}
+
+    def test_serving_path_parity_and_guard(self, spark, corpus):
+        from solrtexttagger_spark.index.compressed import compress_index
+        from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+        from solrtexttagger_spark.search.terms import LocalSpeller
+        from solrtexttagger_spark.search.wand import LocalSearcher
+
+        _, idx = corpus
+        cix = compress_index(idx)
+        ls = LocalSearcher(cix)
+        sp = LocalSpeller(idx, max_dist=2)
+        for q in ("+scann~1", "+scann~2", "+sc*", "+merge -sc*", "sor* join"):
+            dist = sorted(
+                (r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in boolean_bm25_topk(idx, [(0, q)], k=10, spark=spark).collect()
+            )
+            local = [
+                (r, d, round(sc, 9))
+                for r, d, sc in ls.search_boolean(q, k=10, speller=sp)
+            ]
+            assert [(r, d) for r, d, _ in local] == [(r, d) for r, d, _ in dist], q
+        with pytest.raises(NotImplementedError):
+            ls.search_boolean("+scann~1", k=10)
