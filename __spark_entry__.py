@@ -524,6 +524,50 @@ def q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_facet_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.fields + facet.range in ONE driver entry — the round-6
+    combined facet job's product shape (search/select._facet_sections
+    computes both sections in one groupBy); each operator's full output
+    stays hash-pinned under its section tag."""
+    col, _lo, _hi, _gap = FACET_RANGE
+    fields = q_facets(spark, sf_dir).select(
+        F.lit("f").alias("sec"), "field", "value", "n"
+    )
+    ranges = q_facet_range(spark, sf_dir).select(
+        F.lit("r").alias("sec"),
+        F.lit(col).alias("field"),
+        F.col("range_start").cast("string").alias("value"),
+        F.col("n").cast("long").alias("n"),
+    )
+    return fields.unionByName(ranges)
+
+
+# fuzzy (word~d) + prefix (word*) clause fixtures: the vocabulary is the
+# fixed generator word list at every scale (~31 terms), far below the
+# maxExpansions=50 cap, so the df-ranked cap never binds and both
+# engines only need to agree on the candidate SET (plain levenshtein)
+BOOL_FUZZY_QUERIES = [
+    (0, "+jorn~2 window"),
+    (1, "+sc* -join"),
+    (2, "+merg~1 +sort"),
+    (3, "quer* slo*"),
+]
+
+
+def q_bool_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean search with Lucene FuzzyQuery (~d) and PrefixQuery (*)
+    clause rewrites: markers resolve against the live vocabulary in one
+    term_stats job and ride the synonym-group semantics (MUST group
+    satisfied by any member, -marker prohibits every member)."""
+    from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+
+    idx = _index(spark, sf_dir)
+    out = boolean_bm25_topk(idx, BOOL_FUZZY_QUERIES, k=BM25_K, spark=spark)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 SNIPPET_WINDOW = 8
 
 
@@ -1234,11 +1278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_ops": q_dup_span_ops,
         "bool_search": q_bool_search,
         "bool_phrase": q_bool_phrase,
+        "bool_fuzzy": q_bool_fuzzy,
         "bm25_fq": q_bm25_fq,
         "bm25_fl": q_bm25_fl,
         "snippets": q_snippets,
-        "facets": q_facets,
-        "facet_range": q_facet_range,
+        "facet_sections": q_facet_sections,
         "facet_pivot": q_facet_pivot,
         "group_topk": q_group_topk,
         "select_sorted": q_select_sorted,
@@ -1371,6 +1415,119 @@ scores AS (
               * q.qtf ) AS score,
          count(DISTINCT CASE WHEN q.is_must = 1 THEN q.term END) AS mp
   FROM q
+  JOIN tok USING (term)
+  JOIN df_t d USING (term)
+  JOIN dl ON dl.doc_id = tok.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ok AS (
+  SELECT sc.query_id, sc.doc_id, sc.score
+  FROM scores sc JOIN nm ON nm.query_id = sc.query_id
+  WHERE sc.mp = nm.n_must
+    AND NOT EXISTS (SELECT 1 FROM proh p JOIN tok t
+                    ON t.term = p.term AND t.doc_id = sc.doc_id
+                    WHERE p.query_id = sc.query_id)
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank,
+         doc_id, round(score, 4) AS score
+  FROM ok
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
+def _bool_fuzzy_oracle() -> str:
+    """Fuzzy/prefix clause oracle: the _bool_oracle scoring CTEs with
+    marker clauses resolved IN SQL against the same live vocabulary the
+    operator reads (prefix = starts_with; fuzzy = plain levenshtein <=
+    d, the same metric DuckDB and the driver-side expansion share; the
+    maxExpansions cap never binds on the fixed ~31-term fixture
+    vocabulary, so no ordering needs mirroring). Group semantics: a
+    member row carries its MUST group id, so the distinct-gid count per
+    doc equals the operator's satisfied-group count."""
+    from solrtexttagger_spark.search.boolean import (
+        parse_boolean_query,
+        parse_marker,
+    )
+
+    plain_vals, mk_vals, must_vals, not_vals = [], [], [], []
+    for qid, q in BOOL_FUZZY_QUERIES:
+        must, should, must_not, _mp, _np = parse_boolean_query(q)
+        must_vals.append(f"({qid}, {len(must)})")
+        for gid, term in enumerate(sorted(must)):
+            m = parse_marker(term)
+            if m:
+                kind, base, dist = m
+                mk_vals.append(
+                    f"({qid}, {gid}, '{base}', {dist or 0}, "
+                    f"{1 if kind == 'prefix' else 0}, {must[term]}, 'must')"
+                )
+            else:
+                plain_vals.append(f"({qid}, '{term}', {must[term]}, {gid})")
+        for term, qtf in sorted(should.items()):
+            m = parse_marker(term)
+            if m:
+                kind, base, dist = m
+                mk_vals.append(
+                    f"({qid}, NULL, '{base}', {dist or 0}, "
+                    f"{1 if kind == 'prefix' else 0}, {qtf}, 'should')"
+                )
+            else:
+                plain_vals.append(f"({qid}, '{term}', {qtf}, NULL)")
+        for term in sorted(must_not):
+            m = parse_marker(term)
+            if m:
+                kind, base, dist = m
+                mk_vals.append(
+                    f"({qid}, NULL, '{base}', {dist or 0}, "
+                    f"{1 if kind == 'prefix' else 0}, 0, 'not')"
+                )
+            else:
+                not_vals.append(f"({qid}, '{term}')")
+    plain_cte = (
+        f"plain(query_id, term, qtf, gid) AS (VALUES {', '.join(plain_vals)})"
+        if plain_vals
+        else "plain(query_id, term, qtf, gid) AS "
+             "(SELECT NULL::BIGINT, NULL::VARCHAR, NULL::INT, NULL::INT WHERE false)"
+    )
+    notp_cte = (
+        f"notp(query_id, term) AS (VALUES {', '.join(not_vals)})"
+        if not_vals
+        else "notp(query_id, term) AS (SELECT NULL::BIGINT, NULL::VARCHAR WHERE false)"
+    )
+    return f"""
+WITH {_TOK_CTE},
+df_t AS (SELECT term, count(*)::DOUBLE AS df FROM tok GROUP BY 1),
+{plain_cte},
+mk(query_id, gid, base, dist, is_prefix, qtf, role) AS (VALUES {', '.join(mk_vals)}),
+{notp_cte},
+mkm AS (
+  SELECT m.query_id, m.gid, m.role, m.qtf, v.term
+  FROM mk m JOIN df_t v
+    ON (CASE WHEN m.is_prefix = 1 THEN starts_with(v.term, m.base)
+             ELSE abs(len(v.term) - len(m.base)) <= m.dist
+                  AND levenshtein(v.term, m.base) <= m.dist END)
+),
+score_terms AS (
+  SELECT query_id, term, qtf, gid FROM plain
+  UNION ALL
+  SELECT query_id, term, qtf, gid FROM mkm WHERE role IN ('must', 'should')
+),
+proh AS (
+  SELECT query_id, term FROM notp
+  UNION ALL SELECT query_id, term FROM mkm WHERE role = 'not'
+),
+nm(query_id, n_must) AS (VALUES {', '.join(must_vals)}),
+scores AS (
+  SELECT q.query_id::BIGINT AS query_id, tok.doc_id,
+         sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (tok.tf::DOUBLE * 2.2) / (tok.tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+              * q.qtf ) AS score,
+         count(DISTINCT q.gid) AS mp
+  FROM score_terms q
   JOIN tok USING (term)
   JOIN df_t d USING (term)
   JOIN dl ON dl.doc_id = tok.doc_id
@@ -1625,6 +1782,7 @@ def oracle_sql() -> dict[str, str]:
     sql["wand_topk"] = _bm25_oracle()  # WAND must be rank/score-identical
     sql["bool_search"] = _bool_oracle()
     sql["bool_phrase"] = _bool_phrase_oracle()
+    sql["bool_fuzzy"] = _bool_fuzzy_oracle()
     sql["bm25_fq"] = _bm25_oracle(
         f"WHERE doc_id IN (SELECT doc_id FROM documents WHERE {BM25_FQ})"
     )
@@ -2702,6 +2860,15 @@ FROM events GROUP BY 1, 2
         "FROM (" + sql.pop("quality_score") + ") q\n"
         "JOIN (" + sql.pop("lang_id") + ") l USING (doc_id)\n"
         "JOIN (" + sql.pop("token_stats") + ") t USING (doc_id)"
+    )
+    _fs_col = FACET_RANGE[0]
+    sql["facet_sections"] = (
+        "SELECT 'f' AS sec, field, value, n FROM ("
+        + sql.pop("facets")
+        + f")\nUNION ALL\nSELECT 'r' AS sec, '{_fs_col}' AS field, "
+        "range_start::VARCHAR AS value, n FROM ("
+        + sql.pop("facet_range")
+        + ")"
     )
     sql["doc_risk"] = (
         "SELECT c.doc_id, c.n_grams AS n_distinct_grams, c.n_contaminated,\n"
