@@ -437,7 +437,9 @@ class LocalSearcher:
         path serves those). ``allowed_docs``/``start`` as in search():
         precomputed fq doc-id set + absolute-rank paging. ``synonyms``
         expands clauses exactly like boolean_bm25_topk(synonyms=): a
-        MUST group is satisfied by ANY member.
+        MUST group is satisfied by ANY member. Fuzzy (``word~d``) and
+        prefix (``word*``) clauses need ``speller=LocalSpeller(index)``
+        for the vocabulary rewrite (raises without it).
         -> [(rank, doc_id, score)]."""
         from solrtexttagger_spark.search.boolean import (
             expand_boolean_clauses,
