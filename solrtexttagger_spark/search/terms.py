@@ -121,11 +121,17 @@ def deletion_neighborhood(
         )
         keys = F.concat(keys, del2)
     base = index.term_stats.where(F.col("df") >= min_df)
-    return base.select(
+    out = base.select(
         F.explode(F.array_distinct(keys)).alias("delkey"),
         "term",
         F.col("df").cast("long").alias("df"),
     )
+    # build-parameter tag (plain Python attribute): consumers validate
+    # compatibility — a neighborhood built shallower (smaller max_dist)
+    # or sparser (larger min_df) than a request needs would WRONG-DROP
+    # suggestions with no error, so spellcheck_terms raises instead
+    out._symspell_meta = {"max_dist": int(max_dist), "min_df": int(min_df)}
+    return out
 
 
 def spellcheck_terms(
@@ -157,6 +163,7 @@ def spellcheck_terms(
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1")
     if neighborhood is not None:
+        _check_neighborhood_compat(neighborhood, max_dist, min_df)
         keys = _deletion_set(word, max_dist)
         cand = (
             neighborhood.where(F.col("delkey").isin(keys))
@@ -275,6 +282,30 @@ def spellcheck_collate(
     return spark.createDataFrame(rows, "rank long, collation string, hits long")
 
 
+def _check_neighborhood_compat(neighborhood, max_dist: int, min_df: int) -> None:
+    """SymSpell completeness holds only when the precomputed relation was
+    built at >= the request's max_dist and <= its min_df — otherwise
+    candidates silently vanish (no error, just wrong-short suggestion
+    lists). ``deletion_neighborhood`` / ``load_neighborhood`` tag their
+    frames with the build parameters; an untagged frame (user-assembled)
+    passes through unchecked, documented."""
+    meta = getattr(neighborhood, "_symspell_meta", None)
+    if meta is None:
+        return
+    if int(meta["max_dist"]) < max_dist:
+        raise ValueError(
+            f"neighborhood built with max_dist={meta['max_dist']} cannot "
+            f"serve max_dist={max_dist} (deletion keys incomplete — "
+            "suggestions would silently drop); rebuild deeper"
+        )
+    if int(meta["min_df"]) > min_df:
+        raise ValueError(
+            f"neighborhood built with min_df={meta['min_df']} cannot "
+            f"serve min_df={min_df} (low-df terms were never indexed); "
+            "rebuild with a lower min_df"
+        )
+
+
 def _levenshtein(a: str, b: str, bound: int) -> int:
     """Banded Levenshtein with early abort past ``bound`` (returns
     bound + 1 when exceeded) — the driver-side serving kernel."""
@@ -325,6 +356,10 @@ class LocalSpeller:
             raise ValueError("max_dist must be 1 or 2")
         self.max_dist = max_dist
         self.min_df = min_df
+        # subset builds (terms=) serve suggest()/collate() over the
+        # warmed vocabulary by contract, but are NOT a full-vocabulary
+        # rewrite source — expand_marker() checks this flag and raises
+        self.full_vocab = terms is None
         base = index.term_stats.where(F.col("df") >= min_df)
         if terms is not None:
             base = base.where(F.col("term").isin(sorted(set(terms))))
@@ -334,6 +369,51 @@ class LocalSpeller:
         for t in sorted(self.df):
             for key in _deletion_set(t, max_dist):
                 self.neighborhood.setdefault(key, []).append(t)
+
+    @classmethod
+    def from_neighborhood(
+        cls,
+        spark,
+        path: str,
+        *,
+        max_dist: int | None = None,
+        min_df: int = 1,
+    ) -> "LocalSpeller":
+        """Warm a LocalSpeller from a persisted ``save_neighborhood``
+        parquet instead of a term_stats collect — the deployment story
+        for a serving process (the pq_save/pq_load analogue): the
+        deletion fan-out was computed ONCE at index-build time JVM-side,
+        so process warm-up is a single columnar read + dict fill, no
+        Python deletion-set generation over the vocabulary. Validates
+        the manifest's build parameters against the request
+        (``_check_neighborhood_compat`` semantics); ``max_dist``
+        defaults to the manifest's. The result is a full-vocabulary
+        build (marker expansion allowed)."""
+        meta = _read_neighborhood_manifest(spark, path)
+        if meta is None:
+            raise ValueError(
+                f"no neighborhood_manifest.json under {path!r} — "
+                "re-save with save_neighborhood on a tagged "
+                "deletion_neighborhood frame"
+            )
+        if max_dist is None:
+            max_dist = int(meta["max_dist"])
+        nb = spark.read.parquet(path)
+        nb._symspell_meta = meta
+        _check_neighborhood_compat(nb, max_dist, min_df)
+        rows = nb.where(F.col("df") >= min_df).collect()
+        self = object.__new__(cls)
+        self.max_dist = max_dist
+        self.min_df = min_df
+        self.full_vocab = True
+        self.df = {}
+        self.neighborhood = {}
+        for r in rows:
+            self.df[r["term"]] = int(r["df"])
+            self.neighborhood.setdefault(r["delkey"], []).append(r["term"])
+        for members in self.neighborhood.values():
+            members.sort()  # parquet row order is nondeterministic
+        return self
 
     def suggest(self, word: str, *, k: int = 5) -> list[tuple[int, str, int, int]]:
         """-> [(rank, term, dist, df)], ranked (dist asc, df desc, term
@@ -356,8 +436,20 @@ class LocalSpeller:
     def expand_marker(self, marker: str, *, max_expansions: int = 50):
         """Fuzzy (``word~d``) / prefix (``word*``) clause expansion over
         the speller's in-memory vocabulary — the serving-side twin of
-        boolean.expand_vocab_markers (same df-desc ranking and Lucene
-        maxExpansions cap), feeding LocalSearcher.search_boolean."""
+        boolean.expand_vocab_markers (same ranking/cap contract: fuzzy
+        df-ranked maxExpansions, prefix uncapped with the
+        maxBooleanClauses guard), feeding LocalSearcher.search_boolean.
+        Raises on a subset build (terms=): a marker rewrite against a
+        warmed subset would silently drop vocabulary members the
+        distributed path matches — unlike unwarmed plain terms, which
+        fail loudly downstream."""
+        if not self.full_vocab:
+            raise ValueError(
+                "marker expansion needs a full-vocabulary LocalSpeller; "
+                "this one was built with terms= (a warmed subset) and "
+                "would silently miss rewrites — build without terms= or "
+                "from_neighborhood()"
+            )
         return _marker_members_local(
             self.df, marker, max_expansions=max_expansions
         )
@@ -417,30 +509,77 @@ def save_neighborhood(neighborhood: DataFrame, path: str) -> None:
     the layout that keeps per-request IO sub-linear at a 1e8-term
     vocabulary (the persisted analogue of Lucene's FST living on disk).
     Written through the normal Spark writer: local, HDFS, or object
-    storage alike."""
+    storage alike. The build parameters (max_dist/min_df, tagged on the
+    frame by ``deletion_neighborhood``) ride along in a tiny JSON
+    manifest so a later load re-validates request compatibility."""
+    import json
+
+    from solrtexttagger_spark.index.compressed import _fs_write_text
+
     (
         neighborhood.repartitionByRange("delkey")
         .sortWithinPartitions("delkey")
         .write.mode("overwrite")
         .parquet(path)
     )
+    meta = getattr(neighborhood, "_symspell_meta", None)
+    if meta is not None:
+        import os
+
+        _fs_write_text(
+            neighborhood.sparkSession,
+            os.path.join(path, "_neighborhood_manifest.json"),
+            json.dumps({"format": "stt-symspell-v1", **meta}),
+        )
 
 
 def load_neighborhood(spark, path: str) -> DataFrame:
     """Inverse of save_neighborhood; pass the result as
     ``spellcheck_terms(..., neighborhood=...)``. The delkey IN-list
     predicate reaches the parquet scan (PushedFilters), and the
-    range-sorted layout makes it prune."""
-    return spark.read.parquet(path)
+    range-sorted layout makes it prune. Re-attaches the build-parameter
+    tag from the manifest (absent for pre-manifest saves — those frames
+    pass compatibility checks unchecked, documented)."""
+    out = spark.read.parquet(path)
+    meta = _read_neighborhood_manifest(spark, path)
+    if meta is not None:
+        out._symspell_meta = meta
+    return out
+
+
+def _read_neighborhood_manifest(spark, path: str):
+    import json
+    import os
+
+    from solrtexttagger_spark.index.compressed import _fs_read_text
+
+    try:
+        raw = _fs_read_text(spark, os.path.join(path, "_neighborhood_manifest.json"))
+    except Exception:
+        return None
+    m = json.loads(raw)
+    return {"max_dist": int(m["max_dist"]), "min_df": int(m["min_df"])}
 
 
 def _marker_members_local(
-    df_map: dict, marker: str, *, max_expansions: int = 50
+    df_map: dict,
+    marker: str,
+    *,
+    max_expansions: int = 50,
+    max_prefix_expansions: int | None = None,
 ):
     """Shared driver-side marker expansion over a {term: df} map — same
-    ranking/cap contract as boolean.expand_vocab_markers."""
-    from solrtexttagger_spark.search.boolean import parse_marker
+    ranking/cap contract as boolean.expand_vocab_markers: fuzzy markers
+    carry FuzzyQuery's df-ranked maxExpansions cap, prefix markers match
+    ALL startswith terms (PrefixQuery constant-score rewrite) and raise
+    past the maxBooleanClauses-style guard."""
+    from solrtexttagger_spark.search.boolean import (
+        MAX_PREFIX_EXPANSIONS,
+        parse_marker,
+    )
 
+    if max_prefix_expansions is None:
+        max_prefix_expansions = MAX_PREFIX_EXPANSIONS
     parsed = parse_marker(marker)
     if parsed is None:
         raise ValueError(f"not a fuzzy/prefix marker: {marker!r}")
@@ -451,7 +590,14 @@ def _marker_members_local(
             for t, df in df_map.items()
             if _levenshtein(t, base, dist) <= dist
         ]
-    else:
-        members = [(df, t) for t, df in df_map.items() if t.startswith(base)]
+        members.sort(key=lambda x: (-x[0], x[1]))
+        return [t for _df, t in members[:max_expansions]]
+    members = [(df, t) for t, df in df_map.items() if t.startswith(base)]
+    if len(members) > max_prefix_expansions:
+        raise ValueError(
+            f"prefix clause {marker!r} expands to more than "
+            f"{max_prefix_expansions} terms (Solr maxBooleanClauses "
+            "analogue); narrow the prefix or raise max_prefix_expansions"
+        )
     members.sort(key=lambda x: (-x[0], x[1]))
-    return [t for _df, t in members[:max_expansions]]
+    return [t for _df, t in members]

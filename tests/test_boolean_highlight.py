@@ -369,3 +369,76 @@ class TestFuzzyPrefixClauses:
             assert [(r, d) for r, d, _ in local] == [(r, d) for r, d, _ in dist], q
         with pytest.raises(NotImplementedError):
             ls.search_boolean("+scann~1", k=10)
+
+
+class TestMarkerRewriteScaleShape:
+    """Round-6 verdict #1: the fuzzy/prefix clause rewrite must be
+    JVM-side with a bounded driver collect — never a vocabulary-scale
+    length-band slice with Python levenshtein on the driver."""
+
+    @pytest.fixture(scope="class")
+    def wide_corpus(self, spark):
+        from solrtexttagger_spark.index.build import build_index
+
+        # 80 distinct terms of the form aaXY, ALL within levenshtein 2 of
+        # 'aa99' (<=2 digit substitutions) and ALL sharing prefix 'aa' —
+        # both marker kinds see a candidate band far above the old cap
+        docs = [(i, f"aa{i:02d} filler") for i in range(80)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        idx = build_index(df, num_segments=2)
+        idx.postings.persist().count()
+        yield df, idx
+        idx.postings.unpersist()
+
+    def test_fuzzy_collect_bounded_by_cap_not_vocabulary(self, spark, wide_corpus):
+        from solrtexttagger_spark.search.boolean import (
+            expand_vocab_markers,
+            marker_candidates,
+        )
+        from solrtexttagger_spark.plans import plan_string
+
+        _, idx = wide_corpus
+        specs = [("aa99~2", "fuzzy", "aa99", 2)]
+        cand = marker_candidates(idx, specs, max_expansions=50)
+        # 80 vocabulary terms sit inside the distance band; at most
+        # max_expansions rows may exist in the collected relation
+        assert cand.count() == 50
+        # and the per-marker top-k is a TakeOrdered, not a global sort
+        assert "TakeOrderedAndProject" in plan_string(cand)
+        # ranking parity: df ties broken term-asc, so the cap keeps
+        # aa00..aa49 (filler df=80 is not in the band)
+        got = expand_vocab_markers(idx, ["aa99~2"], max_expansions=50)
+        assert got["aa99~2"] == [f"aa{i:02d}" for i in range(50)]
+
+    def test_prefix_matches_all_expansions_uncapped(self, spark, wide_corpus):
+        """Lucene PrefixQuery uses a constant-score rewrite that matches
+        ALL expansions — the TopTerms-50 cap is FuzzyQuery's (round-6
+        advice #2); past the maxBooleanClauses-style guard it raises
+        instead of silently dropping matches."""
+        from solrtexttagger_spark.search.boolean import (
+            boolean_bm25_topk,
+            expand_vocab_markers,
+        )
+
+        _, idx = wide_corpus
+        got = expand_vocab_markers(idx, ["aa*"])
+        assert len(got["aa*"]) == 80  # every member, > the old 50 cap
+        # end-to-end: +aa* matches every doc
+        assert boolean_bm25_topk(
+            idx, [(0, "+aa*")], k=100, spark=spark
+        ).count() == 80
+        with pytest.raises(ValueError, match="maxBooleanClauses|expands"):
+            expand_vocab_markers(idx, ["aa*"], max_prefix_expansions=60)
+
+    def test_local_speller_prefix_parity(self, spark, wide_corpus):
+        from solrtexttagger_spark.search.boolean import expand_vocab_markers
+        from solrtexttagger_spark.search.terms import LocalSpeller
+
+        _, idx = wide_corpus
+        sp = LocalSpeller(idx, max_dist=2)
+        for mk in ["aa99~2", "aa*", "aa1*"]:
+            assert sp.expand_marker(mk) == expand_vocab_markers(idx, [mk])[mk], mk
+        from solrtexttagger_spark.search.terms import _marker_members_local
+
+        with pytest.raises(ValueError, match="maxBooleanClauses|expands"):
+            _marker_members_local(sp.df, "aa*", max_prefix_expansions=60)
