@@ -310,11 +310,13 @@ def test_facet_sections_single_aggregation(spark, docs_df, index):
         DataFrame.collect = counting
         fields, ranges = _facet_sections(
             index, docs, "common w1", ["lang"] if "lang" in docs.columns else [],
-            [("n", 0, 40, 20), ("n", 0, 40, 10)], None, spark,
+            # same column twice: independent buckets, distinct output
+            # keys (Solr's {!key=} local param)
+            [("n", 0, 40, 20), ("n", 0, 40, 10, "n_fine")], None, spark,
         )
     finally:
         DataFrame.collect = orig
     assert len(calls) == 1  # one job for every facet section
-    assert len(ranges) >= 1
+    assert set(ranges) == {"n", "n_fine"}  # both same-col requests appear
     for _col, (lo, hi, gap, buckets) in ranges.items():
         assert [b for b, _n in buckets] == list(range(lo, hi, gap))

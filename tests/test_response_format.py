@@ -398,3 +398,57 @@ def test_select_fully_dressed_job_budget(spark):
     assert '<lst name="n"><lst name="counts">' in xml
     assert '<lst name="m"><lst name="counts">' in xml
     assert '<lst name="highlighting">' in xml
+
+
+def test_facet_null_bucket_and_same_column_ranges(spark):
+    """Round-6 advice: (a) a NULL facet value tying a string value on
+    count must not TypeError the sort (NULL sorts after, renders with an
+    empty XML name / JSON null); (b) two facet.range requests on the
+    same column both appear when the second carries an explicit output
+    key (Solr's {!key=} local param), and colliding keys raise."""
+    import json
+
+    import pytest
+
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.search.select import (
+        _facet_sections,
+        render_select_json,
+        render_select_xml,
+    )
+
+    docs = [
+        (0, "alpha beta", None, 10),
+        (1, "alpha gamma", "en", 20),
+        (2, "alpha delta", "de", 30),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, n long")
+    idx = build_index(df.select("doc_id", "text"), num_segments=2)
+    # every lang bucket (None, en, de) has count 1 -> the sort ties
+    # None against strings; en/de sort before the NULL bucket
+    fields, ranges = _facet_sections(
+        idx, df, "alpha", ["lang"],
+        [("n", 0, 40, 20), ("n", 0, 30, 10, "n_fine")], None, spark,
+    )
+    assert fields["lang"] == [("de", 1), ("en", 1), (None, 1)]
+    assert set(ranges) == {"n", "n_fine"}
+    assert ranges["n"][3] == [(0, 1), (20, 2)]
+    assert ranges["n_fine"][3] == [(0, 0), (10, 1), (20, 1)]
+    xml = render_select_xml(
+        idx, df, "alpha", fl=[], k=1, facet_cols=["lang"],
+        facet_ranges=[("n", 0, 40, 20), ("n", 0, 30, 10, "n_fine")], spark=spark,
+    )
+    assert '<int name="">1</int>' in xml  # NULL bucket, empty name
+    assert '<lst name="n"><lst name="counts">' in xml
+    assert '<lst name="n_fine"><lst name="counts">' in xml
+    js = json.loads(render_select_json(
+        idx, df, "alpha", fl=[], k=1, facet_cols=["lang"],
+        facet_ranges=[("n", 0, 40, 20), ("n", 0, 30, 10, "n_fine")], spark=spark,
+    ))
+    assert js["facet_counts"]["facet_fields"]["lang"] == ["de", 1, "en", 1, None, 1]
+    assert set(js["facet_counts"]["facet_ranges"]) == {"n", "n_fine"}
+    with pytest.raises(ValueError, match="duplicate facet.range"):
+        _facet_sections(
+            idx, df, "alpha", [], [("n", 0, 40, 20), ("n", 0, 30, 10)],
+            None, spark,
+        )
