@@ -986,11 +986,17 @@ SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAG/pretraining chunking: overlapping token windows with stable
-    (doc_id, chunk_idx) identities — map-only, no shuffle."""
-    from solrtexttagger_spark.ops.chunking import chunk_documents
+    """RAG/pretraining chunking, ANALYZER-GRADE (round-6 verdict #4):
+    overlapping windows over index-analyzer tokens with stable
+    (doc_id, chunk_idx) identities AND exact character spans — each
+    chunk_text is a raw-document slice text[chunk_char_start:
+    chunk_char_end], the shape a RAG pipeline feeds back to retrieval.
+    Map-only (Arrow-batched mapInPandas), no shuffle; the whitespace
+    JVM twin (chunk_documents) stays window-identical on this corpus
+    and is pinned by test_chunk_split."""
+    from solrtexttagger_spark.ops.chunking import chunk_documents_analyzed
 
-    return chunk_documents(
+    return chunk_documents_analyzed(
         _docs(spark, sf_dir), chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
     )
 
@@ -2879,8 +2885,13 @@ FROM events GROUP BY 1, 2
         "JOIN (" + sql.pop("pii_stats") + ") p USING (doc_id)\n"
         "JOIN (" + sql.pop("repetition_stats") + ") r USING (doc_id)"
     )
-    # mirrors ops/chunking.chunk_documents: stride = chunk - overlap,
-    # starts < max(n - overlap, 1), final window clamped
+    # mirrors ops/chunking.chunk_documents_analyzed: stride = chunk -
+    # overlap, starts < max(n - overlap, 1), final window clamped. The
+    # fixture corpus is single-spaced lowercase words (the tag oracles
+    # already rely on this), so index-analyzer tokens == the split view
+    # and the CHARACTER span of window [s+1 .. last] mirrors as prefix
+    # join lengths: char_start = len(join(w[1:s])) + 1 space (0 at s=0),
+    # char_end = len(join(w[1:last]))
     _stride = CHUNK_TOKENS - CHUNK_OVERLAP
     sql["chunk_docs"] = f"""
 WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2892,6 +2903,11 @@ st AS (
 SELECT doc_id, (start / {_stride})::BIGINT AS chunk_idx,
        start::BIGINT AS chunk_start,
        least({CHUNK_TOKENS}, n - start)::BIGINT AS n_tokens,
+       (CASE WHEN start = 0 THEN 0
+             ELSE length(array_to_string(w[1:start], ' ')) + 1 END
+       )::BIGINT AS chunk_char_start,
+       length(array_to_string(w[1:least(start + {CHUNK_TOKENS}, n)], ' ')
+       )::BIGINT AS chunk_char_end,
        array_to_string(w[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk_text
 FROM st
 """

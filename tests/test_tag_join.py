@@ -205,3 +205,34 @@ def test_tag_join_match_text(spark, overlaps):
     # column set identical to the plain run plus match_text
     plain = tag_join(texts, terms, overlaps=overlaps)
     assert out.columns == plain.columns + ["match_text"]
+
+
+@pytest.mark.parametrize("overlaps", ["ALL", "NO_SUB", "LONGEST_DOMINANT_RIGHT"])
+def test_tag_join_match_text_parity_with_loop(spark, overlaps):
+    """Round-6 verdict #6: the join path's matchText is ROW-identical to
+    the loop tagger's (same spans, same substrings) across overlap
+    modes — a reference user switching strategies sees the same
+    TaggerRequestHandler matchText payload."""
+    ndf = names_df(spark, N)
+    d = build_tag_dictionary(ndf)
+    terms = build_dict_terms(ndf)
+    texts = spark.createDataFrame(
+        [
+            (0, "City of London Business School in Boston"),
+            (1, "of London Business School"),
+            (2, "London Business magazine near the City of London"),
+            (3, ""),
+        ],
+        "qdoc_id long, text string",
+    )
+    key = lambda r: (  # noqa: E731
+        r["qdoc_id"], r["start"], r["end"],
+        frozenset(r["doc_ids"]), r["match_text"],
+    )
+    a = sorted(map(key, tag(
+        texts, d, overlaps=overlaps, tags_limit=None, match_text=True
+    ).collect()))
+    b = sorted(map(key, tag_join(
+        texts, terms, overlaps=overlaps, match_text=True
+    ).collect()))
+    assert a == b and a, overlaps
