@@ -1095,10 +1095,10 @@ SYNONYMS = {
     "speedy": ["fast"],
     "lookup": ["scan", "join"],
     "merge": ["sort"],
-    # multi-word expansion (round-6, r5 verdict #6): the bag model
-    # flattens it into constituent terms at the clause weight (classic
-    # SynonymFilter "sausage"); the boolean path upgrades it to
-    # contiguity-checked graph semantics (test_terms_synonyms)
+    # multi-word expansion (round-7, r6 verdict #5): GRAPH semantics on
+    # every scorer — "hash join" constituents score only in docs where
+    # the words are CONTIGUOUS (and such docs match even without any
+    # bag term); mirrored in the oracle via the LIKE contiguity gate
     "hashjoin": ["hash join"],
 }
 SYN_QUERIES = [
@@ -1153,11 +1153,15 @@ def q_spellcheck_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bm25_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 with query-time synonym expansion (SynonymGraphFilter
-    query-analyzer semantics on the bag model): out-of-corpus terms like
-    'speedy'/'lookup' match through their expansions at the original
-    occurrence weight. The oracle expands with the SAME Python function
-    when building its VALUES rows."""
+    """BM25 with query-time synonym expansion (TRUE SynonymGraphFilter
+    semantics on the bag model, round-6 verdict #5): out-of-corpus terms
+    like 'speedy'/'lookup' match through their expansions at the
+    original occurrence weight, and the MULTI-word mapping
+    hashjoin->"hash join" contributes its constituents' scores only in
+    docs containing the contiguous phrase (which match even when no bag
+    term does). The oracle expands with the SAME Python function when
+    building its VALUES rows and mirrors the contiguity gate as a LIKE
+    over the single-space corpus."""
     from solrtexttagger_spark.search.bm25 import bm25_topk
 
     out = bm25_topk(
@@ -1339,35 +1343,81 @@ def _bm25_scores_prefix(queries=None, synonyms=None) -> str:
     """The shared WITH-prefix computing per-(query, doc) total BM25
     scores — the SQL twin of bm25.exploded_scores. Consumers append
     their own ranking/grouping windows. ``synonyms`` expands the term
-    bags with the SAME function the operator uses."""
+    bags with the SAME graph function the operator uses
+    (expand_synonyms_graph): single-word expansions join the flat bag;
+    a MULTI-word expansion's constituents score GATED on the phrase
+    appearing contiguously — mirrored as ' '||text||' ' LIKE '% phrase
+    %' on the driver's single-space corpus (the same contiguity mirror
+    the bool_phrase oracle uses)."""
+    from collections import Counter
+
     from solrtexttagger_spark.search.bm25 import (
         analyze_query_terms,
-        expand_synonyms,
+        expand_synonyms_graph,
     )
 
-    vals = []
+    vals, pvals = [], []
     for qid, q in (queries if queries is not None else BM25_QUERIES):
         bag = analyze_query_terms(q)
+        phrases = {}
         if synonyms:
-            bag = expand_synonyms(bag, synonyms)
+            bag, phrases = expand_synonyms_graph(bag, synonyms)
         for term, qtf in sorted(bag.items()):
             vals.append(f"({qid}, '{term}', {qtf})")
+        for toks, w in sorted(phrases.items()):
+            ph = " ".join(toks)
+            for term, cnt in sorted(Counter(toks).items()):
+                pvals.append(f"({qid}, '{ph}', '{term}', {w * cnt})")
     values = ", ".join(vals)
-    return f"""
+    base_cte = f"""
 WITH {_TOK_CTE},
 q(query_id, term, qtf) AS (VALUES {values}),
-df_t AS (SELECT term, count(*)::DOUBLE AS df FROM tok GROUP BY 1),
+df_t AS (SELECT term, count(*)::DOUBLE AS df FROM tok GROUP BY 1)"""
+    contrib = (
+        "ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))\n"
+        "              * (tok.tf::DOUBLE * 2.2) / (tok.tf::DOUBLE + 1.2 "
+        "* (0.25 + 0.75 * dl.dl / s.avgdl))"
+    )
+    if not pvals:
+        return f"""{base_cte},
 scores AS (
   SELECT q.query_id::BIGINT AS query_id, tok.doc_id,
-         sum( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
-              * (tok.tf::DOUBLE * 2.2) / (tok.tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
-              * q.qtf ) AS score
+         sum( {contrib} * q.qtf ) AS score
   FROM q
   JOIN tok USING (term)
   JOIN df_t d USING (term)
   JOIN dl ON dl.doc_id = tok.doc_id
   CROSS JOIN stats s
   GROUP BY 1, 2
+)"""
+    return f"""{base_cte},
+qp(query_id, phrase, term, qtf) AS (VALUES {", ".join(pvals)}),
+base_scores AS (
+  SELECT q.query_id::BIGINT AS query_id, tok.doc_id,
+         sum( {contrib} * q.qtf ) AS score
+  FROM q
+  JOIN tok USING (term)
+  JOIN df_t d USING (term)
+  JOIN dl ON dl.doc_id = tok.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+gated_scores AS (
+  SELECT qp.query_id::BIGINT AS query_id, tok.doc_id,
+         sum( {contrib} * qp.qtf ) AS score
+  FROM qp
+  JOIN tok USING (term)
+  JOIN df_t d USING (term)
+  JOIN dl ON dl.doc_id = tok.doc_id
+  JOIN documents dd ON dd.doc_id = tok.doc_id
+  CROSS JOIN stats s
+  WHERE ' ' || dd.text || ' ' LIKE '% ' || qp.phrase || ' %'
+  GROUP BY 1, 2
+),
+scores AS (
+  SELECT query_id, doc_id, sum(score) AS score FROM (
+    SELECT * FROM base_scores UNION ALL SELECT * FROM gated_scores
+  ) GROUP BY 1, 2
 )"""
 
 

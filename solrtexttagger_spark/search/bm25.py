@@ -72,10 +72,10 @@ def expand_synonyms(
     MULTI-WORD expansions ("ny" -> "new york") are analyzed with the
     query tokenizer and contribute each constituent term at the clause
     weight — the classic flattened ("sausagized") SynonymFilter
-    behavior, the right semantics for a pure-OR bag model with no
-    positional filter. The boolean path upgrades multi-word expansions
-    to TRUE graph semantics (contiguity-checked phrase membership) —
-    see search/boolean.expand_boolean_clauses."""
+    behavior. This helper is the LEGACY flatten; every scorer now routes
+    through expand_synonyms_graph, which upgrades multi-word expansions
+    to TRUE graph semantics (constituents score only where the words are
+    contiguous — Lucene SynonymGraphFilter)."""
     out = dict(bag)
     for t, qtf in bag.items():
         for s in synonyms.get(t, ()):
@@ -85,16 +85,103 @@ def expand_synonyms(
     return out
 
 
+def expand_synonyms_graph(
+    bag: dict[str, int], synonyms: dict[str, list[str]]
+) -> tuple[dict[str, int], dict[tuple[str, ...], int]]:
+    """Query-time synonym expansion with Lucene SynonymGraphFilter
+    semantics on the bag model (round-6 verdict #5). Returns
+    ``(expanded_bag, phrase_bags)``:
+
+    - ``expanded_bag``: the original terms plus every SINGLE-word
+      expansion at the source term's weight (identical to
+      expand_synonyms when no mapping is multi-word);
+    - ``phrase_bags``: {constituent-token tuple: weight} for each
+      MULTI-word expansion — "ny" -> "new york" becomes the graph clause
+      (ny OR "new york"): the phrase member contributes its
+      constituents' BM25 scores ONLY for documents containing the words
+      CONTIGUOUSLY (resolved through the same positional machinery as
+      explicit phrase clauses — search/phrase.multi_phrase_match_scored)
+      and matches such documents even when no bag term does. Weights sum
+      when several source occurrences expand to the same phrase."""
+    out = dict(bag)
+    phrases: dict[tuple[str, ...], int] = {}
+    for t, qtf in bag.items():
+        for s in synonyms.get(t, ()):
+            toks = tuple(
+                w.lower()
+                for w, _s, _e in (tok for tok in tokenize(s) if tok is not None)
+            )
+            if not toks:
+                continue
+            if len(toks) == 1:
+                out[toks[0]] = out.get(toks[0], 0) + qtf
+            else:
+                phrases[toks] = phrases.get(toks, 0) + qtf
+    return out, phrases
+
+
+def synonym_phrase_bonus(
+    index: InvertedIndex,
+    qphrases: dict[int, dict[tuple[str, ...], int]],
+    *,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """The phrase-gated score relation for multi-word synonym graph
+    semantics: (query_id, doc_id, extra) where ``extra`` > 0 is the sum,
+    over the query's multi-word expansions whose words appear
+    CONTIGUOUSLY in the doc, of the constituents' full BM25
+    contributions at the expansion's clause weight. ONE postings pass
+    for all phrases across all queries (the scored contiguity fold),
+    then a broadcast join against the tiny (query, phrase, weight) map.
+    qphrases: {query_id: {constituent-token tuple: weight}}."""
+    from solrtexttagger_spark.search.phrase import multi_phrase_match_scored
+
+    spark = index.postings.sparkSession
+    phrase_list = sorted({toks for d in qphrases.values() for toks in d})
+    pid_of = {toks: i for i, toks in enumerate(phrase_list)}
+    pm = multi_phrase_match_scored(
+        index, [" ".join(t) for t in phrase_list], k1=k1, b=b
+    )
+    qp_rows = [
+        (int(qid), pid_of[toks], float(w))
+        for qid, d in sorted(qphrases.items())
+        for toks, w in sorted(d.items())
+    ]
+    qpdf = spark.createDataFrame(qp_rows, "query_id long, phrase_id int, w double")
+    return (
+        pm.join(F.broadcast(qpdf), "phrase_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("w") * F.col("unit_score")).alias("extra"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("extra").alias("extra"))
+    )
+
+
 def queries_to_df(
     spark: SparkSession,
     queries: list[tuple[int, str]],
     synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
+    """(query_id, term, qtf) relation from analyzed query texts. A flat
+    term relation cannot carry the contiguity structure multi-word
+    synonym graph semantics need, so such a mapping raises here — pass
+    ``synonyms=`` to bm25_topk/wand_topk instead (they resolve the
+    phrase members through the positional index)."""
     rows = []
     for qid, q in queries:
         bag = analyze_query_terms(q)
         if synonyms:
-            bag = expand_synonyms(bag, synonyms)
+            bag, phrases = expand_synonyms_graph(bag, synonyms)
+            if phrases:
+                raise ValueError(
+                    "multi-word synonym expansions cannot be flattened "
+                    f"into a term relation ({sorted(phrases)}); pass "
+                    "synonyms= to the scorer instead"
+                )
         for term, qtf in sorted(bag.items()):
             rows.append((int(qid), term, int(qtf)))
     return spark.createDataFrame(rows, "query_id long, term string, qtf int")
@@ -173,8 +260,11 @@ def bm25_topk(
     start + k so the page is exact in every strategy).
 
     ``synonyms`` ({term: [expansion, ...]}) applies query-time synonym
-    expansion (expand_synonyms) to every query's term bag before
-    scoring, both strategies.
+    expansion to every query's term bag before scoring, both strategies,
+    with GRAPH semantics for multi-word expansions
+    (expand_synonyms_graph): constituents of "ny" -> "new york" score
+    only in documents containing the contiguous phrase, which also
+    matches documents no bag term reaches.
     """
     if start:
         out = bm25_topk(
@@ -182,41 +272,62 @@ def bm25_topk(
             strategy=strategy, allowed_docs=allowed_docs, synonyms=synonyms,
         )
         return out.where(F.col("rank") > start)
-    if strategy == "segmented":
+    qphrases: dict[int, dict[tuple[str, ...], int]] = {}
+    qbags: dict[int, dict[str, int]] | None = None
+    if synonyms or strategy == "segmented":
         if isinstance(queries, DataFrame):
             # the query table is tiny by contract (it broadcasts in the
             # exploded plan) — collect it into pre-analyzed term bags
-            qbags: dict[int, dict[str, int]] = {}
+            qbags = {}
             for r in queries.collect():
                 qbags.setdefault(int(r["query_id"]), {})[r["term"]] = int(r["qtf"])
         else:
             qbags = {int(qid): analyze_query_terms(q) for qid, q in queries}
         if synonyms:
-            qbags = {qid: expand_synonyms(bag, synonyms) for qid, bag in qbags.items()}
+            for qid in list(qbags):
+                qbags[qid], ph = expand_synonyms_graph(qbags[qid], synonyms)
+                if ph:
+                    qphrases[qid] = ph
+    bonus = (
+        synonym_phrase_bonus(index, qphrases, k1=k1, b=b) if qphrases else None
+    )
+    if strategy == "segmented":
         return _bm25_topk_segmented(
-            index, qbags, k=k, k1=k1, b=b, spark=spark, allowed_docs=allowed_docs
+            index, qbags, k=k, k1=k1, b=b, spark=spark,
+            allowed_docs=allowed_docs, phrase_bonus=bonus,
         )
-    if isinstance(queries, DataFrame):
-        qdf = queries
-        if synonyms:
-            # same contract as the segmented strategy (round-5 advice:
-            # strategy toggles must not change which calls error): the
-            # query table is tiny by contract — collect, expand, rebuild
-            sp = spark or index.postings.sparkSession
-            bags: dict[int, dict[str, int]] = {}
-            for r in queries.collect():
-                bags.setdefault(int(r["query_id"]), {})[r["term"]] = int(r["qtf"])
-            rows = [
-                (qid, term, int(qtf))
-                for qid, bag in bags.items()
-                for term, qtf in sorted(expand_synonyms(bag, synonyms).items())
-            ]
-            qdf = sp.createDataFrame(rows, "query_id long, term string, qtf int")
+    if qbags is not None:
+        sp = spark or index.postings.sparkSession
+        rows = [
+            (qid, term, int(qtf))
+            for qid, bag in sorted(qbags.items())
+            for term, qtf in sorted(bag.items())
+        ]
+        qdf = sp.createDataFrame(rows, "query_id long, term string, qtf int")
     else:
-        qdf = queries_to_df(
-            spark or index.postings.sparkSession, queries, synonyms
+        qdf = (
+            queries
+            if isinstance(queries, DataFrame)
+            else queries_to_df(spark or index.postings.sparkSession, queries)
         )
-    scores = exploded_scores(index, qdf, k1=k1, b=b, allowed_docs=allowed_docs)
+    if bonus is None:
+        scores = exploded_scores(index, qdf, k1=k1, b=b, allowed_docs=allowed_docs)
+    else:
+        # merge the phrase-gated bonus BEFORE ranking; full outer because
+        # a doc can match only through the contiguous expansion
+        base = exploded_scores(index, qdf, k1=k1, b=b)
+        scores = base.join(bonus, ["query_id", "doc_id"], "full_outer").select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(F.col("score"), F.lit(0.0))
+                + F.coalesce(F.col("extra"), F.lit(0.0))
+            ).alias("score"),
+        )
+        if allowed_docs is not None:
+            scores = scores.join(
+                allowed_docs.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -309,6 +420,7 @@ def _bm25_topk_segmented(
     b: float = B,
     spark: SparkSession | None = None,
     allowed_docs: DataFrame | None = None,
+    phrase_bonus: DataFrame | None = None,
 ) -> DataFrame:
     """Exhaustive BM25, segment-aligned (block-max WAND minus the pruning):
     one shuffle of the query-term-filtered postings on seg, vectorized numpy
@@ -323,10 +435,18 @@ def _bm25_topk_segmented(
     kernel through a cogroup — no driver collect, no broadcast of a
     potentially corpus-sized filter. Membership is applied between score
     accumulation and the per-segment top-k, so ranks are exact within the
-    allowed set while idf/avgdl stay corpus-wide (Solr semantics)."""
+    allowed set while idf/avgdl stay corpus-wide (Solr semantics).
+
+    ``phrase_bonus`` ((query_id, doc_id, extra) — synonym_phrase_bonus)
+    rides the SAME cogroup as the fq ids, co-partitioned on the index's
+    own seg hash, and is added to each doc's accumulated score BEFORE the
+    fq mask and the per-segment top-k — so multi-word synonym graph
+    scoring keeps per-segment truncation exact (a doc whose bonus lifts
+    it into the top-k is never dropped), the whole batch staying ONE
+    action."""
     spark = spark or index.postings.sparkSession
     terms = sorted({t for bag in qbags.values() for t in bag})
-    if not terms:
+    if not terms and phrase_bonus is None:
         return spark.createDataFrame(
             [], "query_id long, rank long, doc_id long, score double"
         )
@@ -363,12 +483,20 @@ def _bm25_topk_segmented(
             if lst:
                 qterm_list[qid] = lst
         df_in_dag = False
-    bc = spark.sparkContext.broadcast((qterm_list, k, k1, b, avgdl, df_in_dag, n))
+    has_fq = allowed_docs is not None
+    bc = spark.sparkContext.broadcast(
+        (qterm_list, k, k1, b, avgdl, df_in_dag, n, has_fq)
+    )
 
-    def _score_pdf(pdf: pd.DataFrame, allowed: "np.ndarray | None") -> pd.DataFrame:
-        qterms_, k_, k1_, b_, avgdl_, df_in_dag_, n_ = bc.value
+    def _score_pdf(
+        pdf: pd.DataFrame,
+        allowed: "np.ndarray | None",
+        bonus_by_q: "dict | None" = None,
+    ) -> pd.DataFrame:
+        qterms_, k_, k1_, b_, avgdl_, df_in_dag_, n_, _hf = bc.value
+        bonus_by_q = bonus_by_q or {}
         term_arrays: dict[str, tuple] = {}
-        if df_in_dag_:
+        if df_in_dag_ and "df" in pdf.columns:
             dfs = dict(zip(pdf["term"], pdf["df"]))
         for term, postings in zip(pdf["term"], pdf["postings"]):
             m = len(postings)
@@ -377,9 +505,9 @@ def _bm25_topk_segmented(
             dl = np.fromiter((p["dl"] for p in postings), np.float64, m)
             term_arrays[term] = (docs, tf, dl)
         out_q, out_d, out_s = [], [], []
-        for qid, qterms in qterms_.items():
+        for qid in sorted(set(qterms_) | set(bonus_by_q)):
             all_docs, all_contrib = [], []
-            for t, w in qterms:
+            for t, w in qterms_.get(qid, ()):
                 e = term_arrays.get(t)
                 if e is None:
                     continue
@@ -393,6 +521,13 @@ def _bm25_topk_segmented(
                 )
                 all_docs.append(docs)
                 all_contrib.append(contrib)
+            # phrase-gated synonym bonus for this query's docs in this
+            # segment: merged into the accumulation BEFORE fq/top-k —
+            # includes docs no bag term matched (graph semantics)
+            bo = bonus_by_q.get(qid)
+            if bo is not None:
+                all_docs.append(bo[0])
+                all_contrib.append(bo[1])
             if not all_docs:
                 continue
             docs = np.concatenate(all_docs)
@@ -424,12 +559,27 @@ def _bm25_topk_segmented(
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return _score_pdf(pdf, None)
 
-    def fn_fq(key, pdf: pd.DataFrame, apdf: pd.DataFrame) -> pd.DataFrame:
-        return _score_pdf(pdf, np.sort(apdf["doc_id"].to_numpy(dtype=np.int64)))
+    def fn_mixed(key, pdf: pd.DataFrame, apdf: pd.DataFrame) -> pd.DataFrame:
+        # right side carries fq rows (is_fq) and/or bonus rows, split here
+        *_rest, _hf = bc.value
+        fq_rows = apdf[apdf["is_fq"]]
+        allowed = (
+            np.sort(fq_rows["doc_id"].to_numpy(dtype=np.int64)) if _hf else None
+        )
+        brows = apdf[~apdf["is_fq"]]
+        bonus_by_q: dict = {}
+        if len(brows):
+            for qid, grp in brows.groupby("query_id"):
+                bonus_by_q[int(qid)] = (
+                    grp["doc_id"].to_numpy(dtype=np.int64),
+                    grp["extra"].to_numpy(dtype=np.float64),
+                )
+        return _score_pdf(pdf, allowed, bonus_by_q)
 
     # positions are projected AWAY before the shuffle — BM25 never reads
     # them, and they dominate the postings payload
-    narrowed = index.postings.where(F.col("term").isin(terms)).select(
+    term_filter = F.col("term").isin(terms) if terms else F.lit(False)
+    narrowed = index.postings.where(term_filter).select(
         "seg",
         "term",
         F.transform(
@@ -439,32 +589,55 @@ def _bm25_topk_segmented(
             ),
         ).alias("postings"),
     )
-    if df_in_dag:
+    if df_in_dag and terms:
         # GLOBAL df per query term from a narrow projected re-scan
         # (term + df_seg only — no postings payload), broadcast-joined
         # onto every (term, seg) row: an extra parallel stage inside the
         # same job, replacing the serial driver collect
         df_rel = (
-            index.postings.where(F.col("term").isin(terms))
+            index.postings.where(term_filter)
             .groupBy("term")
             .agg(F.sum("df_seg").cast("double").alias("df"))
         )
         narrowed = narrowed.join(F.broadcast(df_rel), "term")
-    if allowed_docs is None:
+    if allowed_docs is None and phrase_bonus is None:
         scored = narrowed.groupBy("seg").applyInPandas(fn, schema=_SCORE_SCHEMA)
     else:
-        allowed = (
-            allowed_docs.select(F.col("doc_id").cast("long").alias("doc_id"))
-            .distinct()
-            .withColumn(
-                "seg",
-                F.pmod(F.xxhash64("doc_id"), F.lit(index.num_segments)).cast("int"),
-            )
+        # the cogroup right side unions the fq ids and the phrase bonus,
+        # both co-partitioned on the index's own seg hash
+        seg_of = F.pmod(F.xxhash64("doc_id"), F.lit(index.num_segments)).cast(
+            "int"
         )
+        parts = []
+        if allowed_docs is not None:
+            parts.append(
+                allowed_docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+                .distinct()
+                .select(
+                    seg_of.alias("seg"),
+                    "doc_id",
+                    F.lit(-1).cast("long").alias("query_id"),
+                    F.lit(0.0).alias("extra"),
+                    F.lit(True).alias("is_fq"),
+                )
+            )
+        if phrase_bonus is not None:
+            parts.append(
+                phrase_bonus.select(
+                    seg_of.alias("seg"),
+                    "doc_id",
+                    F.col("query_id").cast("long").alias("query_id"),
+                    F.col("extra").cast("double").alias("extra"),
+                    F.lit(False).alias("is_fq"),
+                )
+            )
+        right = parts[0]
+        for p in parts[1:]:
+            right = right.unionAll(p)
         scored = (
             narrowed.groupBy("seg")
-            .cogroup(allowed.groupBy("seg"))
-            .applyInPandas(fn_fq, schema=_SCORE_SCHEMA)
+            .cogroup(right.groupBy("seg"))
+            .applyInPandas(fn_mixed, schema=_SCORE_SCHEMA)
         )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()

@@ -67,7 +67,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from solrtexttagger_spark.analysis.core import tokenize
 from solrtexttagger_spark.index.build import InvertedIndex
 from solrtexttagger_spark.search.bm25 import B, K1
-from solrtexttagger_spark.search.phrase import multi_phrase_match, phrase_terms
+from solrtexttagger_spark.search.phrase import (
+    multi_phrase_match,
+    multi_phrase_match_scored,
+    phrase_terms,
+)
 
 _CLAUSE_RE = re.compile(r'([+-]?)(?:([A-Za-z_]\w*):)?(?:"([^"]*)"|(\S+))')
 # Lucene FuzzyQuery / PrefixQuery clause forms: word~ / word~1 / word~2,
@@ -290,29 +294,30 @@ def expand_boolean_clauses(
     member scores at the clause weight; SHOULD members score likewise;
     an expanded MUST_NOT prohibits every member.
 
-    MULTI-WORD expansions get TRUE graph semantics (round-5 verdict #6,
-    Solr's SynonymGraphFilter: "ny" -> "new york" becomes
-    +(ny OR "new york")): the expansion joins its MUST group as a
-    CONTIGUITY-CHECKED phrase (satisfying the group only when the words
-    appear adjacent, resolved through the same multi_phrase_match pass
-    as explicit phrase clauses), its constituent terms join the score
-    bag at the clause weight (the same score model as explicit phrases:
-    quotes filter, constituents score); a multi-word MUST_NOT synonym
-    prohibits docs containing the contiguous phrase; a multi-word SHOULD
-    synonym contributes constituent scores only (an unscored optional
-    contiguity clause has no effect in this model — same documented
-    simplification as bare phrase promotion).
+    MULTI-WORD expansions get TRUE graph semantics (round-5 verdict #6 +
+    round-6 verdict #5, Solr's SynonymGraphFilter: "ny" -> "new york"
+    becomes +(ny OR "new york")): the expansion joins its MUST group as
+    a CONTIGUITY-CHECKED phrase (satisfying the group only when the
+    words appear adjacent, resolved through the same multi_phrase_match
+    pass as explicit phrase clauses), and — on EVERY clause kind, MUST
+    and SHOULD alike — its constituent terms score at the clause weight
+    ONLY in documents containing the contiguous phrase (the gated
+    "quotes filter, constituents score" model; such documents match
+    even when no bag term reaches them). A multi-word MUST_NOT synonym
+    prohibits docs containing the contiguous phrase.
 
     -> (score_bag {term: qtf}, must_groups {term: sorted tuple of group
     ids}, n_groups, must_not_expanded,
     phrase_groups {phrase tokens: sorted tuple of group ids},
-    not_phrases [phrase tokens]). Without synonyms each MUST term is its
-    own group, which reduces to the classic distinct-term count."""
+    not_phrases [phrase tokens],
+    syn_phrase_bags {phrase tokens: score weight} — the phrase-gated
+    scoring clauses). Without synonyms each MUST term is its own group,
+    which reduces to the classic distinct-term count."""
     synonyms = synonyms or {}
     groups: dict[str, set[int]] = {}
     phrase_groups: dict[tuple[str, ...], set[int]] = {}
     syn_not_phrases: list[tuple[str, ...]] = []
-    extra_bag: dict[str, int] = {}
+    syn_phrase_bags: dict[tuple[str, ...], int] = {}
     for gid, t in enumerate(sorted(must)):
         groups.setdefault(t, set()).add(gid)
         for s in synonyms.get(t, ()):
@@ -323,8 +328,9 @@ def expand_boolean_clauses(
                 groups.setdefault(toks[0], set()).add(gid)
             else:
                 phrase_groups.setdefault(toks, set()).add(gid)
-                for w in toks:  # constituents score at the clause weight
-                    extra_bag[w] = extra_bag.get(w, 0) + must[t]
+                # constituents score at the clause weight, GATED on the
+                # contiguous phrase (multi_phrase_match_scored)
+                syn_phrase_bags[toks] = syn_phrase_bags.get(toks, 0) + must[t]
     combined: dict[str, int] = dict(must)
     for t, qtf in should.items():
         combined[t] = combined.get(t, 0) + qtf
@@ -334,11 +340,8 @@ def expand_boolean_clauses(
             toks = _syn_tokens(s)
             if len(toks) == 1:
                 score_bag[toks[0]] = score_bag.get(toks[0], 0) + qtf
-            elif t in should:  # MUST constituents were handled above
-                for w in toks:
-                    extra_bag[w] = extra_bag.get(w, 0) + qtf
-    for w, qtf in extra_bag.items():
-        score_bag[w] = score_bag.get(w, 0) + qtf
+            elif t in should:  # MUST weights were added above
+                syn_phrase_bags[toks] = syn_phrase_bags.get(toks, 0) + qtf
     not_exp = set(must_not)
     for t in must_not:
         for s in synonyms.get(t, ()):
@@ -360,6 +363,7 @@ def expand_boolean_clauses(
         not_exp,
         {p: tuple(sorted(g)) for p, g in phrase_groups.items()},
         sorted(set(syn_not_phrases)),
+        syn_phrase_bags,
     )
 
 
@@ -404,9 +408,10 @@ def boolean_bm25_topk(
     }
     if markers:
         synonyms = {**(synonyms or {}), **expand_vocab_markers(index, markers)}
+    pscore_rows: list[tuple[int, int, float]] = []  # (qid, phrase_id, w)
     for qid, (must, should, must_not, mphr, nphr) in parsed:
         (score_bag, must_groups, n_groups, must_not, phrase_groups,
-         syn_not_phrases) = expand_boolean_clauses(
+         syn_not_phrases, syn_phrase_bags) = expand_boolean_clauses(
             must, should, must_not, synonyms
         )
         must_counts[int(qid)] = n_groups
@@ -429,7 +434,12 @@ def boolean_bm25_topk(
         for toks, gids in sorted(phrase_groups.items()):
             pid = phrase_ids.setdefault(toks, len(phrase_ids))
             pgroup_rows.extend((int(qid), pid, gid) for gid in gids)
-    if not score_rows:
+        # ... and phrase-GATED constituent scoring (MUST and SHOULD
+        # alike — round-6 verdict #5 graph semantics on every path)
+        for toks, w in sorted(syn_phrase_bags.items()):
+            pid = phrase_ids.setdefault(toks, len(phrase_ids))
+            pscore_rows.append((int(qid), pid, float(w)))
+    if not score_rows and not pscore_rows:
         return spark.createDataFrame(
             [], "query_id long, rank long, doc_id long, score double"
         )
@@ -488,9 +498,43 @@ def boolean_bm25_topk(
     pm = None
     if phrase_ids:
         # ONE extra postings pass resolves every phrase across every
-        # query — explicit clauses AND multi-word synonym members alike
+        # query — explicit clauses AND multi-word synonym members alike;
+        # when any synonym phrase SCORES (graph semantics), the same
+        # pass also folds the constituents' unit BM25 contributions
         ordered = [" ".join(t) for t, _ in sorted(phrase_ids.items(), key=lambda kv: kv[1])]
-        pm = multi_phrase_match(index, ordered)
+        if pscore_rows:
+            pm = multi_phrase_match_scored(index, ordered, k1=k1, b=b)
+        else:
+            pm = multi_phrase_match(index, ordered)
+    if pscore_rows:
+        # phrase-gated constituent scoring: merged BEFORE the group
+        # filter, full outer because a doc can match ONLY through the
+        # contiguous expansion (its group membership then comes from
+        # the phrase-hit relation below)
+        psdf = spark.createDataFrame(
+            pscore_rows, "query_id long, phrase_id int, w double"
+        )
+        bonus = (
+            pm.join(F.broadcast(psdf), "phrase_id")
+            .select(
+                "query_id",
+                "doc_id",
+                (F.col("w") * F.col("unit_score")).alias("extra"),
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("extra").alias("extra"))
+        )
+        scores = scores.join(bonus, ["query_id", "doc_id"], "full_outer").select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(F.col("score"), F.lit(0.0))
+                + F.coalesce(F.col("extra"), F.lit(0.0))
+            ).alias("score"),
+            F.coalesce(F.col("tgroups"), F.array().cast("array<int>")).alias(
+                "tgroups"
+            ),
+        )
     if pgroup_rows:
         pgdf = spark.createDataFrame(
             pgroup_rows, "query_id long, phrase_id int, gid int"

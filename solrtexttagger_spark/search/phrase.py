@@ -19,7 +19,7 @@ non-empty; n_occurrences = its size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from solrtexttagger_spark.analysis.core import tokenize
 from solrtexttagger_spark.index.build import InvertedIndex
@@ -32,6 +32,18 @@ def phrase_terms(phrase: str, lowercase: bool = True) -> list[str]:
     ]
 
 
+def _phrase_rows(phrases: list[str], lowercase: bool):
+    rows: list[tuple[int, int, str]] = []
+    plens: dict[int, int] = {}
+    for pid, ph in enumerate(phrases):
+        terms = phrase_terms(ph, lowercase)
+        if not terms:
+            raise ValueError(f"empty phrase at index {pid}")
+        plens[pid] = len(terms)
+        rows.extend((pid, i, t) for i, t in enumerate(terms))
+    return rows, plens
+
+
 def multi_phrase_match(
     index: InvertedIndex, phrases: list[str], *, lowercase: bool = True
 ) -> DataFrame:
@@ -41,14 +53,7 @@ def multi_phrase_match(
     per-(phrase, doc) fold), regardless of phrase count — the batch shape
     the boolean-query phrase clauses need."""
     spark = index.postings.sparkSession
-    rows: list[tuple[int, int, str]] = []
-    plens: dict[int, int] = {}
-    for pid, ph in enumerate(phrases):
-        terms = phrase_terms(ph, lowercase)
-        if not terms:
-            raise ValueError(f"empty phrase at index {pid}")
-        plens[pid] = len(terms)
-        rows.extend((pid, i, t) for i, t in enumerate(terms))
+    rows, plens = _phrase_rows(phrases, lowercase)
     qdf = spark.createDataFrame(rows, "phrase_id int, term_idx int, term string")
 
     # one postings scan: phrase terms broadcast in; a doc lives in exactly
@@ -68,23 +73,90 @@ def multi_phrase_match(
     return _fold_phrases(ex, plens)
 
 
-def _fold_phrases(ex: DataFrame, plens: dict[int, int]) -> DataFrame:
+def multi_phrase_match_scored(
+    index: InvertedIndex,
+    phrases: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+) -> DataFrame:
+    """multi_phrase_match plus per-doc constituent scoring in the SAME
+    postings pass: (phrase_id, doc_id, n_occurrences, unit_score) where
+    ``unit_score`` is the sum over the phrase's constituent token
+    OCCURRENCES (term_idx multiplicity) of that term's full BM25
+    contribution at qtf=1 — the gated-scoring relation behind multi-word
+    synonym graph semantics (Lucene SynonymGraphFilter: "ny" expands to
+    +(ny OR "new york"); the phrase member contributes its constituents'
+    scores ONLY where the words are contiguous — this repo's documented
+    "quotes filter, constituents score" model). One scan, one shuffle,
+    regardless of phrase count."""
+    spark = index.postings.sparkSession
+    rows, plens = _phrase_rows(phrases, lowercase)
+    qdf = spark.createDataFrame(rows, "phrase_id int, term_idx int, term string")
+    n = float(index.doc_count)
+    avgdl = float(index.avgdl) if index.avgdl else 1.0
+
+    # df window over DISTINCT-term joined rows (each (term, seg) row seen
+    # once), THEN fan out per (phrase_id, term_idx) — same global-df
+    # recovery as bm25.exploded_scores
+    qterms = qdf.select("term").distinct()
+    qpost = index.postings.join(F.broadcast(qterms), "term").withColumn(
+        "df", F.sum("df_seg").over(Window.partitionBy("term"))
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    ex = (
+        qpost.join(F.broadcast(qdf), "term")
+        .select(
+            "phrase_id", "term_idx", idf.alias("idf"),
+            F.explode("postings").alias("p"),
+        )
+    )
+    tf = F.col("p.tf").cast("double")
+    dl = F.col("p.dl").cast("double")
+    ex = ex.select(
+        "phrase_id",
+        "term_idx",
+        F.col("p.doc_id").alias("doc_id"),
+        F.transform("p.positions", lambda x: x - F.col("term_idx")).alias("shifted"),
+        (
+            F.col("idf")
+            * (tf * (k1 + 1.0))
+            / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        ).alias("f"),
+    )
+    return _fold_phrases(ex, plens, scored=True)
+
+
+def _fold_phrases(
+    ex: DataFrame, plens: dict[int, int], *, scored: bool = False
+) -> DataFrame:
     """The per-(phrase, doc) contiguity fold shared by the uncompressed
     and compressed phrase paths. ``ex``: (phrase_id, term_idx, doc_id,
-    shifted array<long>) with ONE row per (phrase, term, doc)."""
-    g = ex.groupBy("phrase_id", "doc_id").agg(
+    shifted array<long>) with ONE row per (phrase, term, doc); when
+    ``scored``, also an ``f`` column (that constituent occurrence's BM25
+    contribution at qtf=1) summed into ``unit_score`` per matched doc."""
+    aggs = [
         F.count("*").alias("nt"),
         F.array_sort(F.collect_list(F.struct("term_idx", "shifted"))).alias("arrs"),
-    )
+    ]
+    if scored:
+        aggs.append(F.sum("f").alias("unit_score"))
+    g = ex.groupBy("phrase_id", "doc_id").agg(*aggs)
     plen_map = F.create_map(*[F.lit(x) for kv in plens.items() for x in kv])
     occ = F.aggregate(
         F.slice(F.col("arrs"), F.lit(2), F.size("arrs") - 1),
         F.element_at(F.col("arrs"), 1)["shifted"],
         lambda acc, s: F.array_intersect(acc, s["shifted"]),
     )
+    cols = ["phrase_id", "doc_id", F.size(occ).alias("n_occurrences")] + (
+        ["unit_score"] if scored else []
+    )
     return (
         g.where(F.col("nt") == plen_map[F.col("phrase_id")])
-        .select("phrase_id", "doc_id", F.size(occ).alias("n_occurrences"))
+        .select(*cols)
         .where(F.col("n_occurrences") > 0)
     )
 
@@ -118,14 +190,7 @@ def multi_phrase_match_compressed(
             "compress_index(with_positions=True)"
         )
     spark = cindex.blocks.sparkSession
-    rows: list[tuple[int, int, str]] = []
-    plens: dict[int, int] = {}
-    for pid, ph in enumerate(phrases):
-        terms = phrase_terms(ph, lowercase)
-        if not terms:
-            raise ValueError(f"empty phrase at index {pid}")
-        plens[pid] = len(terms)
-        rows.extend((pid, i, t) for i, t in enumerate(terms))
+    rows, plens = _phrase_rows(phrases, lowercase)
     qdf = spark.createDataFrame(rows, "phrase_id int, term_idx int, term string")
     joined = cindex.blocks.join(F.broadcast(qdf), "term").select(
         "phrase_id", "term_idx", "block", "pos_block"
@@ -161,6 +226,101 @@ def multi_phrase_match_compressed(
         schema="phrase_id int, term_idx int, doc_id long, shifted array<long>",
     )
     return _fold_phrases(ex, plens)
+
+
+def multi_phrase_match_scored_compressed(
+    cindex,
+    phrases: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+) -> DataFrame:
+    """multi_phrase_match_scored over a COMPRESSED positional index —
+    (phrase_id, doc_id, n_occurrences, unit_score), same contract as the
+    uncompressed twin. One blocks scan (phrase terms' blocks only, global
+    df broadcast-joined on), one Arrow decode pass emitting shifted
+    positions AND the per-occurrence BM25 contribution, then the shared
+    contiguity fold."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from solrtexttagger_spark.index.compression import (
+        decode_positions_block,
+        decode_postings_block,
+    )
+
+    if "pos_block" not in cindex.blocks.columns:
+        raise ValueError(
+            "compressed phrase match needs pos_block rows — build with "
+            "compress_index(with_positions=True)"
+        )
+    spark = cindex.blocks.sparkSession
+    rows, plens = _phrase_rows(phrases, lowercase)
+    qdf = spark.createDataFrame(rows, "phrase_id int, term_idx int, term string")
+    n = float(cindex.doc_count)
+    avgdl = float(cindex.avgdl) if cindex.avgdl else 1.0
+    k1_, b_ = float(k1), float(b)
+    # global df per phrase term: narrow JVM aggregation over the same
+    # filtered blocks, broadcast back on (tiny: one row per term)
+    qterms = qdf.select("term").distinct()
+    df_rel = (
+        cindex.blocks.join(F.broadcast(qterms), "term")
+        .groupBy("term")
+        .agg(F.sum("df_seg").cast("double").alias("df"))
+    )
+    joined = (
+        cindex.blocks.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(df_rel), "term")
+        .select("phrase_id", "term_idx", "block", "pos_block", "df")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            out_p, out_t, out_d, out_s, out_f = [], [], [], [], []
+            for pid, tix, blk, pblk, df_t in zip(
+                pdf["phrase_id"], pdf["term_idx"], pdf["block"],
+                pdf["pos_block"], pdf["df"],
+            ):
+                doc_ids, tf, dl = decode_postings_block(bytes(blk))
+                idf = math.log(1.0 + (n - float(df_t) + 0.5) / (float(df_t) + 0.5))
+                tff = tf.astype(np.float64)
+                dlf = dl.astype(np.float64)
+                fvals = idf * tff * (k1_ + 1.0) / (
+                    tff + k1_ * (1.0 - b_ + b_ * dlf / avgdl)
+                )
+                counts, flat = decode_positions_block(bytes(pblk))
+                shifted = flat - int(tix)
+                for d, parr, fv in zip(
+                    doc_ids, np.split(shifted, np.cumsum(counts))[:-1], fvals
+                ):
+                    out_p.append(int(pid))
+                    out_t.append(int(tix))
+                    out_d.append(int(d))
+                    out_s.append(parr.tolist())
+                    out_f.append(float(fv))
+            yield pd.DataFrame(
+                {
+                    "phrase_id": pd.Series(out_p, dtype="int32"),
+                    "term_idx": pd.Series(out_t, dtype="int32"),
+                    "doc_id": pd.Series(out_d, dtype="int64"),
+                    "shifted": pd.Series(out_s, dtype=object),
+                    "f": pd.Series(out_f, dtype="float64"),
+                }
+            )
+
+    ex = joined.mapInPandas(
+        decode,
+        schema=(
+            "phrase_id int, term_idx int, doc_id long, "
+            "shifted array<long>, f double"
+        ),
+    )
+    return _fold_phrases(ex, plens, scored=True)
 
 
 def phrase_match(index: InvertedIndex, phrase: str) -> DataFrame:

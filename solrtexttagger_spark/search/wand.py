@@ -324,6 +324,46 @@ class LocalSearcher:
                 out.add(d)
         return out
 
+    def _accumulate_gated(
+        self,
+        phrase_bags: dict,
+        all_docs: list,
+        all_contrib: list,
+    ) -> None:
+        """Phrase-gated constituent contributions for multi-word synonym
+        graph semantics (round-6 verdict #5): for each expansion whose
+        words appear CONTIGUOUSLY in a doc, the constituents' full BM25
+        contributions at the clause weight are appended to the
+        accumulation arrays — restricted to the phrase-matching docs, so
+        a doc with the words apart gets nothing and a doc no bag term
+        reaches still enters the candidate set. Mirrors
+        bm25.synonym_phrase_bonus / phrase.multi_phrase_match_scored."""
+        from collections import Counter
+
+        for toks, w in sorted(phrase_bags.items()):
+            for t in toks:
+                if t not in self.term_postings:
+                    self._require_warmed(t)
+            pd_ = self._phrase_docs(toks)
+            if not pd_:
+                continue
+            parr = np.fromiter(pd_, np.int64, len(pd_))
+            parr.sort()
+            for term, cnt in sorted(Counter(toks).items()):
+                entry = self.term_postings.get(term)
+                if entry is None:
+                    continue
+                df = self.df[term]
+                idf = math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+                doc_ids, factor = entry
+                idxp = np.searchsorted(parr, doc_ids)
+                mask = (idxp < len(parr)) & (
+                    parr[np.minimum(idxp, len(parr) - 1)] == doc_ids
+                )
+                if mask.any():
+                    all_docs.append(doc_ids[mask])
+                    all_contrib.append(idf * (w * cnt) * factor[mask])
+
     @staticmethod
     def prepare_filter(allowed_docs) -> np.ndarray:
         """Resolve an fq doc-id iterable into the sorted array the search
@@ -364,9 +404,12 @@ class LocalSearcher:
         """-> [(rank, doc_id, score)]. k1/b were baked into the per-doc
         factors at warm-up; passing different values here would silently
         score with the warm-up parameters, so it raises instead.
-        ``synonyms`` applies query-time expansion (bm25.expand_synonyms)
-        — Solr's analyzer chain runs regardless of scorer, so the warm
-        path expands identically to the distributed ones.
+        ``synonyms`` applies query-time expansion with GRAPH semantics
+        (bm25.expand_synonyms_graph) — Solr's analyzer chain runs
+        regardless of scorer, so the warm path expands identically to
+        the distributed ones; a multi-word mapping needs positional
+        warm-up (positional_index=/positions=True) and raises without
+        it, exactly like phrase clauses.
 
         ``allowed_docs`` (an iterable/set of doc ids) is Solr's fq on the
         serving path — the caller resolves the filter to ids ONCE and
@@ -385,10 +428,18 @@ class LocalSearcher:
                 "LocalSearcher with the desired parameters"
             )
         bag = analyze_query_terms(query)
+        phrase_bags: dict = {}
         if synonyms:
-            from solrtexttagger_spark.search.bm25 import expand_synonyms
+            from solrtexttagger_spark.search.bm25 import expand_synonyms_graph
 
-            bag = expand_synonyms(bag, synonyms)
+            bag, phrase_bags = expand_synonyms_graph(bag, synonyms)
+        if phrase_bags and self.term_pos is None:
+            raise NotImplementedError(
+                "multi-word synonym expansions need positional postings "
+                "for graph semantics; warm this LocalSearcher with "
+                "positional_index= or positions=True, or use "
+                "bm25_topk/wand_topk on the distributed index"
+            )
         all_docs, all_contrib = [], []
         for term in sorted(bag):
             entry = self.term_postings.get(term)
@@ -401,6 +452,7 @@ class LocalSearcher:
             doc_ids, factor = entry
             all_docs.append(doc_ids)
             all_contrib.append(weight * factor)
+        self._accumulate_gated(phrase_bags, all_docs, all_contrib)
         if not all_docs:
             return []
         docs = np.concatenate(all_docs)
@@ -465,12 +517,14 @@ class LocalSearcher:
                 **{mk: speller.expand_marker(mk) for mk in sorted(markers)},
             }
         (score_bag, must_groups, n_groups, must_not, phrase_groups,
-         syn_not_phrases) = expand_boolean_clauses(
+         syn_not_phrases, syn_phrase_bags) = expand_boolean_clauses(
             must, should, must_not, synonyms
         )
         # multi-word synonym members are contiguity clauses too
         nphr = nphr + syn_not_phrases
-        if (mphr or nphr or phrase_groups) and self.term_pos is None:
+        if (
+            mphr or nphr or phrase_groups or syn_phrase_bags
+        ) and self.term_pos is None:
             raise NotImplementedError(
                 "phrase clauses need positional postings; warm this "
                 "LocalSearcher with positional_index= or positions=True "
@@ -481,7 +535,9 @@ class LocalSearcher:
         # MUST would wrong-empty, an unwarmed MUST_NOT would wrongly KEEP.
         # Marker pseudo-terms (word~d / word*) are exempt: they match only
         # through their expansions, which ARE checked here.
-        for term in set(score_bag) | set(must_not):
+        for term in set(score_bag) | set(must_not) | {
+            w for toks in syn_phrase_bags for w in toks
+        }:
             if parse_marker(term):
                 continue
             if term not in self.term_postings:
@@ -497,6 +553,9 @@ class LocalSearcher:
             doc_ids, factor = entry
             all_docs.append(doc_ids)
             all_contrib.append(idf * qtf * factor)
+        # phrase-gated constituent scoring (graph semantics, MUST and
+        # SHOULD alike) — also seeds phrase-only docs into the candidates
+        self._accumulate_gated(syn_phrase_bags, all_docs, all_contrib)
         if not all_docs:
             return []
         docs = np.concatenate(all_docs)
@@ -619,8 +678,204 @@ def wand_topk(
     the matching blocks are collected and scored driver-side in one job —
     the low-latency serving path (reference: sub-ms QTime against the
     in-memory FST, QUICK_START.md:146-163). Distributed pruning handles
-    everything larger; set 0 to force the distributed path."""
+    everything larger; set 0 to force the distributed path.
+
+    ``synonyms`` expands with GRAPH semantics
+    (bm25.expand_synonyms_graph): a multi-word mapping's constituents
+    score only in docs containing the contiguous phrase (resolved from
+    the compressed index's positional blocks — requires
+    compress_index(with_positions=True)); such docs are merged with the
+    pruned base top-k through an exact full-score rescore of the
+    phrase-matching docs, so ranks stay identical to the exhaustive
+    bm25_topk."""
     spark = spark or cindex.blocks.sparkSession
+    qbags = {int(qid): analyze_query_terms(q) for qid, q in queries}
+    qphrases: dict[int, dict] = {}
+    if synonyms:
+        from solrtexttagger_spark.search.bm25 import expand_synonyms_graph
+
+        for qid in list(qbags):
+            qbags[qid], ph = expand_synonyms_graph(qbags[qid], synonyms)
+            if ph:
+                qphrases[qid] = ph
+    common = dict(
+        k1=k1, b=b, spark=spark, prune_stats=prune_stats,
+        local_threshold_postings=local_threshold_postings,
+        theta_rounds=theta_rounds, allowed_docs=allowed_docs,
+    )
+    if not qphrases:
+        return _wand_topk_bags(cindex, qbags, k=k, start=start, **common)
+    if "pos_block" not in cindex.blocks.columns:
+        raise NotImplementedError(
+            "multi-word synonym expansions need positional blocks for "
+            "graph semantics — build with "
+            "compress_index(with_positions=True), or score with "
+            "bm25_topk on the uncompressed index"
+        )
+    # base: pruned top-(start+k) over the bag WITHOUT the multi-word
+    # members (sound: every non-phrase doc's final score IS its base
+    # score, so none outside the base top-k can enter the final page);
+    # phrase docs: exact base+bonus rescore, which dominates base rows
+    # on merge. One extra blocks pass over the involved terms.
+    base = _wand_topk_bags(cindex, qbags, k=start + k, start=0, **common)
+    full = _phrase_doc_full_scores(
+        cindex, qbags, qphrases, k1=k1, b=b, allowed_docs=allowed_docs
+    )
+    merged = (
+        base.select("query_id", "doc_id", F.col("score").alias("base_score"))
+        .join(
+            full.withColumnRenamed("score", "full_score"),
+            ["query_id", "doc_id"],
+            "full_outer",
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce("full_score", "base_score").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .where((F.col("rank") > start) & (F.col("rank") <= start + k))
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"),
+            "doc_id", "score",
+        )
+    )
+
+
+def _compressed_contribs(
+    cindex, wdf_rows: list, *, k1: float, b: float, spark: SparkSession
+) -> DataFrame:
+    """Per-(query, doc) BM25 contributions decoded from the compressed
+    blocks of the involved terms: wdf_rows = [(query_id, term, qtf)] ->
+    (query_id, doc_id, c). One blocks scan (broadcast term filter +
+    global df joined on), one Arrow decode pass, no shuffle."""
+    from typing import Iterator
+
+    from solrtexttagger_spark.index.compression import decode_postings_block
+
+    n = float(cindex.doc_count)
+    avgdl = float(cindex.avgdl) if cindex.avgdl else 1.0
+    k1_, b_ = float(k1), float(b)
+    wdf = spark.createDataFrame(wdf_rows, "query_id long, term string, qtf int")
+    qterms = wdf.select("term").distinct()
+    df_rel = (
+        cindex.blocks.join(F.broadcast(qterms), "term")
+        .groupBy("term")
+        .agg(F.sum("df_seg").cast("double").alias("df"))
+    )
+    joined = (
+        cindex.blocks.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_rel), "term")
+        .select("term", "block", "df")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_t, out_d, out_f = [], [], []
+            for term, blk, df_t in zip(pdf["term"], pdf["block"], pdf["df"]):
+                doc_ids, tf, dl = decode_postings_block(bytes(blk))
+                idf = math.log(1.0 + (n - float(df_t) + 0.5) / (float(df_t) + 0.5))
+                tff = tf.astype(np.float64)
+                dlf = dl.astype(np.float64)
+                fvals = idf * tff * (k1_ + 1.0) / (
+                    tff + k1_ * (1.0 - b_ + b_ * dlf / avgdl)
+                )
+                out_t.extend([term] * len(doc_ids))
+                out_d.extend(doc_ids.tolist())
+                out_f.extend(fvals.tolist())
+            yield pd.DataFrame(
+                {
+                    "term": pd.Series(out_t, dtype=object),
+                    "doc_id": pd.Series(out_d, dtype="int64"),
+                    "f": pd.Series(out_f, dtype="float64"),
+                }
+            )
+
+    contribs = joined.mapInPandas(decode, schema="term string, doc_id long, f double")
+    return contribs.join(F.broadcast(wdf), "term").select(
+        "query_id",
+        "doc_id",
+        (F.col("f") * F.col("qtf").cast("double")).alias("c"),
+    )
+
+
+def _phrase_doc_full_scores(
+    cindex,
+    qbags: dict[int, dict[str, int]],
+    qphrases: dict[int, dict],
+    *,
+    k1: float,
+    b: float,
+    allowed_docs: DataFrame | None,
+) -> DataFrame:
+    """Exact final scores (base bag + phrase-gated constituent bonus)
+    for every doc matching a query's multi-word synonym expansion
+    contiguously — (query_id, doc_id, score). The merge partner for the
+    pruned base top-k in wand_topk's graph path."""
+    from solrtexttagger_spark.search.phrase import (
+        multi_phrase_match_scored_compressed,
+    )
+
+    spark = cindex.blocks.sparkSession
+    phrase_list = sorted({toks for d in qphrases.values() for toks in d})
+    pid_of = {toks: i for i, toks in enumerate(phrase_list)}
+    pm = multi_phrase_match_scored_compressed(
+        cindex, [" ".join(t) for t in phrase_list], k1=k1, b=b
+    )
+    qp_rows = [
+        (int(qid), pid_of[toks], float(w))
+        for qid, d in sorted(qphrases.items())
+        for toks, w in sorted(d.items())
+    ]
+    qpdf = spark.createDataFrame(qp_rows, "query_id long, phrase_id int, w double")
+    bonus = pm.join(F.broadcast(qpdf), "phrase_id").select(
+        "query_id", "doc_id", (F.col("w") * F.col("unit_score")).alias("c")
+    )
+    pdocs = bonus.select("query_id", "doc_id").distinct()
+    base_rows = [
+        (int(qid), t, int(qtf))
+        for qid, bag in sorted(qbags.items())
+        if qid in qphrases
+        for t, qtf in sorted(bag.items())
+    ]
+    parts = [bonus]
+    if base_rows:
+        base_c = _compressed_contribs(
+            cindex, base_rows, k1=k1, b=b, spark=spark
+        ).join(pdocs, ["query_id", "doc_id"], "left_semi")
+        parts.append(base_c)
+    full = parts[0]
+    for p in parts[1:]:
+        full = full.unionAll(p)
+    full = full.groupBy("query_id", "doc_id").agg(F.sum("c").alias("score"))
+    if allowed_docs is not None:
+        full = full.join(
+            allowed_docs.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+    return full
+
+
+def _wand_topk_bags(
+    cindex: CompressedIndex,
+    qbags: dict[int, dict[str, int]],
+    *,
+    k: int,
+    k1: float,
+    b: float,
+    spark: SparkSession,
+    prune_stats: dict | None,
+    local_threshold_postings: int,
+    theta_rounds: int,
+    allowed_docs: DataFrame | None,
+    start: int,
+) -> DataFrame:
+    """The pruned scorer proper, over pre-analyzed (and synonym-expanded)
+    term bags — see wand_topk for the semantics of every knob."""
     n = float(cindex.doc_count)
     avgdl = float(cindex.avgdl) if cindex.avgdl else 1.0
     k_eff = start + k  # pruning must preserve the top start+k, not just k
@@ -637,11 +892,6 @@ def wand_topk(
             )
         )
 
-    qbags = {qid: analyze_query_terms(q) for qid, q in queries}
-    if synonyms:
-        from solrtexttagger_spark.search.bm25 import expand_synonyms
-
-        qbags = {qid: expand_synonyms(bag, synonyms) for qid, bag in qbags.items()}
     terms = sorted({t for bag in qbags.values() for t in bag})
     if not terms:
         return spark.createDataFrame([], "query_id long, rank long, doc_id long, score double")

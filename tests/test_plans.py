@@ -320,3 +320,41 @@ def test_facet_sections_single_aggregation(spark, docs_df, index):
     assert set(ranges) == {"n", "n_fine"}  # both same-col requests appear
     for _col, (lo, hi, gap, buckets) in ranges.items():
         assert [b for b, _n in buckets] == list(range(lo, hi, gap))
+
+
+def test_bm25_synonym_graph_plan_action_free_and_cogrouped(spark, index):
+    """Round-7 (r6 verdict #5): a multi-word synonym mapping on the
+    segmented bag scorer adds NO driver action — the phrase-gated bonus
+    relation (multi_phrase_match_scored -> synonym_phrase_bonus) is
+    built lazily and meets the segment kernel through the SAME cogroup
+    as the fq ids, co-partitioned on the index's seg hash, merged
+    BEFORE per-segment truncation. The whole cold batch stays one
+    action."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from solrtexttagger_spark.search.wand import reset_query_caches
+
+    reset_query_caches(index)
+    _ = index.avgdl
+    syn = {"w1": ["common w2"]}  # multi-word expansion into the fixture corpus
+    calls = []
+    orig = DataFrame.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    try:
+        DataFrame.collect = counting
+        out = bm25_topk(index, [(0, "w1 common")], k=5, spark=spark, synonyms=syn)
+    finally:
+        DataFrame.collect = orig
+    assert calls == []  # bonus relation never collected driver-side
+    plan = plan_str(out)
+    # the bonus meets the scoring kernel through the cogroup variant
+    assert "FlatMapCoGroupsInPandas" in plan
+    # contiguity fold + gated constituents stay JVM/Arrow-side: the
+    # phrase terms broadcast into the postings scan like query terms
+    assert "BroadcastHashJoin" in plan
+    rows = out.collect()
+    assert rows  # and it actually matches (w1 docs at least)

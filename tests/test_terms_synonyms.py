@@ -235,19 +235,34 @@ def test_spellcheck_collate(spark, corpus):
 # --- multi-word (phrase) synonym expansion (round 6, r5 verdict #6) ---
 
 
-def test_bag_multiword_synonym_flattens(spark, corpus):
-    """bm25_topk's bag model flattens a multi-word expansion into its
-    constituent terms at the clause weight (classic SynonymFilter), and
-    the DataFrame-queries + synonyms combination now works identically
-    on BOTH strategies (round-5 advice)."""
-    from solrtexttagger_spark.search.bm25 import queries_to_df
+def test_bag_multiword_synonym_graph_semantics(spark, corpus):
+    """bm25_topk's bag model gives multi-word expansions GRAPH semantics
+    (round-6 verdict #5): expand_synonyms_graph splits the phrase out of
+    the flat bag, constituents score ONLY where the words are contiguous
+    — this module's corpus has no contiguous "merge sort", so the
+    expansion contributes nothing and "mergesort scan" ranks exactly
+    like plain "scan". The DataFrame-queries + synonyms combination
+    works identically on BOTH strategies (round-5 advice)."""
+    from solrtexttagger_spark.search.bm25 import (
+        expand_synonyms_graph,
+        queries_to_df,
+    )
 
     _, idx = corpus
     syn = {"mergesort": ["merge sort"]}
-    assert expand_synonyms({"mergesort": 2}, syn) == {
-        "mergesort": 2, "merge": 2, "sort": 2,
-    }
+    assert expand_synonyms_graph({"mergesort": 2}, syn) == (
+        {"mergesort": 2}, {("merge", "sort"): 2},
+    )
     q = [(0, "mergesort scan")]
+    key0 = lambda r: (r["rank"], r["doc_id"], round(r["score"], 9))  # noqa: E731
+    gated = sorted(map(key0, bm25_topk(
+        idx, q, k=5, spark=spark, synonyms=syn).collect()))
+    plain = sorted(map(key0, bm25_topk(idx, [(0, "scan")], k=5, spark=spark).collect()))
+    assert gated == plain and gated
+    # flattening into a term relation is refused (it would silently
+    # drop the contiguity gate)
+    with pytest.raises(ValueError):
+        queries_to_df(spark, q, synonyms=syn)
     key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
     seg = sorted(map(key, bm25_topk(idx, q, k=5, spark=spark, synonyms=syn).collect()))
     expl = sorted(map(key, bm25_topk(
@@ -446,9 +461,11 @@ def test_collate_suggestion_coincides_with_query_term(spark, corpus):
 
 
 def test_multiword_synonyms_wand_parity(spark, corpus):
-    """wand_topk flattens multi-word synonyms exactly like the bag
-    model (same expand function), so the two scorers stay
-    rank/score-identical under a multi-word mapping."""
+    """wand_topk applies the SAME graph semantics as the bag model
+    (expand_synonyms_graph: phrase-gated constituents merged with the
+    pruned base top-k), so the two scorers stay rank/score-identical
+    under a multi-word mapping — and a positionless compressed index
+    raises instead of silently flattening."""
     from solrtexttagger_spark.index.compressed import compress_index
     from solrtexttagger_spark.search.wand import wand_topk
 
@@ -457,9 +474,14 @@ def test_multiword_synonyms_wand_parity(spark, corpus):
     q = [(0, "mergesort scan"), (1, "speedy mergesort")]
     key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
     want = sorted(map(key, bm25_topk(idx, q, k=5, spark=spark, synonyms=syn).collect()))
-    c = compress_index(idx)
-    got = sorted(map(key, wand_topk(c, q, k=5, spark=spark, synonyms=syn).collect()))
-    assert got == want and got
+    c = compress_index(idx, with_positions=True)
+    for thr in (0, 100_000):
+        got = sorted(map(key, wand_topk(
+            c, q, k=5, spark=spark, synonyms=syn, local_threshold_postings=thr
+        ).collect()))
+        assert got == want and got, f"thr={thr}"
+    with pytest.raises(NotImplementedError):
+        wand_topk(compress_index(idx), q, k=5, spark=spark, synonyms=syn)
 
 
 # ---------------------------------------------------------------- round 7
@@ -551,3 +573,140 @@ def test_subset_speller_marker_expansion_raises(spark, corpus):
         sub.expand_marker("sc*")
     full = LocalSpeller(idx, max_dist=2)
     assert full.expand_marker("sc*") == ["scan", "scatter"]
+
+
+# ------------------------------------------------------- round 7: graph bag
+
+
+GRAPH_DOCS = [
+    (0, "sort merge runs fast"),    # reversed order: NOT contiguous "merge sort"
+    (1, "merge sort wins always"),  # contiguous: phrase member matches
+    (2, "merge the sort columns"),  # words apart: no phrase contribution
+    (3, "mergesort is classic"),    # the source term itself
+    (4, "nothing relevant here"),
+]
+
+
+@pytest.fixture(scope="module")
+def graph_corpus(spark):
+    from solrtexttagger_spark.index.build import build_index
+
+    df = spark.createDataFrame(GRAPH_DOCS, "doc_id long, text string")
+    idx = build_index(df, num_segments=2)
+    idx.postings.persist().count()
+    return idx
+
+
+def test_bag_multiword_graph_contiguity(spark, graph_corpus):
+    """Round-6 verdict #5: the bag scorers gate multi-word synonym
+    constituents on CONTIGUITY. q='mergesort' with mergesort->"merge
+    sort" matches doc 3 (the term) and doc 1 (contiguous phrase — a doc
+    no bag term reaches), NEVER docs 0/2 (words reversed/apart); both
+    strategies agree row-for-row."""
+    idx = graph_corpus
+    syn = {"mergesort": ["merge sort"]}
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))  # noqa: E731
+    seg = sorted(map(key, bm25_topk(
+        idx, [(0, "mergesort")], k=10, spark=spark, synonyms=syn).collect()))
+    assert {d for _, _, d, _ in seg} == {1, 3}
+    expl = sorted(map(key, bm25_topk(
+        idx, [(0, "mergesort")], k=10, spark=spark, synonyms=syn,
+        strategy="exploded").collect()))
+    assert seg == expl
+    # the phrase doc outscores nothing unfairly: doc 1's score is the sum
+    # of its constituents' full BM25 contributions at the clause weight
+    from solrtexttagger_spark.search.bm25 import synonym_phrase_bonus
+
+    bonus = {
+        (r["query_id"], r["doc_id"]): r["extra"]
+        for r in synonym_phrase_bonus(
+            idx, {0: {("merge", "sort"): 1}}
+        ).collect()
+    }
+    assert set(bonus) == {(0, 1)} and bonus[(0, 1)] > 0
+    d1 = [s for _, _, d, s in seg if d == 1]
+    assert d1 and abs(d1[0] - round(bonus[(0, 1)], 9)) < 1e-8
+
+
+def test_bag_multiword_graph_fq_and_paging(spark, graph_corpus):
+    """The phrase bonus rides the SAME cogroup as the fq ids: under fq
+    the phrase-matched doc is kept/dropped by membership exactly like
+    any other, and start= pages over the merged ranking."""
+    idx = graph_corpus
+    syn = {"mergesort": ["merge sort"]}
+    allowed = spark.createDataFrame([(1,), (4,)], "doc_id long")
+    rows = bm25_topk(
+        idx, [(0, "mergesort")], k=10, spark=spark, synonyms=syn,
+        allowed_docs=allowed,
+    ).collect()
+    assert {r["doc_id"] for r in rows} == {1}  # doc 3 fq-filtered, 1 kept
+    allowed2 = spark.createDataFrame([(3,), (4,)], "doc_id long")
+    rows2 = bm25_topk(
+        idx, [(0, "mergesort")], k=10, spark=spark, synonyms=syn,
+        allowed_docs=allowed2,
+    ).collect()
+    assert {r["doc_id"] for r in rows2} == {3}  # phrase doc 1 fq-filtered
+    # absolute-rank paging over the merged (base + phrase) ranking
+    full = bm25_topk(idx, [(0, "mergesort")], k=10, spark=spark, synonyms=syn)
+    page = bm25_topk(
+        idx, [(0, "mergesort")], k=1, start=1, spark=spark, synonyms=syn
+    ).collect()
+    want = [r for r in full.collect() if r["rank"] == 2]
+    assert [(r["rank"], r["doc_id"]) for r in page] == [
+        (r["rank"], r["doc_id"]) for r in want
+    ]
+
+
+def test_local_search_bag_multiword_parity(spark, graph_corpus):
+    """LocalSearcher.search matches the distributed bag scorer under a
+    multi-word mapping (positional warm-up) and raises without one."""
+    from solrtexttagger_spark.index.compressed import compress_index
+    from solrtexttagger_spark.search.wand import LocalSearcher
+
+    idx = graph_corpus
+    syn = {"mergesort": ["merge sort"]}
+    q = [(0, "mergesort columns")]
+    want = sorted(
+        (r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk(idx, q, k=5, spark=spark, synonyms=syn).collect()
+    )
+    cix = compress_index(idx, with_positions=True)
+    ls = LocalSearcher(cix, positions=True)
+    got = [(r, d, round(s, 9)) for r, d, s in ls.search(q[0][1], k=5, synonyms=syn)]
+    assert got == want and got
+    ls2 = LocalSearcher(compress_index(idx))
+    with pytest.raises(NotImplementedError):
+        ls2.search(q[0][1], k=5, synonyms=syn)
+
+
+def test_boolean_should_multiword_gated(spark, graph_corpus):
+    """Graph semantics now hold on EVERY path: a SHOULD multi-word
+    synonym contributes constituent scores only to contiguous docs, so
+    the boolean scorer stays rank/score-identical to bm25_topk on
+    pure-SHOULD queries even under multi-word mappings."""
+    from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+
+    idx = graph_corpus
+    syn = {"mergesort": ["merge sort"]}
+    q = [(0, "mergesort columns"), (1, "mergesort")]
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))  # noqa: E731
+    want = sorted(map(key, bm25_topk(idx, q, k=10, spark=spark, synonyms=syn).collect()))
+    got = sorted(map(key, boolean_bm25_topk(
+        idx, q, k=10, spark=spark, synonyms=syn).collect()))
+    assert got == want and got
+    # and the MUST variant still scores the phrase doc through the gate:
+    # +mergesort -> docs {1, 3}; doc 1's score comes from the gated
+    # constituents, not an unconditional constituent bag
+    must = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in boolean_bm25_topk(
+            idx, [(0, "+mergesort")], k=10, spark=spark, synonyms=syn
+        ).collect()
+    }
+    bag = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in bm25_topk(
+            idx, [(0, "mergesort")], k=10, spark=spark, synonyms=syn
+        ).collect()
+    }
+    assert must == bag and set(must) == {1, 3}
