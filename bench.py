@@ -601,7 +601,79 @@ def main() -> None:
         "n_docs": int(n_docs),
         **extras,
     }
-    print(json.dumps(result))
+    print(json.dumps(_emit(result, sf)))
+
+
+def _emit(result: dict, sf: str) -> dict:
+    """Min-across-invocations artifact protocol (round-6 verdict #3).
+
+    This VM shows a documented 2x same-code noise band, and the in-run
+    REPEATS only sample one JVM; the committed per-round artifact must
+    therefore carry per-metric MINIMA across every invocation, not
+    whichever single invocation the driver happened to record. Each
+    invocation appends its FULL result (per-sample arrays included) to
+    ``bench_runs/`` (cleared at the start of each round), then the
+    emitted line reports the minima over all stored invocations at the
+    same (sf, cpus).
+
+    The emitted line is also COMPACT on purpose: the driver keeps only a
+    2000-char tail of bench stdout before parsing, which left rounds
+    4-6 with ``parsed: null`` in BENCH_rN.json — the full rich artifact
+    now lives in the committed bench_runs/run_*.json files instead of
+    the stdout line."""
+    import glob
+
+    runs_dir = os.environ.get("SPARK_GRAFT_BENCH_RUNS") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_runs"
+    )
+    os.makedirs(runs_dir, exist_ok=True)
+    prior = []
+    existing = sorted(glob.glob(os.path.join(runs_dir, "run_*.json")))
+    for p in existing:
+        try:
+            with open(p) as fh:
+                r = json.load(fh)
+            if str(r.get("sf")) == str(sf) and str(r.get("cpus")) == str(
+                result["cpus"]
+            ):
+                prior.append(r)
+        except (OSError, ValueError):
+            pass
+    with open(
+        os.path.join(runs_dir, f"run_{len(existing) + 1:03d}.json"), "w"
+    ) as fh:
+        json.dump(result, fh, indent=1)
+    runs = prior + [result]
+
+    min_q: dict[str, float] = {}
+    for r in runs:
+        for k, v in r.get("queries", {}).items():
+            if k not in min_q or v < min_q[k]:
+                min_q[k] = v
+
+    def best(key: str, agg) -> float | None:
+        vals = [r[key] for r in runs if key in r]
+        return agg(vals) if vals else None
+
+    compact = {
+        "metric": "engine_headline_suite_seconds",
+        "value": round(sum(min_q.values()), 3),
+        "unit": "sec",
+        "queries": min_q,
+        "sf": sf,
+        "cpus": result["cpus"],
+        "invocations": len(runs),
+        "protocol": "per-metric min across bench_runs/ invocations; "
+        "full per-invocation artifacts + samples committed there",
+        # headline throughput (max = best) / latency (min = best)
+        "index_build_gb_per_hour": best("index_build_gb_per_hour", max),
+        "index_build_docs_per_sec": best("index_build_docs_per_sec", max),
+        "tag_docs_per_sec": best("tag_docs_per_sec", max),
+        "bm25_batch10_p95_sec": best("bm25_batch10_p95_sec", min),
+        "serve_query_p50_ms": best("serve_query_p50_ms", min),
+        "serve_query_p95_ms": best("serve_query_p95_ms", min),
+    }
+    return compact
 
 
 if __name__ == "__main__":
