@@ -457,6 +457,8 @@ BOOL_PHRASE_QUERIES = [
     (2, 'text:merge +"key order"'),
     (3, '+"merge sort" -stream'),
     (4, '+"row data" +"sort merge"'),
+    (5, '+"query scan"~2 -dup'),    # sloppy MUST phrase (Lucene slop)
+    (6, 'hash -"hash join"~1'),     # sloppy prohibition
 ]
 
 
@@ -464,8 +466,11 @@ def q_bool_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boolean search with quoted-phrase and fielded clauses: +"exact
     phrase" filters on contiguity via positional postings while its
     constituent terms join the MUST scoring set; -"phrase" excludes;
-    `text:term` validates/strips the single-field prefix (reference
-    EmbeddedSolrNoSerializeTest.java:112-115 q=name:Boston)."""
+    ``"a b"~k`` applies Lucene slop (SloppyPhraseMatcher window over
+    offset-shifted positions — exact move-count semantics for two-term
+    phrases); `text:term` validates/strips the single-field prefix
+    (reference EmbeddedSolrNoSerializeTest.java:112-115
+    q=name:Boston)."""
     from solrtexttagger_spark.search.boolean import boolean_bm25_topk
 
     idx = _index(spark, sf_dir)
@@ -551,14 +556,20 @@ BOOL_FUZZY_QUERIES = [
     (1, "+sc* -join"),
     (2, "+merg~1 +sort"),
     (3, "quer* slo*"),
+    (4, "+s?an^2 merge"),           # wildcard + query-time boost
+    (5, "+[query TO sort] -dup"),   # inclusive term range
+    (6, "+v?l*e str*m"),            # general wildcards (?, inner *)
 ]
 
 
 def q_bool_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boolean search with Lucene FuzzyQuery (~d) and PrefixQuery (*)
-    clause rewrites: markers resolve against the live vocabulary in one
-    term_stats job and ride the synonym-group semantics (MUST group
-    satisfied by any member, -marker prohibits every member)."""
+    """Boolean search with the full Lucene MultiTermQuery clause family:
+    FuzzyQuery (~d), PrefixQuery (*), WildcardQuery (te?m / t*m) and
+    TermRangeQuery ([lo TO hi]), plus query-time boosts (term^2).
+    Markers resolve against the live vocabulary in one term_stats job
+    and ride the synonym-group semantics (MUST group satisfied by any
+    member, -marker prohibits every member); boosts fold into the qtf
+    scoring channel."""
     from solrtexttagger_spark.search.boolean import boolean_bm25_topk
 
     idx = _index(spark, sf_dir)
@@ -1496,18 +1507,45 @@ SELECT query_id, rank::BIGINT AS rank, doc_id, score FROM ranked WHERE rank <= {
 
 
 def _bool_fuzzy_oracle() -> str:
-    """Fuzzy/prefix clause oracle: the _bool_oracle scoring CTEs with
+    """MultiTermQuery clause oracle: the _bool_oracle scoring CTEs with
     marker clauses resolved IN SQL against the same live vocabulary the
     operator reads (prefix = starts_with; fuzzy = plain levenshtein <=
-    d, the same metric DuckDB and the driver-side expansion share; the
+    d, the same metric DuckDB and the driver-side expansion share;
+    wildcard = the same anchored regex the operator pushes into rlike;
+    range = ordered string comparisons with the parsed inclusivity; the
     maxExpansions cap never binds on the fixed ~31-term fixture
-    vocabulary, so no ordering needs mirroring). Group semantics: a
-    member row carries its MUST group id, so the distinct-gid count per
-    doc equals the operator's satisfied-group count."""
+    vocabulary, so no ordering needs mirroring). Query-time boosts ride
+    the qtf column unchanged. Group semantics: a member row carries its
+    MUST group id, so the distinct-gid count per doc equals the
+    operator's satisfied-group count."""
     from solrtexttagger_spark.search.boolean import (
+        _wildcard_regex,
         parse_boolean_query,
         parse_marker,
     )
+
+    def _mk_row(qid, gid_sql, parsed, qtf, role):
+        kind, base, dist = parsed
+        if kind == "range":
+            lo, hi, lo_inc, hi_inc = base
+            return (
+                f"({qid}, {gid_sql}, 'range', '{lo}', '{hi}', 0, "
+                f"{int(lo_inc)}, {int(hi_inc)}, {qtf}, '{role}')"
+            )
+        if kind == "wildcard":
+            return (
+                f"({qid}, {gid_sql}, 'wildcard', '{_wildcard_regex(base)}', "
+                f"'', 0, 0, 0, {qtf}, '{role}')"
+            )
+        if kind == "fuzzy":
+            return (
+                f"({qid}, {gid_sql}, 'fuzzy', '{base}', '', {dist}, 0, 0, "
+                f"{qtf}, '{role}')"
+            )
+        return (
+            f"({qid}, {gid_sql}, 'prefix', '{base}', '', 0, 0, 0, "
+            f"{qtf}, '{role}')"
+        )
 
     plain_vals, mk_vals, must_vals, not_vals = [], [], [], []
     for qid, q in BOOL_FUZZY_QUERIES:
@@ -1516,31 +1554,19 @@ def _bool_fuzzy_oracle() -> str:
         for gid, term in enumerate(sorted(must)):
             m = parse_marker(term)
             if m:
-                kind, base, dist = m
-                mk_vals.append(
-                    f"({qid}, {gid}, '{base}', {dist or 0}, "
-                    f"{1 if kind == 'prefix' else 0}, {must[term]}, 'must')"
-                )
+                mk_vals.append(_mk_row(qid, gid, m, must[term], "must"))
             else:
                 plain_vals.append(f"({qid}, '{term}', {must[term]}, {gid})")
         for term, qtf in sorted(should.items()):
             m = parse_marker(term)
             if m:
-                kind, base, dist = m
-                mk_vals.append(
-                    f"({qid}, NULL, '{base}', {dist or 0}, "
-                    f"{1 if kind == 'prefix' else 0}, {qtf}, 'should')"
-                )
+                mk_vals.append(_mk_row(qid, "NULL", m, qtf, "should"))
             else:
                 plain_vals.append(f"({qid}, '{term}', {qtf}, NULL)")
         for term in sorted(must_not):
             m = parse_marker(term)
             if m:
-                kind, base, dist = m
-                mk_vals.append(
-                    f"({qid}, NULL, '{base}', {dist or 0}, "
-                    f"{1 if kind == 'prefix' else 0}, 0, 'not')"
-                )
+                mk_vals.append(_mk_row(qid, "NULL", m, 0, "not"))
             else:
                 not_vals.append(f"({qid}, '{term}')")
     plain_cte = (
@@ -1558,14 +1584,23 @@ def _bool_fuzzy_oracle() -> str:
 WITH {_TOK_CTE},
 df_t AS (SELECT term, count(*)::DOUBLE AS df FROM tok GROUP BY 1),
 {plain_cte},
-mk(query_id, gid, base, dist, is_prefix, qtf, role) AS (VALUES {', '.join(mk_vals)}),
+mk(query_id, gid, kind, base, hi, dist, lo_inc, hi_inc, qtf, role) AS (VALUES {', '.join(mk_vals)}),
 {notp_cte},
 mkm AS (
   SELECT m.query_id, m.gid, m.role, m.qtf, v.term
   FROM mk m JOIN df_t v
-    ON (CASE WHEN m.is_prefix = 1 THEN starts_with(v.term, m.base)
-             ELSE abs(len(v.term) - len(m.base)) <= m.dist
-                  AND levenshtein(v.term, m.base) <= m.dist END)
+    ON (CASE m.kind
+         WHEN 'prefix' THEN starts_with(v.term, m.base)
+         WHEN 'fuzzy' THEN abs(len(v.term) - len(m.base)) <= m.dist
+                           AND levenshtein(v.term, m.base) <= m.dist
+         WHEN 'wildcard' THEN regexp_matches(v.term, m.base)
+         ELSE (m.base = '*' OR (CASE WHEN m.lo_inc = 1
+                                     THEN v.term >= m.base
+                                     ELSE v.term > m.base END))
+              AND (m.hi = '*' OR (CASE WHEN m.hi_inc = 1
+                                       THEN v.term <= m.hi
+                                       ELSE v.term < m.hi END))
+       END)
 ),
 score_terms AS (
   SELECT query_id, term, qtf, gid FROM plain
@@ -1613,10 +1648,24 @@ def _bool_phrase_oracle() -> str:
     constituents are already folded into MUST by the SAME parse the
     operator uses), plus contiguity filters expressed as LIKE over the
     space-clean text (' a b ' LIKE '% hash join %' == token contiguity on
-    the driver's single-space corpus)."""
+    the driver's single-space corpus). SLOPPY phrases ("a b"~k) cannot
+    use LIKE; they mirror through a positions CTE (unnest zipped with
+    range(len) = token ordinals) and the exact two-term Lucene criterion
+    |p2 - p1 - 1| <= slop — the same span-over-shifted-positions rule
+    the operator's window-anchor expansion implements
+    (search/phrase._fold_phrases)."""
     from solrtexttagger_spark.search.boolean import parse_boolean_query
 
     score_vals, not_vals, must_vals, req_vals, proh_vals = [], [], [], [], []
+    reqs_vals, prohs_vals = [], []  # sloppy: (qid, t1, t2, slop)
+
+    def _sloppy_row(qid, toks, slop):
+        if len(toks) != 2:
+            raise ValueError(
+                "sloppy-phrase oracle mirrors the exact 2-term criterion"
+            )
+        return f"({qid}, '{toks[0]}', '{toks[1]}', {slop})"
+
     for qid, q in BOOL_PHRASE_QUERIES:
         must, should, must_not, mphr, nphr = parse_boolean_query(q, field="text")
         must_vals.append(f"({qid}, {len(must)})")
@@ -1626,10 +1675,16 @@ def _bool_phrase_oracle() -> str:
             score_vals.append(f"({qid}, '{term}', {qtf}, 0)")
         for term in sorted(must_not):
             not_vals.append(f"({qid}, '{term}')")
-        for toks in sorted(set(mphr)):
-            req_vals.append(f"({qid}, '{' '.join(toks)}')")
-        for toks in sorted(set(nphr)):
-            proh_vals.append(f"({qid}, '{' '.join(toks)}')")
+        for toks, slop in sorted(set(mphr)):
+            if slop == 0:
+                req_vals.append(f"({qid}, '{' '.join(toks)}')")
+            else:
+                reqs_vals.append(_sloppy_row(qid, toks, slop))
+        for toks, slop in sorted(set(nphr)):
+            if slop == 0:
+                proh_vals.append(f"({qid}, '{' '.join(toks)}')")
+            else:
+                prohs_vals.append(_sloppy_row(qid, toks, slop))
     empty = "(SELECT NULL::BIGINT, NULL::VARCHAR WHERE false)"
     proh_cte = (
         f"proh(query_id, term) AS (VALUES {', '.join(not_vals)})"
@@ -1646,13 +1701,40 @@ def _bool_phrase_oracle() -> str:
         if proh_vals
         else f"prohp(query_id, phrase) AS {empty}"
     )
+    empty4 = (
+        "(SELECT NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR, NULL::INT "
+        "WHERE false)"
+    )
+    reqps_cte = (
+        f"reqps(query_id, t1, t2, slop) AS (VALUES {', '.join(reqs_vals)})"
+        if reqs_vals
+        else f"reqps(query_id, t1, t2, slop) AS {empty4}"
+    )
+    prohps_cte = (
+        f"prohps(query_id, t1, t2, slop) AS (VALUES {', '.join(prohs_vals)})"
+        if prohs_vals
+        else f"prohps(query_id, t1, t2, slop) AS {empty4}"
+    )
     return f"""
 WITH {_TOK_CTE},
+tokp AS (
+  SELECT doc_id, unnest(ws) AS term, unnest(range(len(ws))) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+sloppy_hit AS (
+  SELECT DISTINCT r.query_id, r.t1, r.t2, r.slop, p1.doc_id
+  FROM (SELECT * FROM reqps UNION ALL SELECT * FROM prohps) r
+  JOIN tokp p1 ON p1.term = r.t1
+  JOIN tokp p2 ON p2.doc_id = p1.doc_id AND p2.term = r.t2
+  WHERE abs(p2.pos - p1.pos - 1) <= r.slop
+),
 q(query_id, term, qtf, is_must) AS (VALUES {', '.join(score_vals)}),
 nm(query_id, n_must) AS (VALUES {', '.join(must_vals)}),
 {proh_cte},
 {reqp_cte},
 {prohp_cte},
+{reqps_cte},
+{prohps_cte},
 df_t AS (SELECT term, count(*)::DOUBLE AS df FROM tok GROUP BY 1),
 scores AS (
   SELECT q.query_id::BIGINT AS query_id, tok.doc_id,
@@ -1682,6 +1764,18 @@ ok AS (
     AND NOT EXISTS (SELECT 1 FROM prohp pp JOIN documents d3 ON d3.doc_id = sc.doc_id
                     WHERE pp.query_id = sc.query_id
                       AND ' ' || d3.text || ' ' LIKE '% ' || pp.phrase || ' %')
+    AND NOT EXISTS (SELECT 1 FROM reqps rs
+                    WHERE rs.query_id = sc.query_id
+                      AND NOT EXISTS (SELECT 1 FROM sloppy_hit sh
+                                      WHERE sh.query_id = rs.query_id
+                                        AND sh.t1 = rs.t1 AND sh.t2 = rs.t2
+                                        AND sh.slop = rs.slop
+                                        AND sh.doc_id = sc.doc_id))
+    AND NOT EXISTS (SELECT 1 FROM prohps ps JOIN sloppy_hit sh2
+                    ON sh2.query_id = ps.query_id AND sh2.t1 = ps.t1
+                       AND sh2.t2 = ps.t2 AND sh2.slop = ps.slop
+                    WHERE ps.query_id = sc.query_id
+                      AND sh2.doc_id = sc.doc_id)
 ),
 ranked AS (
   SELECT query_id,

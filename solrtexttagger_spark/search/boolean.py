@@ -43,6 +43,31 @@ Clause syntax:
                  dropping matches Solr would return. A marker with no
                  vocabulary match under + matches nothing, like an empty
                  Lucene rewrite.
+  te?m / t*m     WILDCARD clause (Lucene WildcardQuery, round 7): ? =
+                 one char, * = any run, matched JVM-side as an anchored
+                 rlike prefiltered by the pattern's literal prefix;
+                 constant-score rewrite (all matches) with the same
+                 maxBooleanClauses guard. Leading wildcards RAISE
+                 (Solr's allowLeadingWildcard=false default — without a
+                 reversed-term index they scan the whole vocabulary).
+  [lo TO hi]     TERM RANGE clause (Lucene TermRangeQuery, round 7):
+  {lo TO hi}     inclusive/exclusive bracket pairs may be mixed, * is
+                 an open endpoint; ordered string-range predicates
+                 pushed into the term_stats scan; constant-score, same
+                 overflow guard.
+  term^2.5       query-time BOOST: multiplies the clause's score
+                 contribution via the qtf channel (exactly Lucene's
+                 boost composition under BM25's qtf-linear sum);
+                 ignored on prohibited clauses, composes with markers
+                 (sc*^2). Phrase boosts are out of scope (documented).
+  "a b"~2        SLOPPY phrase (Lucene SloppyPhraseMatcher, round 7):
+                 matches when the offset-shifted positions fit a window
+                 of width <= slop — exact move-count semantics for
+                 two-term phrases ("b a" needs ~2); for 3+ terms the
+                 span criterion admits a superset of Lucene's greedy
+                 (itself approximate) matcher. Constituents score as
+                 MUST terms exactly like exact phrases; works under -
+                 for prohibition.
 
 Score = BM25 sum over the MUST + SHOULD terms present in the doc (same
 k1/b/idf as bm25_topk — a pure-OR query is score-identical to it).
@@ -73,34 +98,56 @@ from solrtexttagger_spark.search.phrase import (
     phrase_terms,
 )
 
-_CLAUSE_RE = re.compile(r'([+-]?)(?:([A-Za-z_]\w*):)?(?:"([^"]*)"|(\S+))')
-# Lucene FuzzyQuery / PrefixQuery clause forms: word~ / word~1 / word~2,
-# and a trailing-star prefix wildcard (pre*). Detected BEFORE the
-# analyzer runs (the tokenizer would split at '~'/'*'); the canonical
-# marker string becomes the clause key and vocabulary expansion
+_CLAUSE_RE = re.compile(
+    r'([+-]?)(?:([A-Za-z_]\w*):)?'
+    r'(?:"([^"]*)"(?:~(\d+))?'          # "phrase" with optional ~slop
+    r'|([\[{])(\S+)\s+TO\s+(\S+)([\]}])'  # [lo TO hi] / {lo TO hi} range
+    r'|(\S+))'                           # bare term / marker / boost
+)
+# Lucene multi-term clause forms, detected BEFORE the analyzer runs (the
+# tokenizer would split at '~'/'*'/'?'/'^'): fuzzy word~ / word~1 /
+# word~2, trailing-star prefix (pre*), general wildcard with ? / inner *
+# (te?m, t*m), and the bracketed term range above. The canonical marker
+# string becomes the clause key and vocabulary expansion
 # (expand_vocab_markers) later rewrites it into a synonym-style group.
 _FUZZY_RE = re.compile(r"^(\w+)~([12])?$")
 _PREFIX_RE = re.compile(r"^(\w+)\*$")
+_WILDCARD_RE = re.compile(r"^(?=.*[*?])[\w*?]+$")
+_BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
 
 
 def parse_boolean_query(q: str, lowercase: bool = True, field: str | None = None):
     """-> (must: dict[term, qtf], should: dict[term, qtf], must_not: set,
-           must_phrases: list[tuple[str, ...]],
-           not_phrases: list[tuple[str, ...]]).
+           must_phrases: list[(tuple[str, ...], slop)],
+           not_phrases: list[(tuple[str, ...], slop)]).
 
     MUST-phrase constituent terms are already folded into ``must`` (see
     module docstring), so callers score from the dicts and only add the
-    contiguity filters from the phrase lists. A term listed both + and
-    bare collapses into MUST (still scored once per occurrence); a term
-    that is also prohibited raises. A ``field:`` prefix must equal
-    ``field`` when one is given (the engine is single-field)."""
-    must: dict[str, int] = {}
-    should: dict[str, int] = {}
+    contiguity filters from the phrase lists. Phrase entries are
+    (tokens, slop) pairs — slop 0 is the exact contiguous phrase,
+    ``"a b"~2`` parses to slop 2 (Lucene SloppyPhraseMatcher: the match
+    window over offset-shifted positions, see search/phrase.py). A term
+    listed both + and bare collapses into MUST (still scored once per
+    occurrence); a term that is also prohibited raises. A ``field:``
+    prefix must equal ``field`` when one is given (the engine is
+    single-field). ``term^2.5`` boosts fold into the clause weight
+    (Lucene query-time boost: the qtf multiplier IS the boost channel;
+    boosts on prohibited clauses are ignored, as Lucene never scores
+    them). Leading-wildcard patterns (``*erm`` / ``?erm``) raise like
+    Solr's default allowLeadingWildcard=false — without a reversed-term
+    index that rewrite is a full vocabulary scan."""
+    must: dict[str, float] = {}
+    should: dict[str, float] = {}
     must_not: set[str] = set()
-    must_phrases: list[tuple[str, ...]] = []
-    not_phrases: list[tuple[str, ...]] = []
+    must_phrases: list[tuple[tuple[str, ...], int]] = []
+    not_phrases: list[tuple[tuple[str, ...], int]] = []
+
+    def _add(d: dict[str, float], term: str, w: float) -> None:
+        d[term] = d.get(term, 0) + w
+
     for m in _CLAUSE_RE.finditer(q):
-        prefix, clause_field, phrase, bare = m.groups()
+        (prefix, clause_field, phrase, slop,
+         r_open, r_lo, r_hi, r_close, bare) = m.groups()
         if clause_field is not None and field is not None and clause_field != field:
             raise ValueError(
                 f"unknown field {clause_field!r} (this index has field {field!r})"
@@ -110,40 +157,62 @@ def parse_boolean_query(q: str, lowercase: bool = True, field: str | None = None
             toks = tuple(phrase_terms(phrase, lowercase))
             if not toks:
                 continue
+            entry = (toks, int(slop or 0))
             if role == "not":
-                not_phrases.append(toks)
+                not_phrases.append(entry)
             else:  # bare phrases promote to MUST (module docstring)
-                must_phrases.append(toks)
+                must_phrases.append(entry)
                 for t in toks:
-                    must[t] = must.get(t, 0) + 1
+                    _add(must, t, 1)
             continue
+        if r_open is not None:
+            # Lucene TermRangeQuery: [lo TO hi] inclusive, {lo TO hi}
+            # exclusive, mixed brackets allowed, * = open endpoint
+            lo = r_lo.lower() if lowercase else r_lo
+            hi = r_hi.lower() if lowercase else r_hi
+            marker = f"{r_open}{lo} TO {hi}{r_close}"
+            if role == "not":
+                must_not.add(marker)
+            else:
+                _add(must if role == "must" else should, marker, 1)
+            continue
+        boost = 1.0
+        bm = _BOOST_RE.match(bare)
+        if bm:
+            bare, boost = bm.group(1), float(bm.group(2))
         fz = _FUZZY_RE.match(bare)
         px = _PREFIX_RE.match(bare)
-        if fz or px:
+        wc = None if (fz or px) else _WILDCARD_RE.match(bare)
+        if fz or px or wc:
             # marker clause: keep the canonical marker as the clause key
             # (base lowercased; fuzzy distance defaults to 2, Lucene's
             # FuzzyQuery default); expand_vocab_markers rewrites it
             if fz:
                 base = fz.group(1).lower() if lowercase else fz.group(1)
                 marker = f"{base}~{fz.group(2) or 2}"
-            else:
+            elif px:
                 base = px.group(1).lower() if lowercase else px.group(1)
                 marker = f"{base}*"
+            else:
+                marker = bare.lower() if lowercase else bare
+                if marker[0] in "*?":
+                    raise ValueError(
+                        f"leading-wildcard clause {marker!r} not allowed "
+                        "(Solr allowLeadingWildcard=false: without a "
+                        "reversed-term index this is a full vocabulary "
+                        "scan)"
+                    )
             if role == "not":
                 must_not.add(marker)
-            elif role == "must":
-                must[marker] = must.get(marker, 0) + 1
             else:
-                should[marker] = should.get(marker, 0) + 1
+                _add(must if role == "must" else should, marker, boost)
             continue
         for w, _s, _e in (t for t in tokenize(bare) if t is not None):
             term = w.lower() if lowercase else w
             if role == "not":
                 must_not.add(term)
-            elif role == "must":
-                must[term] = must.get(term, 0) + 1
             else:
-                should[term] = should.get(term, 0) + 1
+                _add(must if role == "must" else should, term, boost)
     promoted = set(must) & set(should)
     for t in promoted:  # MUST wins; keep combined qtf
         must[t] += should.pop(t)
@@ -153,16 +222,43 @@ def parse_boolean_query(q: str, lowercase: bool = True, field: str | None = None
     return must, should, must_not, must_phrases, not_phrases
 
 
+_RANGE_MARKER_RE = re.compile(r"^([\[{])(\S+) TO (\S+)([\]}])$")
+
+
 def parse_marker(term: str):
-    """-> ('fuzzy', base, dist) | ('prefix', base, None) | None for a
-    canonical marker clause key produced by parse_boolean_query."""
+    """-> ('fuzzy', base, dist) | ('prefix', base, None)
+    | ('wildcard', pattern, None) | ('range', (lo, hi, lo_inc, hi_inc),
+    None) | None for a canonical marker clause key produced by
+    parse_boolean_query. Range endpoints keep '*' for an open end."""
     m = re.match(r"^(\w+)~([12])$", term)
     if m:
         return ("fuzzy", m.group(1), int(m.group(2)))
     m = re.match(r"^(\w+)\*$", term)
     if m:
         return ("prefix", m.group(1), None)
+    m = _RANGE_MARKER_RE.match(term)
+    if m:
+        return (
+            "range",
+            (m.group(2), m.group(3), m.group(1) == "[", m.group(4) == "]"),
+            None,
+        )
+    if _WILDCARD_RE.match(term):
+        return ("wildcard", term, None)
     return None
+
+
+def _wildcard_regex(pattern: str) -> str:
+    """Lucene WildcardQuery glob -> anchored Java regex for the JVM-side
+    ``rlike`` scan: ``*`` = any run, ``?`` = one char, rest literal."""
+    return (
+        "^"
+        + "".join(
+            ".*" if c == "*" else "." if c == "?" else re.escape(c)
+            for c in pattern
+        )
+        + "$"
+    )
 
 
 #: Guard on prefix-wildcard rewrites — Solr's ``maxBooleanClauses``
@@ -197,7 +293,16 @@ def marker_candidates(
     - prefix ``word*``: StartsWith pushed into the scan, NO result cap
       (constant-score rewrite matches everything), but bounded by
       ``max_prefix_expansions`` + 1 so the caller can detect overflow
-      and raise instead of silently truncating."""
+      and raise instead of silently truncating.
+    - wildcard ``te?m`` / ``t*m`` (Lucene WildcardQuery): anchored
+      ``rlike`` over the translated glob, prefiltered by the pattern's
+      literal prefix (the automaton's seek-prefix analogue — without it
+      the rewrite scans the whole vocabulary, which is why
+      parse_boolean_query rejects leading wildcards); same
+      constant-score all-matches + overflow-guard contract as prefix.
+    - range ``[lo TO hi]`` / ``{lo TO hi}`` (Lucene TermRangeQuery):
+      ordered string-range predicates pushed into the scan (``*`` = open
+      endpoint); constant-score all-matches + overflow guard."""
     stats = index.term_stats.select("term", F.col("df").cast("long").alias("df"))
     frames = []
     for mk, kind, base, dist in specs:
@@ -210,8 +315,26 @@ def marker_candidates(
                 .limit(max_expansions)
             )
         else:
+            if kind == "prefix":
+                cond = F.col("term").startswith(base)
+            elif kind == "wildcard":
+                cond = F.col("term").rlike(_wildcard_regex(base))
+                lit_prefix = re.match(r"^\w*", base).group(0)
+                if lit_prefix:
+                    cond = F.col("term").startswith(lit_prefix) & cond
+            else:  # range
+                lo, hi, lo_inc, hi_inc = base
+                cond = F.lit(True)
+                if lo != "*":
+                    cond = cond & (
+                        (F.col("term") >= lo) if lo_inc else (F.col("term") > lo)
+                    )
+                if hi != "*":
+                    cond = cond & (
+                        (F.col("term") <= hi) if hi_inc else (F.col("term") < hi)
+                    )
             cand = (
-                stats.where(F.col("term").startswith(base))
+                stats.where(cond)
                 .orderBy(F.col("df").desc(), F.col("term").asc())
                 .limit(max_prefix_expansions + 1)
             )
@@ -229,10 +352,12 @@ def expand_vocab_markers(
     max_expansions: int = 50,
     max_prefix_expansions: int = MAX_PREFIX_EXPANSIONS,
 ) -> dict[str, list[str]]:
-    """Resolve fuzzy (``word~d``) and prefix-wildcard (``word*``) clause
-    markers against the LIVE vocabulary in ONE job over the per-marker
-    ``marker_candidates`` relation — Lucene's FuzzyQuery / PrefixQuery
-    rewrite. Fuzzy markers carry FuzzyQuery's default
+    """Resolve fuzzy (``word~d``), prefix (``word*``), wildcard
+    (``te?m``/``t*m``) and term-range (``[lo TO hi]``) clause markers
+    against the LIVE vocabulary in ONE job over the per-marker
+    ``marker_candidates`` relation — Lucene's MultiTermQuery rewrites
+    (FuzzyQuery / PrefixQuery / WildcardQuery / TermRangeQuery).
+    Fuzzy markers carry FuzzyQuery's default
     ``maxExpansions=50`` cap (members ranked df desc, term asc — the
     highest-weight rewrites — with the ranking and cap applied
     JVM-side, so at most 50 rows per marker reach the driver); prefix
@@ -243,10 +368,14 @@ def expand_vocab_markers(
     that feeds expand_boolean_clauses: the marker key itself never
     matches a posting, so its group is satisfied purely by members — a
     marker with NO vocabulary match under MUST therefore matches
-    nothing, exactly like an empty FuzzyQuery rewrite. Scoring
-    simplification (documented): members score at the clause weight;
-    Lucene's similarity-decayed fuzzy boosts are a documented
-    non-goal (see test_fuzzy_members_score_at_clause_weight)."""
+    nothing, exactly like an empty FuzzyQuery rewrite. Scoring default
+    (documented choice, round-6 verdict #7): members score FLAT at the
+    clause weight — the simpler oracle-mirrorable model; Lucene's
+    similarity-decayed fuzzy boosts are available opt-in via
+    ``boolean_bm25_topk(fuzzy_decay=True)`` /
+    ``LocalSearcher.search_boolean(fuzzy_decay=True)`` backed by
+    :func:`fuzzy_member_weights` (see
+    test_fuzzy_decay.py::test_flat_default_is_score_identical)."""
     specs = []
     for mk in markers:
         parsed = parse_marker(mk)
@@ -266,15 +395,48 @@ def expand_vocab_markers(
     out: dict[str, list[str]] = {}
     for mk, kind, base, dist in specs:
         members = sorted(by_marker.get(mk, []), key=lambda t: (-t[0], t[1]))
-        if kind == "prefix" and len(members) > max_prefix_expansions:
+        if kind != "fuzzy" and len(members) > max_prefix_expansions:
             raise ValueError(
-                f"prefix clause {mk!r} expands to more than "
+                f"{kind} clause {mk!r} expands to more than "
                 f"{max_prefix_expansions} terms (Solr maxBooleanClauses "
-                "analogue); narrow the prefix or raise "
+                "analogue); narrow the pattern or raise "
                 "max_prefix_expansions"
             )
         out[mk] = [t for _df, t in members]
     return out
+
+
+def fuzzy_member_weights(
+    expanded: dict[str, list[str]],
+) -> dict[tuple[str, str], float]:
+    """Lucene FuzzyQuery similarity decay for marker expansions — the
+    opt-in alternative to the flat clause-weight default (round-6
+    verdict #7). For each FUZZY marker member the weight is
+    FuzzyTermsEnum's boost ``1 - d / min(|member|, |base|)`` (prefix
+    length 0, Lucene's default), floored at 0; a distance-0 member (the
+    base itself in vocabulary) keeps weight 1. PREFIX markers are
+    excluded on purpose: PrefixQuery's constant-score rewrite scores
+    every expansion identically, so their members stay at weight 1.
+
+    Input is the {marker: [members]} dict from
+    :func:`expand_vocab_markers` or ``LocalSpeller.expand_marker``;
+    output feeds ``expand_boolean_clauses(member_weights=)``. Runs
+    driver-side on <= max_expansions (50) short strings per marker —
+    bounded by the rewrite cap, never by vocabulary size."""
+    from solrtexttagger_spark.search.terms import _levenshtein
+
+    weights: dict[tuple[str, str], float] = {}
+    for mk, members in expanded.items():
+        parsed = parse_marker(mk)
+        if parsed is None or parsed[0] != "fuzzy":
+            continue
+        _kind, base, dist = parsed
+        for m in members:
+            d = _levenshtein(m, base, dist)
+            weights[(mk, m)] = max(
+                0.0, 1.0 - d / float(min(len(m), len(base)))
+            )
+    return weights
 
 
 def _syn_tokens(s: str, lowercase: bool = True) -> tuple[str, ...]:
@@ -287,6 +449,7 @@ def expand_boolean_clauses(
     should: dict[str, int],
     must_not: set,
     synonyms: dict[str, list[str]] | None,
+    member_weights: dict[tuple[str, str], float] | None = None,
 ):
     """Apply query-time synonym expansion to parsed boolean clauses —
     Lucene SynonymGraphFilter semantics per clause: an expanded MUST
@@ -312,8 +475,24 @@ def expand_boolean_clauses(
     not_phrases [phrase tokens],
     syn_phrase_bags {phrase tokens: score weight} — the phrase-gated
     scoring clauses). Without synonyms each MUST term is its own group,
-    which reduces to the classic distinct-term count."""
+    which reduces to the classic distinct-term count.
+
+    ``member_weights`` ({(clause key, expansion string): weight},
+    default None = every member at weight 1.0) scales the SCORING
+    contribution of individual expansion members — the channel
+    :func:`fuzzy_member_weights` uses for Lucene's similarity-decayed
+    fuzzy boosts. Group SATISFACTION and prohibition are presence-based
+    and never weighted (a decayed member still satisfies its MUST group
+    and still prohibits under MUST_NOT, exactly like Lucene, where
+    BoostAttribute scales the score while the automaton decides
+    matching)."""
     synonyms = synonyms or {}
+
+    def _w(clause: str, member: str) -> float:
+        if not member_weights:
+            return 1.0
+        return member_weights.get((clause, member), 1.0)
+
     groups: dict[str, set[int]] = {}
     phrase_groups: dict[tuple[str, ...], set[int]] = {}
     syn_not_phrases: list[tuple[str, ...]] = []
@@ -330,7 +509,9 @@ def expand_boolean_clauses(
                 phrase_groups.setdefault(toks, set()).add(gid)
                 # constituents score at the clause weight, GATED on the
                 # contiguous phrase (multi_phrase_match_scored)
-                syn_phrase_bags[toks] = syn_phrase_bags.get(toks, 0) + must[t]
+                syn_phrase_bags[toks] = (
+                    syn_phrase_bags.get(toks, 0) + must[t] * _w(t, s)
+                )
     combined: dict[str, int] = dict(must)
     for t, qtf in should.items():
         combined[t] = combined.get(t, 0) + qtf
@@ -339,9 +520,13 @@ def expand_boolean_clauses(
         for s in synonyms.get(t, ()):
             toks = _syn_tokens(s)
             if len(toks) == 1:
-                score_bag[toks[0]] = score_bag.get(toks[0], 0) + qtf
+                score_bag[toks[0]] = (
+                    score_bag.get(toks[0], 0) + qtf * _w(t, s)
+                )
             elif t in should:  # MUST weights were added above
-                syn_phrase_bags[toks] = syn_phrase_bags.get(toks, 0) + qtf
+                syn_phrase_bags[toks] = (
+                    syn_phrase_bags.get(toks, 0) + qtf * _w(t, s)
+                )
     not_exp = set(must_not)
     for t in must_not:
         for s in synonyms.get(t, ()):
@@ -377,6 +562,7 @@ def boolean_bm25_topk(
     field: str | None = None,
     allowed_docs: DataFrame | None = None,
     synonyms: dict[str, list[str]] | None = None,
+    fuzzy_decay: bool = False,
     spark: SparkSession | None = None,
 ) -> DataFrame:
     """Top-k BM25 under boolean constraints. queries: [(qid, '+a -b c')].
@@ -387,10 +573,13 @@ def boolean_bm25_topk(
     matched set before the rank window, never the scoring stats.
     ``synonyms`` expands clauses per expand_boolean_clauses — a MUST
     group is satisfied by ANY member, so the HAVING-style filter counts
-    distinct satisfied GROUPS, not distinct terms."""
+    distinct satisfied GROUPS, not distinct terms. ``fuzzy_decay=True``
+    opts into Lucene FuzzyQuery's similarity-decayed member boosts
+    (``1 - d/min(len)`` via fuzzy_member_weights) instead of the flat
+    clause-weight default; matching is unaffected either way."""
     spark = spark or index.postings.sparkSession
     score_rows, not_rows, must_counts = [], [], {}
-    phrase_ids: dict[tuple[str, ...], int] = {}
+    phrase_ids: dict[tuple[tuple[str, ...], int], int] = {}  # (toks, slop)
     req_rows: list[tuple[int, int]] = []
     proh_phrase_rows: list[tuple[int, int]] = []
     pgroup_rows: list[tuple[int, int, int]] = []  # (qid, phrase_id, gid)
@@ -406,45 +595,51 @@ def boolean_bm25_topk(
         for t in (*m_, *s_, *n_)
         if parse_marker(t)
     }
+    member_weights = None
     if markers:
-        synonyms = {**(synonyms or {}), **expand_vocab_markers(index, markers)}
+        expanded = expand_vocab_markers(index, markers)
+        synonyms = {**(synonyms or {}), **expanded}
+        if fuzzy_decay:
+            member_weights = fuzzy_member_weights(expanded)
     pscore_rows: list[tuple[int, int, float]] = []  # (qid, phrase_id, w)
     for qid, (must, should, must_not, mphr, nphr) in parsed:
         (score_bag, must_groups, n_groups, must_not, phrase_groups,
          syn_not_phrases, syn_phrase_bags) = expand_boolean_clauses(
-            must, should, must_not, synonyms
+            must, should, must_not, synonyms, member_weights
         )
         must_counts[int(qid)] = n_groups
         for t, qtf in sorted(score_bag.items()):
             score_rows.append(
-                (int(qid), t, int(qtf), list(must_groups.get(t, ())))
+                (int(qid), t, float(qtf), list(must_groups.get(t, ())))
             )
         for t in sorted(must_not):
             not_rows.append((int(qid), t))
         req = set()
-        for toks in mphr:
-            pid = phrase_ids.setdefault(toks, len(phrase_ids))
+        for toks, slop in mphr:
+            pid = phrase_ids.setdefault((toks, slop), len(phrase_ids))
             req.add(pid)
         req_counts[int(qid)] = len(req)
         req_rows.extend((int(qid), pid) for pid in sorted(req))
-        for toks in nphr + syn_not_phrases:
-            pid = phrase_ids.setdefault(toks, len(phrase_ids))
+        # synonym phrases are always exact-contiguity (slop 0)
+        for entry in nphr + [(t, 0) for t in syn_not_phrases]:
+            pid = phrase_ids.setdefault(entry, len(phrase_ids))
             proh_phrase_rows.append((int(qid), pid))
         # multi-word synonym members: contiguity-checked group membership
         for toks, gids in sorted(phrase_groups.items()):
-            pid = phrase_ids.setdefault(toks, len(phrase_ids))
+            pid = phrase_ids.setdefault((toks, 0), len(phrase_ids))
             pgroup_rows.extend((int(qid), pid, gid) for gid in gids)
         # ... and phrase-GATED constituent scoring (MUST and SHOULD
         # alike — round-6 verdict #5 graph semantics on every path)
         for toks, w in sorted(syn_phrase_bags.items()):
-            pid = phrase_ids.setdefault(toks, len(phrase_ids))
+            pid = phrase_ids.setdefault((toks, 0), len(phrase_ids))
             pscore_rows.append((int(qid), pid, float(w)))
     if not score_rows and not pscore_rows:
         return spark.createDataFrame(
             [], "query_id long, rank long, doc_id long, score double"
         )
     qdf = spark.createDataFrame(
-        score_rows, "query_id long, term string, qtf int, mgroups array<int>"
+        score_rows,
+        "query_id long, term string, qtf double, mgroups array<int>",
     )
     postings = index.postings
     n = float(index.doc_count)
@@ -501,11 +696,15 @@ def boolean_bm25_topk(
         # query — explicit clauses AND multi-word synonym members alike;
         # when any synonym phrase SCORES (graph semantics), the same
         # pass also folds the constituents' unit BM25 contributions
-        ordered = [" ".join(t) for t, _ in sorted(phrase_ids.items(), key=lambda kv: kv[1])]
+        by_pid = sorted(phrase_ids.items(), key=lambda kv: kv[1])
+        ordered = [" ".join(toks) for (toks, _slop), _ in by_pid]
+        slops = [slop for (_toks, slop), _ in by_pid]
         if pscore_rows:
-            pm = multi_phrase_match_scored(index, ordered, k1=k1, b=b)
+            pm = multi_phrase_match_scored(
+                index, ordered, k1=k1, b=b, slops=slops
+            )
         else:
-            pm = multi_phrase_match(index, ordered)
+            pm = multi_phrase_match(index, ordered, slops=slops)
     if pscore_rows:
         # phrase-gated constituent scoring: merged BEFORE the group
         # filter, full outer because a doc can match ONLY through the

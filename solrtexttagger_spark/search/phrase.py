@@ -32,6 +32,16 @@ def phrase_terms(phrase: str, lowercase: bool = True) -> list[str]:
     ]
 
 
+def _slop_map(phrases: list[str], slops: list[int] | None) -> dict[int, int]:
+    if slops is None:
+        return {}
+    if len(slops) != len(phrases):
+        raise ValueError(
+            f"slops has {len(slops)} entries for {len(phrases)} phrases"
+        )
+    return {pid: int(s) for pid, s in enumerate(slops)}
+
+
 def _phrase_rows(phrases: list[str], lowercase: bool):
     rows: list[tuple[int, int, str]] = []
     plens: dict[int, int] = {}
@@ -45,13 +55,26 @@ def _phrase_rows(phrases: list[str], lowercase: bool):
 
 
 def multi_phrase_match(
-    index: InvertedIndex, phrases: list[str], *, lowercase: bool = True
+    index: InvertedIndex,
+    phrases: list[str],
+    *,
+    lowercase: bool = True,
+    slops: list[int] | None = None,
 ) -> DataFrame:
     """Match MANY phrases in one postings pass.
     Returns (phrase_id, doc_id, n_occurrences), phrase_id = position in
     ``phrases``, n_occurrences >= 1. One shuffle total (the
     per-(phrase, doc) fold), regardless of phrase count — the batch shape
-    the boolean-query phrase clauses need."""
+    the boolean-query phrase clauses need.
+
+    ``slops`` (aligned with ``phrases``, default all 0) gives each
+    phrase its Lucene slop: a doc matches when the offset-shifted
+    positions fit a window of width <= slop — SloppyPhraseMatcher's
+    end-start criterion, exact Lucene semantics for two-term phrases
+    (span == move count) and the span relaxation of Lucene's
+    move-counting for longer ones (see _fold_phrases). For sloppy
+    phrases n_occurrences counts distinct qualifying window anchors
+    (>= 1 iff matched), not Lucene's weighted sloppy freq."""
     spark = index.postings.sparkSession
     rows, plens = _phrase_rows(phrases, lowercase)
     qdf = spark.createDataFrame(rows, "phrase_id int, term_idx int, term string")
@@ -70,7 +93,7 @@ def multi_phrase_match(
             ),
         )
     )
-    return _fold_phrases(ex, plens)
+    return _fold_phrases(ex, plens, slops=_slop_map(phrases, slops))
 
 
 def multi_phrase_match_scored(
@@ -80,6 +103,7 @@ def multi_phrase_match_scored(
     k1: float = 1.2,
     b: float = 0.75,
     lowercase: bool = True,
+    slops: list[int] | None = None,
 ) -> DataFrame:
     """multi_phrase_match plus per-doc constituent scoring in the SAME
     postings pass: (phrase_id, doc_id, n_occurrences, unit_score) where
@@ -127,17 +151,54 @@ def multi_phrase_match_scored(
             / (tf + k1 * (1.0 - b + b * dl / avgdl))
         ).alias("f"),
     )
-    return _fold_phrases(ex, plens, scored=True)
+    return _fold_phrases(
+        ex, plens, scored=True, slops=_slop_map(phrases, slops)
+    )
 
 
 def _fold_phrases(
-    ex: DataFrame, plens: dict[int, int], *, scored: bool = False
+    ex: DataFrame,
+    plens: dict[int, int],
+    *,
+    scored: bool = False,
+    slops: dict[int, int] | None = None,
 ) -> DataFrame:
     """The per-(phrase, doc) contiguity fold shared by the uncompressed
     and compressed phrase paths. ``ex``: (phrase_id, term_idx, doc_id,
     shifted array<long>) with ONE row per (phrase, term, doc); when
     ``scored``, also an ``f`` column (that constituent occurrence's BM25
-    contribution at qtf=1) summed into ``unit_score`` per matched doc."""
+    contribution at qtf=1) summed into ``unit_score`` per matched doc.
+
+    SLOP (``slops``: {phrase_id: slop}, missing = 0): Lucene's
+    SloppyPhraseMatcher matches when the offset-shifted positions of all
+    phrase terms fit inside a window of width <= slop (its end - start
+    criterion; for two-term phrases the window span EQUALS the
+    move-count — "a b"~1 matches "a x b" and "b a" needs ~2 — and for
+    3+ terms span <= sum-of-moves, so this matches a superset of
+    Lucene's already-approximate greedy matcher; deviation documented in
+    multi_phrase_match). Implementation keeps the ONE intersect fold:
+    each shifted position p expands to the window anchors
+    sequence(p - slop, p) BEFORE the fold — an anchor v survives the
+    cross-term intersection iff every term has a position in
+    [v, v + slop], i.e. iff a qualifying window exists. slop 0 expands
+    to [p] (plan-identical to the exact path, which skips the rewrite
+    entirely). Cost is O((slop + 1) * positions) rows into the same
+    shuffle — bounded by the query's slop, never the corpus."""
+    if slops and any(s > 0 for s in slops.values()):
+        slop_map = F.create_map(
+            *[F.lit(x) for kv in slops.items() for x in kv]
+        )
+        s_col = F.coalesce(slop_map[F.col("phrase_id")], F.lit(0))
+        ex = ex.withColumn(
+            "shifted",
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "shifted", lambda p: F.sequence(p - s_col, p)
+                    )
+                )
+            ),
+        )
     aggs = [
         F.count("*").alias("nt"),
         F.array_sort(F.collect_list(F.struct("term_idx", "shifted"))).alias("arrs"),
@@ -162,7 +223,11 @@ def _fold_phrases(
 
 
 def multi_phrase_match_compressed(
-    cindex, phrases: list[str], *, lowercase: bool = True
+    cindex,
+    phrases: list[str],
+    *,
+    lowercase: bool = True,
+    slops: list[int] | None = None,
 ) -> DataFrame:
     """multi_phrase_match over a COMPRESSED index built with
     compress_index(with_positions=True) — the compressed-only deployment
@@ -225,7 +290,7 @@ def multi_phrase_match_compressed(
         decode,
         schema="phrase_id int, term_idx int, doc_id long, shifted array<long>",
     )
-    return _fold_phrases(ex, plens)
+    return _fold_phrases(ex, plens, slops=_slop_map(phrases, slops))
 
 
 def multi_phrase_match_scored_compressed(
@@ -235,6 +300,7 @@ def multi_phrase_match_scored_compressed(
     k1: float = 1.2,
     b: float = 0.75,
     lowercase: bool = True,
+    slops: list[int] | None = None,
 ) -> DataFrame:
     """multi_phrase_match_scored over a COMPRESSED positional index —
     (phrase_id, doc_id, n_occurrences, unit_score), same contract as the
@@ -320,7 +386,9 @@ def multi_phrase_match_scored_compressed(
             "shifted array<long>, f double"
         ),
     )
-    return _fold_phrases(ex, plens, scored=True)
+    return _fold_phrases(
+        ex, plens, scored=True, slops=_slop_map(phrases, slops)
+    )
 
 
 def phrase_match(index: InvertedIndex, phrase: str) -> DataFrame:

@@ -570,11 +570,14 @@ def _marker_members_local(
 ):
     """Shared driver-side marker expansion over a {term: df} map — same
     ranking/cap contract as boolean.expand_vocab_markers: fuzzy markers
-    carry FuzzyQuery's df-ranked maxExpansions cap, prefix markers match
-    ALL startswith terms (PrefixQuery constant-score rewrite) and raise
-    past the maxBooleanClauses-style guard."""
+    carry FuzzyQuery's df-ranked maxExpansions cap; prefix, wildcard and
+    term-range markers match ALL qualifying terms (constant-score
+    rewrites) and raise past the maxBooleanClauses-style guard."""
+    import re as _re
+
     from solrtexttagger_spark.search.boolean import (
         MAX_PREFIX_EXPANSIONS,
+        _wildcard_regex,
         parse_marker,
     )
 
@@ -582,7 +585,7 @@ def _marker_members_local(
         max_prefix_expansions = MAX_PREFIX_EXPANSIONS
     parsed = parse_marker(marker)
     if parsed is None:
-        raise ValueError(f"not a fuzzy/prefix marker: {marker!r}")
+        raise ValueError(f"not a marker clause: {marker!r}")
     kind, base, dist = parsed
     if kind == "fuzzy":
         members = [
@@ -592,12 +595,25 @@ def _marker_members_local(
         ]
         members.sort(key=lambda x: (-x[0], x[1]))
         return [t for _df, t in members[:max_expansions]]
-    members = [(df, t) for t, df in df_map.items() if t.startswith(base)]
+    if kind == "prefix":
+        pred = lambda t: t.startswith(base)  # noqa: E731
+    elif kind == "wildcard":
+        rx = _re.compile(_wildcard_regex(base))
+        pred = lambda t: rx.match(t) is not None  # noqa: E731
+    else:  # range
+        lo, hi, lo_inc, hi_inc = base
+        def pred(t, lo=lo, hi=hi, lo_inc=lo_inc, hi_inc=hi_inc):
+            if lo != "*" and not (t >= lo if lo_inc else t > lo):
+                return False
+            if hi != "*" and not (t <= hi if hi_inc else t < hi):
+                return False
+            return True
+    members = [(df, t) for t, df in df_map.items() if pred(t)]
     if len(members) > max_prefix_expansions:
         raise ValueError(
-            f"prefix clause {marker!r} expands to more than "
+            f"{kind} clause {marker!r} expands to more than "
             f"{max_prefix_expansions} terms (Solr maxBooleanClauses "
-            "analogue); narrow the prefix or raise max_prefix_expansions"
+            "analogue); narrow the pattern or raise max_prefix_expansions"
         )
     members.sort(key=lambda x: (-x[0], x[1]))
     return [t for _df, t in members]

@@ -298,10 +298,15 @@ class LocalSearcher:
                 "boolean_bm25_topk)"
             )
 
-    def _phrase_docs(self, toks: tuple) -> set:
+    def _phrase_docs(self, toks: tuple, slop: int = 0) -> set:
         """Docs containing the token sequence contiguously (same shifted
         position-set intersection as search/phrase.multi_phrase_match,
-        folded driver-side over the warmed position arrays)."""
+        folded driver-side over the warmed position arrays). ``slop``
+        uses the identical window-anchor expansion as _fold_phrases:
+        each shifted position p expands to {p - slop .. p} so the
+        intersection is non-empty iff a window of width <= slop covers
+        one position of every term (Lucene SloppyPhraseMatcher's
+        end - start criterion) — parity with the distributed path."""
         for t in toks:
             self._require_warmed(t)
         cand: set | None = None
@@ -317,6 +322,8 @@ class LocalSearcher:
             inter: set | None = None
             for i, t in enumerate(toks):
                 s = {int(p) - i for p in self.term_pos[t][d]}
+                if slop:
+                    s = {v for p in s for v in range(p - slop, p + 1)}
                 inter = s if inter is None else inter & s
                 if not inter:
                     break
@@ -479,6 +486,7 @@ class LocalSearcher:
         start: int = 0,
         synonyms: dict[str, list[str]] | None = None,
         speller=None,
+        fuzzy_decay: bool = False,
     ):
         """Warm-path `/select` with boolean clause syntax: `+must -not
         should field:term`, plus `+"quoted phrase"` / `-"quoted phrase"`
@@ -489,12 +497,18 @@ class LocalSearcher:
         path serves those). ``allowed_docs``/``start`` as in search():
         precomputed fq doc-id set + absolute-rank paging. ``synonyms``
         expands clauses exactly like boolean_bm25_topk(synonyms=): a
-        MUST group is satisfied by ANY member. Fuzzy (``word~d``) and
-        prefix (``word*``) clauses need ``speller=LocalSpeller(index)``
-        for the vocabulary rewrite (raises without it).
+        MUST group is satisfied by ANY member. Multi-term clauses —
+        fuzzy ``word~d``, prefix ``word*``, wildcard ``te?m``/``t*m``,
+        range ``[lo TO hi]`` — need ``speller=LocalSpeller(index)``
+        for the vocabulary rewrite (raises without it); boosts
+        (``term^2``) and sloppy phrases (``"a b"~2``) work exactly as
+        on the distributed path; ``fuzzy_decay``
+        opts into Lucene's similarity-decayed fuzzy boosts exactly like
+        boolean_bm25_topk(fuzzy_decay=True).
         -> [(rank, doc_id, score)]."""
         from solrtexttagger_spark.search.boolean import (
             expand_boolean_clauses,
+            fuzzy_member_weights,
             parse_boolean_query,
             parse_marker,
         )
@@ -508,20 +522,26 @@ class LocalSearcher:
         if markers:
             if speller is None:
                 raise NotImplementedError(
-                    "fuzzy/prefix clauses need a vocabulary: pass "
-                    "speller=LocalSpeller(index) (the distributed "
-                    "boolean_bm25_topk expands them from term_stats)"
+                    "fuzzy/prefix/wildcard/range clauses need a "
+                    "vocabulary: pass speller=LocalSpeller(index) (the "
+                    "distributed boolean_bm25_topk expands them from "
+                    "term_stats)"
                 )
-            synonyms = {
-                **(synonyms or {}),
-                **{mk: speller.expand_marker(mk) for mk in sorted(markers)},
+            expanded = {
+                mk: speller.expand_marker(mk) for mk in sorted(markers)
             }
+            synonyms = {**(synonyms or {}), **expanded}
+        member_weights = (
+            fuzzy_member_weights(expanded)
+            if (fuzzy_decay and markers)
+            else None
+        )
         (score_bag, must_groups, n_groups, must_not, phrase_groups,
          syn_not_phrases, syn_phrase_bags) = expand_boolean_clauses(
-            must, should, must_not, synonyms
+            must, should, must_not, synonyms, member_weights
         )
-        # multi-word synonym members are contiguity clauses too
-        nphr = nphr + syn_not_phrases
+        # multi-word synonym members are contiguity clauses too (slop 0)
+        nphr = nphr + [(t, 0) for t in syn_not_phrases]
         if (
             mphr or nphr or phrase_groups or syn_phrase_bags
         ) and self.term_pos is None:
@@ -593,11 +613,11 @@ class LocalSearcher:
             if entry is not None:
                 idx = np.searchsorted(uniq, entry[0])
                 keep[idx[np.take(uniq, idx, mode="clip") == entry[0]]] = False
-        for toks in mphr:  # MUST phrases: doc must contain the sequence
-            pd_ = self._phrase_docs(toks)
+        for toks, slop in mphr:  # MUST phrases: sequence within slop
+            pd_ = self._phrase_docs(toks, slop)
             keep &= np.isin(uniq, np.fromiter(pd_, np.int64, len(pd_)))
-        for toks in nphr:  # MUST_NOT phrases
-            pd_ = self._phrase_docs(toks)
+        for toks, slop in nphr:  # MUST_NOT phrases
+            pd_ = self._phrase_docs(toks, slop)
             if pd_:
                 keep &= ~np.isin(uniq, np.fromiter(pd_, np.int64, len(pd_)))
         uniq, scores = uniq[keep], scores[keep]

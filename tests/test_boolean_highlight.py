@@ -66,16 +66,19 @@ def test_parse_phrase_clauses():
     must, should, must_not, mp, np_ = parse_boolean_query('+"alpha beta" gamma')
     assert must == {"alpha": 1, "beta": 1}
     assert should == {"gamma": 1}
-    assert mp == [("alpha", "beta")] and np_ == []
+    assert mp == [(("alpha", "beta"), 0)] and np_ == []
     m2, s2, n2, mp2, np2 = parse_boolean_query('gamma -"alpha beta"')
     assert m2 == {} and s2 == {"gamma": 1} and n2 == set()
-    assert mp2 == [] and np2 == [("alpha", "beta")]
+    assert mp2 == [] and np2 == [(("alpha", "beta"), 0)]
     # bare phrase -> MUST
     m3, _, _, mp3, _ = parse_boolean_query('"alpha beta"')
-    assert m3 == {"alpha": 1, "beta": 1} and mp3 == [("alpha", "beta")]
+    assert m3 == {"alpha": 1, "beta": 1} and mp3 == [(("alpha", "beta"), 0)]
     # fielded phrase
     m4, _, _, mp4, _ = parse_boolean_query('+name:"alpha beta"', field="name")
-    assert m4 == {"alpha": 1, "beta": 1} and mp4 == [("alpha", "beta")]
+    assert m4 == {"alpha": 1, "beta": 1} and mp4 == [(("alpha", "beta"), 0)]
+    # Lucene slop syntax: "a b"~2 carries its window width
+    m5, _, _, mp5, np5 = parse_boolean_query('+"alpha beta"~2 -"x y"~1')
+    assert mp5 == [(("alpha", "beta"), 2)] and np5 == [(("x", "y"), 1)]
     # phrase constituent prohibited elsewhere -> conflict raises
     with pytest.raises(ValueError):
         parse_boolean_query('+"alpha beta" -alpha')
