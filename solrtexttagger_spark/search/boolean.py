@@ -552,11 +552,10 @@ def expand_boolean_clauses(
     )
 
 
-def boolean_bm25_topk(
+def boolean_matched_scores(
     index: InvertedIndex,
     queries: list[tuple[int, str]],
     *,
-    k: int = 10,
     k1: float = K1,
     b: float = B,
     field: str | None = None,
@@ -565,18 +564,15 @@ def boolean_bm25_topk(
     fuzzy_decay: bool = False,
     spark: SparkSession | None = None,
 ) -> DataFrame:
-    """Top-k BM25 under boolean constraints. queries: [(qid, '+a -b c')].
-    Returns (query_id, rank, doc_id, score) — rank long, deterministic
-    (score desc, doc_id asc) tie-break, rank-identical to bm25_topk for
-    pure-SHOULD queries. ``allowed_docs`` is Solr's `fq` (see
-    search/bm25.bm25_topk): restricts results via a semi-join on the
-    matched set before the rank window, never the scoring stats.
-    ``synonyms`` expands clauses per expand_boolean_clauses — a MUST
-    group is satisfied by ANY member, so the HAVING-style filter counts
-    distinct satisfied GROUPS, not distinct terms. ``fuzzy_decay=True``
-    opts into Lucene FuzzyQuery's similarity-decayed member boosts
-    (``1 - d/min(len)`` via fuzzy_member_weights) instead of the flat
-    clause-weight default; matching is unaffected either way."""
+    """The FULL boolean match set with BM25 scores, BEFORE any rank
+    window: (query_id, doc_id, score) for every doc satisfying the
+    query's clauses — the shared core of boolean_bm25_topk (which adds
+    the per-query top-k) and facets.facet_query_counts (Solr
+    facet.query needs cardinalities over the whole match set, never a
+    page). Same clause semantics, marker rewrites, synonym groups,
+    phrase/slop filters, prohibition anti-joins and fq semi-join as
+    boolean_bm25_topk; one postings pass + one phrase pass for ALL
+    queries."""
     spark = spark or index.postings.sparkSession
     score_rows, not_rows, must_counts = [], [], {}
     phrase_ids: dict[tuple[tuple[str, ...], int], int] = {}  # (toks, slop)
@@ -635,7 +631,7 @@ def boolean_bm25_topk(
             pscore_rows.append((int(qid), pid, float(w)))
     if not score_rows and not pscore_rows:
         return spark.createDataFrame(
-            [], "query_id long, rank long, doc_id long, score double"
+            [], "query_id long, doc_id long, score double"
         )
     qdf = spark.createDataFrame(
         score_rows,
@@ -798,6 +794,48 @@ def boolean_bm25_topk(
         matched = matched.join(
             allowed_docs.select("doc_id").distinct(), "doc_id", "left_semi"
         )
+    return matched
+
+
+def boolean_bm25_topk(
+    index: InvertedIndex,
+    queries: list[tuple[int, str]],
+    *,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    field: str | None = None,
+    allowed_docs: DataFrame | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+    fuzzy_decay: bool = False,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Top-k BM25 under boolean constraints. queries: [(qid, '+a -b c')].
+    Returns (query_id, rank, doc_id, score) — rank long, deterministic
+    (score desc, doc_id asc) tie-break, rank-identical to bm25_topk for
+    pure-SHOULD queries. ``allowed_docs`` is Solr's `fq` (see
+    search/bm25.bm25_topk): restricts results via a semi-join on the
+    matched set before the rank window, never the scoring stats.
+    ``synonyms`` expands clauses per expand_boolean_clauses — a MUST
+    group is satisfied by ANY member, so the HAVING-style filter counts
+    distinct satisfied GROUPS, not distinct terms. ``fuzzy_decay=True``
+    opts into Lucene FuzzyQuery's similarity-decayed member boosts
+    (``1 - d/min(len)`` via fuzzy_member_weights) instead of the flat
+    clause-weight default; matching is unaffected either way.
+
+    The match-set computation lives in boolean_matched_scores; this
+    wrapper only adds the per-query rank window."""
+    matched = boolean_matched_scores(
+        index,
+        queries,
+        k1=k1,
+        b=b,
+        field=field,
+        allowed_docs=allowed_docs,
+        synonyms=synonyms,
+        fuzzy_decay=fuzzy_decay,
+        spark=spark,
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )

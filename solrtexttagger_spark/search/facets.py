@@ -143,3 +143,67 @@ def facet_ranges(
         )
         .orderBy("range_start")
     )
+
+
+def facet_query_counts(
+    index: InvertedIndex,
+    base_query: str,
+    facet_queries: list[str],
+    *,
+    allowed_docs: DataFrame | None = None,
+    field: str | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+    spark: SparkSession | None = None,
+) -> dict[str, int]:
+    """Solr ``facet.query``: for each sub-query, the count of documents
+    in the BASE request's match domain (main ``q`` bag-matched, ``fq``
+    applied) that ALSO satisfy the sub-query — the third Solr facet
+    type next to facet.field and facet.range. Each facet.query is a
+    full boolean-syntax query (clauses, markers, phrases, slop — the
+    whole grammar boolean_bm25_topk accepts); Solr evaluates each
+    against the request DocSet the same way.
+
+    -> {facet_query_string: count} in input order, 0 for no matches.
+
+    ONE action: all sub-queries resolve through a single
+    boolean_matched_scores pass (one postings join + one phrase pass
+    for the whole batch), the base domain rides as a semi-join on the
+    SAME plan, and the result is one count-per-query aggregate — never
+    a per-facet-query job. At scale this is the same shape as a
+    BM25 batch: cost is one postings scan regardless of how many
+    facet.query parameters the request carries."""
+    from solrtexttagger_spark.search.boolean import boolean_matched_scores
+
+    if not facet_queries:
+        return {}
+    spark = spark or index.postings.sparkSession
+    fq_matches = boolean_matched_scores(
+        index,
+        list(enumerate(facet_queries)),
+        field=field,
+        synonyms=synonyms,
+        spark=spark,
+    ).select("query_id", "doc_id")
+
+    # base domain: docs matching ANY analyzed term of the main q (the
+    # bag-model match set select/_facet_sections uses), fq-restricted
+    terms = sorted(analyze_query_terms(base_query))
+    if terms:
+        tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+        base = (
+            index.postings.join(F.broadcast(tdf), "term")
+            .select(F.explode("postings.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        if allowed_docs is not None:
+            base = base.join(
+                allowed_docs.select("doc_id").distinct(), "doc_id", "left_semi"
+            )
+        fq_matches = fq_matches.join(base, "doc_id", "left_semi")
+    elif allowed_docs is not None:
+        fq_matches = fq_matches.join(
+            allowed_docs.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+    rows = fq_matches.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    by_id = {int(r["query_id"]): int(r["n"]) for r in rows}
+    return {q: by_id.get(i, 0) for i, q in enumerate(facet_queries)}

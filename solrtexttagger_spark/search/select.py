@@ -320,6 +320,7 @@ def render_select_xml(
     allowed_docs: DataFrame | None = None,
     facet_cols: list[str] | None = None,
     facet_ranges: list[tuple] | None = None,
+    facet_queries: list[str] | None = None,
     hl: bool = False,
     hl_window: int = 8,
     text_col: str = "text",
@@ -337,6 +338,13 @@ def render_select_xml(
     count-desc <int name="value">n</int> entries and
     <lst name="facet_ranges"> with the zero-filled bucket counts plus
     gap/start/end, mirroring Solr's facet.range response shape.
+
+    ``facet_queries`` (list of boolean-syntax sub-queries) appends
+    Solr's facet.query block first inside facet_counts (Solr's order):
+    <lst name="facet_queries"> with one <int name="<query>"> count of
+    base-domain documents satisfying each sub-query — all sub-queries
+    in ONE boolean_matched_scores pass (facets.facet_query_counts;
+    +1 action when requested, same as Solr evaluating extra DocSets).
 
     ``hl=True`` appends Solr's highlighting block — one best-window
     snippet per returned doc (search/highlight.snippets; plain text, no
@@ -358,11 +366,22 @@ def render_select_xml(
             out.append(_xml_el(f_, r[f_], dtypes.get(f_, "string")))
         out.append("</doc>")
     out.append("</result>\n")
-    if facet_cols or facet_ranges:
+    if facet_cols or facet_ranges or facet_queries:
         fields, ranges = _facet_sections(
             index, docs_df, query, facet_cols, facet_ranges, allowed_docs, spark
         )
-        out.append('<lst name="facet_counts"><lst name="facet_fields">')
+        out.append('<lst name="facet_counts">')
+        if facet_queries:
+            from solrtexttagger_spark.search.facets import facet_query_counts
+
+            out.append('<lst name="facet_queries">')
+            for fq_q, n in facet_query_counts(
+                index, query, facet_queries, allowed_docs=allowed_docs,
+                spark=spark,
+            ).items():
+                out.append(_xml_el(fq_q, n, "int"))
+            out.append("</lst>")
+        out.append('<lst name="facet_fields">')
         for col, vals in fields.items():
             out.append(f'<lst name="{_xml_attr(col)}">')
             for value, n in vals:
@@ -408,6 +427,7 @@ def render_select_json(
     allowed_docs: DataFrame | None = None,
     facet_cols: list[str] | None = None,
     facet_ranges: list[tuple] | None = None,
+    facet_queries: list[str] | None = None,
     hl: bool = False,
     hl_window: int = 8,
     text_col: str = "text",
@@ -418,7 +438,9 @@ def render_select_json(
     ``facet_cols``/``facet_ranges``, Solr's default flat-array facet
     block: {"facet_counts": {"facet_fields": {col: [v1, n1, v2, n2, ...]},
     "facet_ranges": {col: {"counts": [...], "gap", "start", "end"}}}},
-    and with ``hl=True`` Solr's highlighting map
+    with ``facet_queries`` Solr's facet.query map
+    {"facet_queries": {"<query>": n}} (see render_select_xml), and with
+    ``hl=True`` Solr's highlighting map
     {"highlighting": {"<id>": {text_col: [snippet]}}}."""
     import json
 
@@ -439,7 +461,7 @@ def render_select_json(
             "docs": docs,
         }
     }
-    if facet_cols or facet_ranges:
+    if facet_cols or facet_ranges or facet_queries:
         fields, ranges = _facet_sections(
             index, docs_df, query, facet_cols, facet_ranges, allowed_docs, spark
         )
@@ -456,6 +478,13 @@ def render_select_json(
                 for col, (lo, hi, gap, buckets) in ranges.items()
             },
         }
+        if facet_queries:
+            from solrtexttagger_spark.search.facets import facet_query_counts
+
+            payload["facet_counts"]["facet_queries"] = facet_query_counts(
+                index, query, facet_queries, allowed_docs=allowed_docs,
+                spark=spark,
+            )
     if hl:
         payload["highlighting"] = {
             str(doc_id): {text_col: [snip]}

@@ -452,3 +452,97 @@ def test_facet_null_bucket_and_same_column_ranges(spark):
             idx, df, "alpha", [], [("n", 0, 40, 20), ("n", 0, 30, 10)],
             None, spark,
         )
+
+
+def test_facet_query_counts(spark):
+    """Solr facet.query (the third facet type): each sub-query is a full
+    boolean-syntax query counted over the BASE request's match domain
+    (main q bag-matched AND fq) — never over the whole corpus. All
+    sub-queries resolve through ONE boolean_matched_scores pass."""
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.search.facets import facet_query_counts
+
+    docs = [
+        (0, "alpha beta gamma", "en", 10),
+        (1, "alpha alpha delta", "en", 20),
+        (2, "beta delta", "de", 30),
+        (3, "epsilon zeta", "en", 40),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, n long")
+    idx = build_index(df.select("doc_id", "text"), num_segments=2)
+
+    out = facet_query_counts(
+        idx, "alpha beta",  # base domain: docs 0,1,2
+        ["delta", "+alpha -beta", '"alpha beta"', "epsilon"],
+        spark=spark,
+    )
+    # input order preserved; epsilon's only doc (3) is OUTSIDE the base
+    # domain -> 0, exactly Solr's DocSet-intersection semantics
+    assert list(out.items()) == [
+        ("delta", 2), ("+alpha -beta", 1), ('"alpha beta"', 1), ("epsilon", 0)
+    ]
+    # fq shrinks the domain too (docs 0,1 remain)
+    en = df.where("lang = 'en'").select("doc_id")
+    out2 = facet_query_counts(
+        idx, "alpha beta", ["delta", "beta"], allowed_docs=en, spark=spark
+    )
+    assert out2 == {"delta": 1, "beta": 1}
+    assert facet_query_counts(idx, "alpha", [], spark=spark) == {}
+
+
+def test_select_facet_queries_golden(spark):
+    """facet.query block in the golden writers: first inside facet_counts
+    (Solr's section order), one <int name="<query>"> per sub-query with
+    the query string attr-escaped; JSON mirrors {"facet_queries": {q: n}}.
+    The block costs exactly ONE extra action on a dressed request."""
+    import json
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.search.select import (
+        render_select_json,
+        render_select_xml,
+    )
+
+    docs = [
+        (0, "alpha beta gamma", "en", 10),
+        (1, "alpha alpha delta", "en", 20),
+        (2, "beta delta", "de", 30),
+        (3, "epsilon zeta", "en", 40),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, n long")
+    idx = build_index(df.select("doc_id", "text"), num_segments=2)
+    idx.postings.persist().count()
+    render_select_xml(idx, df, "alpha", fl=[], k=1, spark=spark)  # warm stats
+
+    calls = []
+    orig = DataFrame.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    try:
+        DataFrame.collect = counting
+        xml = render_select_xml(
+            idx, df, "alpha beta", fl=["lang"], k=2,
+            facet_cols=["lang"], facet_ranges=[("n", 0, 40, 20)],
+            facet_queries=["delta", '+alpha "beta gamma"'],
+            hl=True, spark=spark,
+        )
+    finally:
+        DataFrame.collect = orig
+    # 3-action dressed budget + exactly 1 for ALL facet.query sub-queries
+    assert len(calls) == 4
+    assert (
+        '<lst name="facet_counts"><lst name="facet_queries">'
+        '<int name="delta">2</int>'
+        '<int name="+alpha &quot;beta gamma&quot;">1</int>'
+        '</lst><lst name="facet_fields">'
+    ) in xml
+    js = json.loads(render_select_json(
+        idx, df, "alpha beta", fl=["lang"], k=2, facet_cols=["lang"],
+        facet_queries=["delta", "epsilon"], spark=spark,
+    ))
+    assert js["facet_counts"]["facet_queries"] == {"delta": 2, "epsilon": 0}
