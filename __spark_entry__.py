@@ -505,6 +505,14 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
 FACET_QUERY = "join merge window"
 FACET_FIELDS = ["lang", "source"]
 FACET_RANGE = ("n_chars", 0, 400, 50)  # col, start, end, gap
+# facet.query fixtures: full boolean-syntax sub-queries counted over the
+# base request's (FACET_QUERY bag-match) domain — Solr's third facet
+# type. Mirrored in SQL as padded-LIKE membership tests over the
+# single-spaced lowercase fixture corpus (the tag/chunk oracles already
+# rely on that corpus property); zzznope pins the zero-fill spine.
+FACET_QUERIES = [
+    "window", "+merge -sort", '+"merge sort"', "sort scan", "zzznope",
+]
 
 
 def q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,10 +538,14 @@ def q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_facet_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """facet.fields + facet.range in ONE driver entry — the round-6
-    combined facet job's product shape (search/select._facet_sections
-    computes both sections in one groupBy); each operator's full output
-    stays hash-pinned under its section tag."""
+    """facet.fields + facet.range + facet.query in ONE driver entry —
+    the round-6 combined facet job's product shape
+    (search/select._facet_sections computes field+range in one groupBy;
+    facet.query is one boolean_matched_scores batch for ALL
+    sub-queries); each operator's full output stays hash-pinned under
+    its section tag."""
+    from solrtexttagger_spark.search.facets import facet_query_matches
+
     col, _lo, _hi, _gap = FACET_RANGE
     fields = q_facets(spark, sf_dir).select(
         F.lit("f").alias("sec"), "field", "value", "n"
@@ -544,7 +556,15 @@ def q_facet_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("range_start").cast("string").alias("value"),
         F.col("n").cast("long").alias("n"),
     )
-    return fields.unionByName(ranges)
+    fqueries = facet_query_matches(
+        _index(spark, sf_dir), FACET_QUERY, FACET_QUERIES, spark=spark
+    ).select(
+        F.lit("q").alias("sec"),
+        F.col("facet_query").alias("field"),
+        F.lit(None).cast("string").alias("value"),
+        F.col("n").cast("long").alias("n"),
+    )
+    return fields.unionByName(ranges).unionByName(fqueries)
 
 
 # fuzzy (word~d) + prefix (word*) clause fixtures: the vocabulary is the
@@ -3012,12 +3032,42 @@ FROM events GROUP BY 1, 2
         "JOIN (" + sql.pop("token_stats") + ") t USING (doc_id)"
     )
     _fs_col = FACET_RANGE[0]
+    # facet.query arms: each FACET_QUERIES sub-query as a membership
+    # condition over the base domain (padded-LIKE on the single-spaced
+    # corpus — term = ' w ' substring, phrase = contiguous substring)
+    _fq_conds = {
+        "window": "pt LIKE '% window %'",
+        "+merge -sort": "pt LIKE '% merge %' AND pt NOT LIKE '% sort %'",
+        '+"merge sort"': "pt LIKE '% merge sort %'",
+        "sort scan": "(pt LIKE '% sort %' OR pt LIKE '% scan %')",
+        "zzznope": "pt LIKE '% zzznope %'",
+    }
+    assert sorted(_fq_conds) == sorted(FACET_QUERIES)
+    _q_arms = "\nUNION ALL\n".join(
+        "SELECT 'q' AS sec, '" + q.replace("'", "''") + "' AS field, "
+        "CAST(NULL AS VARCHAR) AS value, "
+        f"(SELECT count(*) FROM fq_md WHERE {cond})::BIGINT AS n"
+        for q, cond in _fq_conds.items()
+    )
+    _q_section = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w IN ({_fq_terms})
+),
+fq_md AS (
+  SELECT ' ' || d.text || ' ' AS pt FROM documents d JOIN matched USING (doc_id)
+)
+{_q_arms}
+"""
     sql["facet_sections"] = (
         "SELECT 'f' AS sec, field, value, n FROM ("
         + sql.pop("facets")
         + f")\nUNION ALL\nSELECT 'r' AS sec, '{_fs_col}' AS field, "
         "range_start::VARCHAR AS value, n FROM ("
         + sql.pop("facet_range")
+        + ")\nUNION ALL\nSELECT sec, field, value, n FROM ("
+        + _q_section
         + ")"
     )
     sql["doc_risk"] = (

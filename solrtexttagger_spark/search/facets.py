@@ -145,7 +145,7 @@ def facet_ranges(
     )
 
 
-def facet_query_counts(
+def facet_query_matches(
     index: InvertedIndex,
     base_query: str,
     facet_queries: list[str],
@@ -154,29 +154,32 @@ def facet_query_counts(
     field: str | None = None,
     synonyms: dict[str, list[str]] | None = None,
     spark: SparkSession | None = None,
-) -> dict[str, int]:
-    """Solr ``facet.query``: for each sub-query, the count of documents
-    in the BASE request's match domain (main ``q`` bag-matched, ``fq``
-    applied) that ALSO satisfy the sub-query — the third Solr facet
-    type next to facet.field and facet.range. Each facet.query is a
-    full boolean-syntax query (clauses, markers, phrases, slop — the
-    whole grammar boolean_bm25_topk accepts); Solr evaluates each
-    against the request DocSet the same way.
+) -> DataFrame:
+    """Solr ``facet.query`` as a relation: for each sub-query, the count
+    of documents in the BASE request's match domain (main ``q``
+    bag-matched, ``fq`` applied) that ALSO satisfy the sub-query — the
+    third Solr facet type next to facet.field and facet.range. Each
+    facet.query is a full boolean-syntax query (clauses, markers,
+    phrases, slop — the whole grammar boolean_bm25_topk accepts); Solr
+    evaluates each against the request DocSet the same way.
 
-    -> {facet_query_string: count} in input order, 0 for no matches.
+    Returns (facet_query string, n long) — one row per requested
+    sub-query, ZERO-FILLED (a sub-query with no matches still appears,
+    n=0, via a literal spine left-join — Solr always echoes every
+    facet.query parameter).
 
-    ONE action: all sub-queries resolve through a single
-    boolean_matched_scores pass (one postings join + one phrase pass
-    for the whole batch), the base domain rides as a semi-join on the
-    SAME plan, and the result is one count-per-query aggregate — never
-    a per-facet-query job. At scale this is the same shape as a
+    One postings pass: all sub-queries resolve through a single
+    boolean_matched_scores batch, the base domain rides as a semi-join
+    on the SAME plan, and the result is one count-per-query aggregate —
+    never a per-facet-query job. At scale this is the same shape as a
     BM25 batch: cost is one postings scan regardless of how many
     facet.query parameters the request carries."""
     from solrtexttagger_spark.search.boolean import boolean_matched_scores
 
-    if not facet_queries:
-        return {}
     spark = spark or index.postings.sparkSession
+    spine = spark.createDataFrame(
+        list(enumerate(facet_queries)), "query_id long, facet_query string"
+    )
     fq_matches = boolean_matched_scores(
         index,
         list(enumerate(facet_queries)),
@@ -204,6 +207,33 @@ def facet_query_counts(
         fq_matches = fq_matches.join(
             allowed_docs.select("doc_id").distinct(), "doc_id", "left_semi"
         )
-    rows = fq_matches.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    counts = fq_matches.groupBy("query_id").agg(F.count("*").alias("n"))
+    return spine.join(counts, "query_id", "left").select(
+        "facet_query",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        "query_id",
+    )
+
+
+def facet_query_counts(
+    index: InvertedIndex,
+    base_query: str,
+    facet_queries: list[str],
+    *,
+    allowed_docs: DataFrame | None = None,
+    field: str | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+    spark: SparkSession | None = None,
+) -> dict[str, int]:
+    """facet_query_matches collected for the response writers:
+    {facet_query_string: count} in input order, 0 for no matches.
+    ONE action (the relation is one job)."""
+    if not facet_queries:
+        return {}
+    rows = facet_query_matches(
+        index, base_query, facet_queries,
+        allowed_docs=allowed_docs, field=field, synonyms=synonyms,
+        spark=spark,
+    ).collect()
     by_id = {int(r["query_id"]): int(r["n"]) for r in rows}
     return {q: by_id.get(i, 0) for i, q in enumerate(facet_queries)}
