@@ -459,6 +459,7 @@ BOOL_PHRASE_QUERIES = [
     (4, '+"row data" +"sort merge"'),
     (5, '+"query scan"~2 -dup'),    # sloppy MUST phrase (Lucene slop)
     (6, 'hash -"hash join"~1'),     # sloppy prohibition
+    (7, '+"hash join"^2 scan'),     # phrase boost (constituent qtf x2)
 ]
 
 

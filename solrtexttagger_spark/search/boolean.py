@@ -59,7 +59,8 @@ Clause syntax:
                  contribution via the qtf channel (exactly Lucene's
                  boost composition under BM25's qtf-linear sum);
                  ignored on prohibited clauses, composes with markers
-                 (sc*^2). Phrase boosts are out of scope (documented).
+                 (sc*^2) and phrases ("a b"^2, "a b"~1^2 — scales the
+                 constituents' qtf; the contiguity gate is unchanged).
   "a b"~2        SLOPPY phrase (Lucene SloppyPhraseMatcher, round 7):
                  matches when the offset-shifted positions fit a window
                  of width <= slop — exact move-count semantics for
@@ -100,7 +101,7 @@ from solrtexttagger_spark.search.phrase import (
 
 _CLAUSE_RE = re.compile(
     r'([+-]?)(?:([A-Za-z_]\w*):)?'
-    r'(?:"([^"]*)"(?:~(\d+))?'          # "phrase" with optional ~slop
+    r'(?:"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?'  # "phrase" ~slop ^boost
     r'|([\[{])(\S+)\s+TO\s+(\S+)([\]}])'  # [lo TO hi] / {lo TO hi} range
     r'|(\S+))'                           # bare term / marker / boost
 )
@@ -133,7 +134,9 @@ def parse_boolean_query(q: str, lowercase: bool = True, field: str | None = None
     single-field). ``term^2.5`` boosts fold into the clause weight
     (Lucene query-time boost: the qtf multiplier IS the boost channel;
     boosts on prohibited clauses are ignored, as Lucene never scores
-    them). Leading-wildcard patterns (``*erm`` / ``?erm``) raise like
+    them). Phrase boosts ``"a b"^2`` (optionally after slop:
+    ``"a b"~1^2``) scale every constituent's qtf — the phrase scores
+    through its constituents here, so that is the whole boost surface. Leading-wildcard patterns (``*erm`` / ``?erm``) raise like
     Solr's default allowLeadingWildcard=false — without a reversed-term
     index that rewrite is a full vocabulary scan."""
     must: dict[str, float] = {}
@@ -146,7 +149,7 @@ def parse_boolean_query(q: str, lowercase: bool = True, field: str | None = None
         d[term] = d.get(term, 0) + w
 
     for m in _CLAUSE_RE.finditer(q):
-        (prefix, clause_field, phrase, slop,
+        (prefix, clause_field, phrase, slop, pboost,
          r_open, r_lo, r_hi, r_close, bare) = m.groups()
         if clause_field is not None and field is not None and clause_field != field:
             raise ValueError(
@@ -159,11 +162,15 @@ def parse_boolean_query(q: str, lowercase: bool = True, field: str | None = None
                 continue
             entry = (toks, int(slop or 0))
             if role == "not":
-                not_phrases.append(entry)
+                not_phrases.append(entry)  # boost ignored: never scored
             else:  # bare phrases promote to MUST (module docstring)
                 must_phrases.append(entry)
+                # "a b"^2 scales the constituents' qtf: this engine
+                # scores a MUST phrase through its constituent bag terms
+                # gated by the contiguity filter, so the qtf channel is
+                # the phrase's boost channel exactly as it is for terms
                 for t in toks:
-                    _add(must, t, 1)
+                    _add(must, t, float(pboost or 1))
             continue
         if r_open is not None:
             # Lucene TermRangeQuery: [lo TO hi] inclusive, {lo TO hi}

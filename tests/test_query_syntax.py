@@ -359,6 +359,8 @@ class TestSloppyPhrases:
             '+"hash join"~1',
             '+"hash join"~2 -probe',
             'hash -"hash join"~1',
+            '+"hash join"^2 scan',
+            '+"hash probe"~1^3',
         )
         for q in queries:
             dist = sorted(
@@ -372,3 +374,45 @@ class TestSloppyPhrases:
                 for r, d, sc in ls.search_boolean(q, k=10, speller=sp)
             ]
             assert local == dist, q
+
+
+class TestPhraseBoost:
+    def test_phrase_boost_parse(self):
+        """"a b"^2 (optionally after slop) scales every constituent's
+        qtf — the phrase scores through its constituents gated by the
+        contiguity filter, so the qtf channel is the phrase's boost
+        channel exactly as for terms; prohibited-phrase boosts are
+        ignored (Lucene never scores them)."""
+        from solrtexttagger_spark.search.boolean import parse_boolean_query
+
+        must, should, must_not, mp, np_ = parse_boolean_query(
+            '+"hash join"^2 -"sort merge"^3 "scan sort"~1^0.5'
+        )
+        assert mp == [(("hash", "join"), 0), (("scan", "sort"), 1)]
+        assert np_ == [(("sort", "merge"), 0)]
+        assert must == {"hash": 2.0, "join": 2.0, "scan": 0.5, "sort": 0.5}
+        assert should == {} and must_not == set()
+
+    def test_phrase_boost_scales_scores(self, spark, corpus):
+        from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+
+        _, idx = corpus
+        base = _raw(
+            boolean_bm25_topk(idx, [(0, '+"hash join"')], k=10, spark=spark)
+        )
+        boosted = _raw(
+            boolean_bm25_topk(idx, [(0, '+"hash join"^2')], k=10, spark=spark)
+        )
+        assert base  # the phrase matches (docs 0, 1)
+        assert [(r, d) for r, d, _ in boosted] == [(r, d) for r, d, _ in base]
+        for (_r1, _d1, s1), (_r2, _d2, s2) in zip(base, boosted):
+            assert s2 == pytest.approx(2.0 * s1, rel=1e-9)
+        # slop + boost compose; the gate itself is unchanged by boost
+        sloppy = _raw(
+            boolean_bm25_topk(
+                idx, [(0, '+"hash join"~2^2')], k=10, spark=spark
+            )
+        )
+        # docs 0,1 adjacent; 2 has one gap (~1); 3 is reversed ("join
+        # hash" — the two-term move count is exactly 2)
+        assert {d for _r, d, _s in sloppy} == {0, 1, 2, 3}
