@@ -31,6 +31,10 @@ def facet_counts(
     *,
     id_col: str = "doc_id",
     limit: int | None = None,
+    offset: int = 0,
+    mincount: int = 0,
+    sort: str = "count",
+    prefix: str | None = None,
     allowed_docs: DataFrame | None = None,
     spark: SparkSession | None = None,
 ) -> DataFrame:
@@ -40,7 +44,27 @@ def facet_counts(
     union cleanly), ordered within each field by (n desc, value asc),
     optionally capped at ``limit`` values per field. ``allowed_docs`` is
     Solr's fq: it restricts the facet DOMAIN (Solr facets respect filter
-    queries) via a semi-join on the match set."""
+    queries) via a semi-join on the match set.
+
+    Solr facet.field request parameters (applied request-wide like the
+    un-prefixed Solr params; per-field ``f.<field>.facet.*`` overrides
+    are a caller-side loop if needed):
+
+    - ``mincount``: drop values with n < mincount AFTER counting
+      (facet.mincount; the default 0 keeps every observed value — values
+      absent from the match set never appear, exactly Solr over a
+      docValues field's observed domain).
+    - ``sort``: ``"count"`` (n desc, value asc — Solr's default when
+      limit > 0) or ``"index"`` (value asc — Solr's lexicographic
+      index order).
+    - ``offset``/``limit``: paginate WITHIN each field's sorted value
+      list (facet.offset/facet.limit); offset without limit is honored.
+    - ``prefix``: only values starting with the string (facet.prefix),
+      applied BEFORE counting-order pagination like Solr's term-enum
+      restriction; pushed below the aggregate so pruned values never
+      shuffle."""
+    if sort not in ("count", "index"):
+        raise ValueError(f"facet sort must be 'count' or 'index', got {sort!r}")
     spark = spark or docs_df.sparkSession
     terms = sorted(analyze_query_terms(query))
     if not terms or not facet_cols:
@@ -72,14 +96,23 @@ def facet_counts(
             )
         ).alias("fv")
     ).select("fv.field", "fv.value")
+    if prefix is not None:
+        fv = fv.where(F.col("value").startswith(prefix))
     counts = fv.groupBy("field", "value").agg(F.count("*").alias("n"))
-    if limit is not None:
-        w = Window.partitionBy("field").orderBy(F.col("n").desc(), F.col("value").asc())
-        counts = (
-            counts.withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") <= limit)
-            .drop("__r")
+    if mincount > 0:
+        counts = counts.where(F.col("n") >= mincount)
+    if offset > 0 or limit is not None:
+        order = (
+            [F.col("n").desc(), F.col("value").asc()]
+            if sort == "count"
+            else [F.col("value").asc()]
         )
+        w = Window.partitionBy("field").orderBy(*order)
+        hi = offset + limit if limit is not None else None
+        counts = counts.withColumn("__r", F.row_number().over(w)).where(
+            (F.col("__r") > offset)
+            & (F.col("__r") <= hi if hi is not None else F.lit(True))
+        ).drop("__r")
     return counts.select("field", "value", "n")
 
 

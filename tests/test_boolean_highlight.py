@@ -445,3 +445,38 @@ class TestMarkerRewriteScaleShape:
 
         with pytest.raises(ValueError, match="maxBooleanClauses|expands"):
             _marker_members_local(sp.df, "aa*", max_prefix_expansions=60)
+
+
+def test_facet_field_params(spark):
+    """Solr facet.field request params (round 7): mincount drops
+    under-threshold values after counting, sort=index is lexicographic
+    (vs the count-desc default), offset/limit paginate within each
+    field's sorted list, prefix restricts values before the aggregate."""
+    from solrtexttagger_spark.search.facets import facet_counts
+
+    rows = [
+        (0, "alpha", "aa"), (1, "alpha", "aa"), (2, "alpha", "aa"),
+        (3, "alpha", "ab"), (4, "alpha", "ab"), (5, "alpha", "ba"),
+        (6, "alpha", "bb"), (7, "beta", "zz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, cat string")
+    idx = build_index(docs.select("doc_id", "text"), num_segments=2)
+
+    def vals(**kw):
+        out = facet_counts(idx, docs, "alpha", ["cat"], spark=spark, **kw)
+        r = [(x["value"], x["n"]) for x in out.collect()]
+        # count-sorted presentation for assertion stability
+        return sorted(r, key=lambda t: (-t[1], t[0]))
+
+    assert vals() == [("aa", 3), ("ab", 2), ("ba", 1), ("bb", 1)]
+    assert vals(mincount=2) == [("aa", 3), ("ab", 2)]
+    assert vals(prefix="a") == [("aa", 3), ("ab", 2)]
+    # offset pages past the top value in count order
+    assert vals(offset=1, limit=2) == [("ab", 2), ("ba", 1)]
+    # index order: lexicographic regardless of counts
+    assert vals(sort="index", offset=2, limit=2) == [("ba", 1), ("bb", 1)]
+    # offset without limit
+    assert vals(sort="index", offset=3) == [("bb", 1)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="count.*index|index.*count"):
+        vals(sort="nope")
