@@ -539,14 +539,18 @@ def q_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_facet_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """facet.fields + facet.range + facet.query in ONE driver entry —
-    the round-6 combined facet job's product shape
-    (search/select._facet_sections computes field+range in one groupBy;
-    facet.query is one boolean_matched_scores batch for ALL
-    sub-queries); each operator's full output stays hash-pinned under
-    its section tag."""
+    """facet.fields + facet.range + facet.query + a nested JSON facet in
+    ONE driver entry — search/select._facet_sections computes
+    field+range in one groupBy; facet.query is one
+    boolean_matched_scores batch for ALL sub-queries; the sec='j' rows
+    are json_facet's nested terms tree (lang top-3 -> source top-2 per
+    parent), computed by ONE grouping-sets aggregate. Each operator's
+    full output stays hash-pinned under its section tag."""
     from solrtexttagger_spark.search.facets import facet_query_matches
+    from solrtexttagger_spark.search.json_facet import json_facet
 
+    idx = _index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
     col, _lo, _hi, _gap = FACET_RANGE
     fields = q_facets(spark, sf_dir).select(
         F.lit("f").alias("sec"), "field", "value", "n"
@@ -558,14 +562,29 @@ def q_facet_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
     )
     fqueries = facet_query_matches(
-        _index(spark, sf_dir), FACET_QUERY, FACET_QUERIES, spark=spark
+        idx, FACET_QUERY, FACET_QUERIES, spark=spark
     ).select(
         F.lit("q").alias("sec"),
         F.col("facet_query").alias("field"),
         F.lit(None).cast("string").alias("value"),
         F.col("n").cast("long").alias("n"),
     )
-    return fields.unionByName(ranges).unionByName(fqueries)
+    jf = json_facet(idx, docs, FACET_QUERY, {
+        "langs": {"type": "terms", "field": "lang", "limit": 3,
+                  "facet": {"srcs": {"type": "terms", "field": "source",
+                                     "limit": 2}}},
+    }, spark=spark)
+    jrows = []
+    for b in jf["langs"]["buckets"]:
+        jrows.append(("j", "lang", str(b["val"]), int(b["count"])))
+        for c in b["srcs"]["buckets"]:
+            jrows.append(
+                ("j", f"lang={b['val']}", str(c["val"]), int(c["count"]))
+            )
+    jdf = spark.createDataFrame(
+        jrows, "sec string, field string, value string, n long"
+    )
+    return fields.unionByName(ranges).unionByName(fqueries).unionByName(jdf)
 
 
 # fuzzy (word~d) + prefix (word*) clause fixtures: the vocabulary is the
@@ -3061,6 +3080,36 @@ fq_md AS (
 )
 {_q_arms}
 """
+    # nested JSON facet mirror (sec='j'): lang top-3 by (count desc,
+    # value asc), source top-2 per kept parent — row_number windows over
+    # per-level GROUP BYs replicate json_facet's grouping-sets tree;
+    # NULL bucket values are excluded (Solr terms default, no missing)
+    _j_section = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w IN ({_fq_terms})
+),
+md AS (SELECT d.* FROM documents d JOIN matched USING (doc_id)),
+l1 AS (
+  SELECT lang, count(*)::BIGINT AS n,
+         row_number() OVER (ORDER BY count(*) DESC, lang ASC) AS rn
+  FROM md WHERE lang IS NOT NULL GROUP BY lang
+),
+l2 AS (
+  SELECT lang, source, count(*)::BIGINT AS n,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY count(*) DESC, source ASC
+         ) AS rn
+  FROM md WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang, source
+)
+SELECT 'j' AS sec, 'lang' AS field, lang AS value, n FROM l1 WHERE rn <= 3
+UNION ALL
+SELECT 'j' AS sec, 'lang=' || l2.lang AS field, l2.source AS value, l2.n
+FROM l2 JOIN l1 ON l1.lang = l2.lang AND l1.rn <= 3
+WHERE l2.rn <= 2
+"""
     sql["facet_sections"] = (
         "SELECT 'f' AS sec, field, value, n FROM ("
         + sql.pop("facets")
@@ -3069,6 +3118,8 @@ fq_md AS (
         + sql.pop("facet_range")
         + ")\nUNION ALL\nSELECT sec, field, value, n FROM ("
         + _q_section
+        + ")\nUNION ALL\nSELECT sec, field, value, n FROM ("
+        + _j_section
         + ")"
     )
     sql["doc_risk"] = (

@@ -1,0 +1,230 @@
+"""Solr JSON Facet API subset (search/json_facet.py): nested
+terms/range/query facets with per-bucket stats, executed as ONE
+grouping-sets aggregate for the whole tree (+ one batched boolean pass
+for query facets). Reference: Solr's json.facet request parameter — the
+modern facet module behind the classic facet.field/range/query params.
+"""
+
+import pytest
+
+
+ROWS = [
+    (0, "alpha beta", "en", "web", 10),
+    (1, "alpha gamma", "en", "book", 20),
+    (2, "alpha delta", "en", "web", 30),
+    (3, "alpha beta", "de", "web", 40),
+    (4, "alpha", None, "book", 50),
+    (5, "zeta", "fr", "web", 60),  # outside the 'alpha' domain
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from solrtexttagger_spark.index.build import build_index
+
+    df = spark.createDataFrame(
+        ROWS, "doc_id long, text string, lang string, src string, n long"
+    )
+    idx = build_index(df.select("doc_id", "text"), num_segments=2)
+    idx.postings.persist().count()
+    yield df, idx
+    idx.postings.unpersist()
+
+
+def _facet(spark, corpus, spec, **kw):
+    from solrtexttagger_spark.search.json_facet import json_facet
+
+    df, idx = corpus
+    return json_facet(idx, df, "alpha", spec, spark=spark, **kw)
+
+
+class TestTree:
+    def test_nested_terms_with_stats(self, spark, corpus):
+        out = _facet(spark, corpus, {
+            "langs": {
+                "type": "terms", "field": "lang", "limit": 2,
+                "missing": True, "numBuckets": True,
+                "facet": {
+                    "avg_n": "avg(n)",
+                    "srcs": {"type": "terms", "field": "src", "limit": 1},
+                },
+            },
+            "total_n": "sum(n)",
+        })
+        assert out["count"] == 5 and out["total_n"] == 150.0
+        langs = out["langs"]
+        assert [b["val"] for b in langs["buckets"]] == ["en", "de"]
+        en, de = langs["buckets"]
+        assert en["count"] == 3 and en["avg_n"] == pytest.approx(20.0)
+        assert de["count"] == 1 and de["avg_n"] == pytest.approx(40.0)
+        # sub-facet under each parent bucket, independently limited
+        assert en["srcs"]["buckets"] == [{"val": "web", "count": 2}]
+        assert de["srcs"]["buckets"] == [{"val": "web", "count": 1}]
+        # Solr missing:true = the NULL bucket; numBuckets is pre-limit
+        assert langs["missing"] == {"count": 1}
+        assert langs["numBuckets"] == 2
+
+    def test_sort_variants_and_pagination(self, spark, corpus):
+        # index order
+        out = _facet(spark, corpus, {
+            "langs": {"type": "terms", "field": "lang", "sort": "index"},
+        })
+        assert [b["val"] for b in out["langs"]["buckets"]] == ["de", "en"]
+        # sort by a stat of the same node
+        out2 = _facet(spark, corpus, {
+            "langs": {"type": "terms", "field": "lang",
+                      "sort": {"m": "desc"}, "facet": {"m": "max(n)"}},
+        })
+        assert [b["val"] for b in out2["langs"]["buckets"]] == ["de", "en"]
+        out3 = _facet(spark, corpus, {
+            "langs": {"type": "terms", "field": "lang",
+                      "sort": "m asc", "facet": {"m": "max(n)"}},
+        })
+        assert [b["val"] for b in out3["langs"]["buckets"]] == ["en", "de"]
+        # offset pages past the head bucket (count order: en then de)
+        out4 = _facet(spark, corpus, {
+            "langs": {"type": "terms", "field": "lang", "offset": 1,
+                      "limit": 5},
+        })
+        assert [b["val"] for b in out4["langs"]["buckets"]] == ["de"]
+        # limit -1 = unlimited (Solr)
+        out5 = _facet(spark, corpus, {
+            "srcs": {"type": "terms", "field": "src", "limit": -1},
+        })
+        assert len(out5["srcs"]["buckets"]) == 2
+
+    def test_mincount_and_prefix(self, spark, corpus):
+        out = _facet(spark, corpus, {
+            "langs": {"type": "terms", "field": "lang", "mincount": 2},
+        })
+        assert [b["val"] for b in out["langs"]["buckets"]] == ["en"]
+        out2 = _facet(spark, corpus, {
+            "srcs": {"type": "terms", "field": "src", "prefix": "b"},
+        })
+        assert [b["val"] for b in out2["srcs"]["buckets"]] == ["book"]
+
+    def test_range_nested_and_zero_fill(self, spark, corpus):
+        out = _facet(spark, corpus, {
+            "hist": {"type": "range", "field": "n",
+                     "start": 0, "end": 80, "gap": 20,
+                     "facet": {"langs": {"type": "terms", "field": "lang"}}},
+        })
+        b = out["hist"]["buckets"]
+        # zero-filled spine: [60, 80) has no alpha docs
+        assert [(x["val"], x["count"]) for x in b] == [
+            (0, 1), (20, 2), (40, 2), (60, 0)
+        ]
+        # nested terms under a range bucket
+        assert b[1]["langs"]["buckets"] == [{"val": "en", "count": 2}]
+        assert "langs" not in b[3]  # empty spine bucket: count only
+        # mincount drops empty buckets instead of zero-filling
+        out2 = _facet(spark, corpus, {
+            "hist": {"type": "range", "field": "n",
+                     "start": 0, "end": 80, "gap": 20, "mincount": 2},
+        })
+        assert [(x["val"], x["count"]) for x in out2["hist"]["buckets"]] == [
+            (20, 2), (40, 2)
+        ]
+
+    def test_query_facet_and_fq_domain(self, spark, corpus):
+        df, _idx = corpus
+        out = _facet(spark, corpus, {
+            "special": {"type": "query", "q": "+beta",
+                        "facet": {"tot": "sum(n)"}},
+            "none": {"type": "query", "q": "+zzznope"},
+        })
+        assert out["special"] == {"count": 2, "tot": 50.0}
+        assert out["none"] == {"count": 0, "tot": None} or out["none"] == {
+            "count": 0
+        }
+        # fq restricts every facet's domain
+        web = df.where("src = 'web'").select("doc_id")
+        out2 = _facet(spark, corpus, {
+            "langs": {"type": "terms", "field": "lang"},
+            "special": {"type": "query", "q": "+beta"},
+        }, allowed_docs=web)
+        assert {(b["val"], b["count"]) for b in out2["langs"]["buckets"]} == {
+            ("en", 2), ("de", 1)
+        }
+        assert out2["special"]["count"] == 2
+        assert out2["count"] == 3
+
+    def test_unique_stat(self, spark, corpus):
+        out = _facet(spark, corpus, {
+            "u_src": "unique(src)",
+            "langs": {"type": "terms", "field": "lang", "limit": 1,
+                      "facet": {"u": "unique(src)"}},
+        })
+        assert out["u_src"] == 2
+        assert out["langs"]["buckets"][0]["u"] == 2  # en: web+book
+
+    def test_single_action_for_tree(self, spark, corpus):
+        """The whole terms/range tree (3 nodes, stats, missing) is ONE
+        collect; query facets add exactly one more."""
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        df, idx = corpus
+        _facet(spark, corpus, {"langs": {"type": "terms", "field": "lang"}})
+
+        calls = []
+        orig = DataFrame.collect
+
+        def counting(self):
+            calls.append(1)
+            return orig(self)
+
+        try:
+            DataFrame.collect = counting
+            _facet(spark, corpus, {
+                "langs": {"type": "terms", "field": "lang", "missing": True,
+                          "facet": {"m": "avg(n)",
+                                    "srcs": {"type": "terms",
+                                             "field": "src"}}},
+                "hist": {"type": "range", "field": "n",
+                         "start": 0, "end": 80, "gap": 20},
+                "t": "sum(n)",
+            })
+            n_tree = len(calls)
+            _facet(spark, corpus, {
+                "langs": {"type": "terms", "field": "lang"},
+                "q1": {"type": "query", "q": "+beta"},
+                "q2": {"type": "query", "q": "+gamma"},
+            })
+            n_with_q = len(calls) - n_tree
+        finally:
+            DataFrame.collect = orig
+        assert n_tree == 1
+        assert n_with_q == 2
+
+
+class TestValidation:
+    def test_errors(self, spark, corpus):
+        with pytest.raises(ValueError, match="unsupported stat"):
+            _facet(spark, corpus, {"x": "median(n)"})
+        with pytest.raises(ValueError, match="unsupported type"):
+            _facet(spark, corpus, {"x": {"type": "heatmap"}})
+        with pytest.raises(ValueError, match="only top-level query"):
+            _facet(spark, corpus, {
+                "langs": {"type": "terms", "field": "lang",
+                          "facet": {"q": {"type": "query", "q": "beta"}}},
+            })
+        with pytest.raises(ValueError, match="sub-facets under a query"):
+            _facet(spark, corpus, {
+                "q": {"type": "query", "q": "beta",
+                      "facet": {"t": {"type": "terms", "field": "lang"}}},
+            })
+        with pytest.raises(ValueError, match="sort key"):
+            _facet(spark, corpus, {
+                "langs": {"type": "terms", "field": "lang",
+                          "sort": "nope desc"},
+            })
+        with pytest.raises(ValueError, match="gap"):
+            _facet(spark, corpus, {
+                "hist": {"type": "range", "field": "n",
+                         "start": 0, "end": 0, "gap": 10},
+            })
+        from solrtexttagger_spark.search.json_facet import json_facet
+
+        df, idx = corpus
+        with pytest.raises(ValueError, match="non-empty base query"):
+            json_facet(idx, df, "", {"x": "sum(n)"}, spark=spark)
