@@ -286,6 +286,31 @@ def main() -> None:
 
     timed_repeat("q2k_select_dressed", dressed_select)
 
+    # q2l: modern facet module (round 7) — a nested JSON facet tree
+    # (terms -> terms with per-bucket stats + a zero-filled range) in
+    # ONE grouping-sets aggregate, plus the classic facet.query battery
+    # (5 boolean sub-queries in one matched-scores batch)
+    def json_facets():
+        from solrtexttagger_spark.search.facets import facet_query_counts
+        from solrtexttagger_spark.search.json_facet import json_facet
+
+        out = json_facet(idx, docs, "join merge window", {
+            "langs": {"type": "terms", "field": "lang", "limit": 5,
+                      "facet": {"mean_chars": "avg(n_chars)",
+                                "srcs": {"type": "terms",
+                                         "field": "source", "limit": 3}}},
+            "hist": {"type": "range", "field": "n_chars",
+                     "start": 0, "end": 400, "gap": 50},
+            "u_src": "unique(source)",
+        }, spark=spark)
+        fq = facet_query_counts(
+            idx, "join merge window", em.FACET_QUERIES, spark=spark
+        )
+        return (len(out["langs"]["buckets"]) + len(out["hist"]["buckets"])
+                + len(fq))
+
+    timed_repeat("q2l_json_facets", json_facets)
+
     # q2c: single-query p50/p95 latency, split COLD (caches reset — every
     # query pays its term-metadata job) vs WARM (identical second pass
     # over populated caches). BASELINE.md target metric: top-k query p95.

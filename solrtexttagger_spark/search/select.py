@@ -428,6 +428,7 @@ def render_select_json(
     facet_cols: list[str] | None = None,
     facet_ranges: list[tuple] | None = None,
     facet_queries: list[str] | None = None,
+    json_facet_spec: dict | None = None,
     hl: bool = False,
     hl_window: int = 8,
     text_col: str = "text",
@@ -439,8 +440,12 @@ def render_select_json(
     block: {"facet_counts": {"facet_fields": {col: [v1, n1, v2, n2, ...]},
     "facet_ranges": {col: {"counts": [...], "gap", "start", "end"}}}},
     with ``facet_queries`` Solr's facet.query map
-    {"facet_queries": {"<query>": n}} (see render_select_xml), and with
-    ``hl=True`` Solr's highlighting map
+    {"facet_queries": {"<query>": n}} (see render_select_xml), with
+    ``json_facet_spec`` the modern JSON Facet API response under the
+    top-level "facets" key exactly as Solr renders json.facet
+    (search/json_facet.json_facet — one grouping-sets action for the
+    whole tree, +1 if the spec has query facets), and with ``hl=True``
+    Solr's highlighting map
     {"highlighting": {"<id>": {text_col: [snippet]}}}."""
     import json
 
@@ -485,6 +490,13 @@ def render_select_json(
                 index, query, facet_queries, allowed_docs=allowed_docs,
                 spark=spark,
             )
+    if json_facet_spec:
+        from solrtexttagger_spark.search.json_facet import json_facet
+
+        payload["facets"] = json_facet(
+            index, docs_df, query, json_facet_spec,
+            allowed_docs=allowed_docs, spark=spark,
+        )
     if hl:
         payload["highlighting"] = {
             str(doc_id): {text_col: [snip]}

@@ -228,3 +228,26 @@ class TestValidation:
         df, idx = corpus
         with pytest.raises(ValueError, match="non-empty base query"):
             json_facet(idx, df, "", {"x": "sum(n)"}, spark=spark)
+
+
+def test_select_json_facet_block(spark, corpus):
+    """json.facet on the /select JSON writer: the nested response lands
+    under the top-level "facets" key exactly as Solr renders it, domain
+    restricted by the request's q + fq."""
+    import json
+
+    from solrtexttagger_spark.search.select import render_select_json
+
+    df, idx = corpus
+    js = json.loads(render_select_json(
+        idx, df, "alpha", fl=["lang"], k=2,
+        json_facet_spec={
+            "langs": {"type": "terms", "field": "lang", "limit": 2},
+            "t": "sum(n)",
+        },
+        spark=spark,
+    ))
+    assert js["response"]["numFound"] == 5
+    assert js["facets"]["count"] == 5
+    assert js["facets"]["t"] == 150.0
+    assert [b["val"] for b in js["facets"]["langs"]["buckets"]] == ["en", "de"]
