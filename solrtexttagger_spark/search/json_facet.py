@@ -20,7 +20,8 @@ params in search/facets.py are its legacy twins). Supported subset:
                "facet": {"tot": "sum(n_chars)"}},     # stats only
    "total_chars": "sum(n_chars)"}                     # root-level stat
 
-Stats: sum / avg / min / max / unique (exact distinct). Out of scope
+Stats: sum / avg / min / max / unique (exact distinct) / hll
+(HyperLogLog++ approximate distinct — Solr's hll stat). Out of scope
 (documented): allBuckets, sorting by a SUB-facet's stat, sub-facets
 under ``missing`` buckets or under query facets (stats there are fine),
 percentiles, and domain changes (excludeTags/domain:{...}) — the domain
@@ -54,13 +55,16 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from solrtexttagger_spark.index.build import InvertedIndex
 from solrtexttagger_spark.search.bm25 import analyze_query_terms
 
-_STAT_RE = re.compile(r"^(sum|avg|min|max|unique)\((\w+)\)$")
+_STAT_RE = re.compile(r"^(sum|avg|min|max|unique|hll)\((\w+)\)$")
 _STAT_FN = {
     "sum": lambda c: F.sum(c).cast("double"),
     "avg": lambda c: F.avg(c).cast("double"),
     "min": lambda c: F.min(c).cast("double"),
     "max": lambda c: F.max(c).cast("double"),
     "unique": lambda c: F.countDistinct(c).cast("long"),
+    # Solr's hll stat: approximate distinct — HyperLogLog++ here, which
+    # unlike countDistinct needs no distinct-expand, the petabyte choice
+    "hll": lambda c: F.approx_count_distinct(c).cast("long"),
 }
 
 

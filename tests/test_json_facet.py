@@ -152,10 +152,12 @@ class TestTree:
     def test_unique_stat(self, spark, corpus):
         out = _facet(spark, corpus, {
             "u_src": "unique(src)",
+            "h_src": "hll(src)",
             "langs": {"type": "terms", "field": "lang", "limit": 1,
                       "facet": {"u": "unique(src)"}},
         })
         assert out["u_src"] == 2
+        assert out["h_src"] == 2  # Solr hll stat: HLL++ approx distinct
         assert out["langs"]["buckets"][0]["u"] == 2  # en: web+book
 
     def test_single_action_for_tree(self, spark, corpus):
