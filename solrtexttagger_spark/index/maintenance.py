@@ -12,6 +12,10 @@ Lucene deletes happen in two phases, and both exist here:
 2. EXPUNGE (merge/optimize): postings physically rewritten, stats
    recomputed over the remaining corpus. That is ``expunge_docs`` below.
 
+``upsert_docs`` composes the two into Lucene's updateDocument (Solr add
+with overwrite=true): delete the replaced ids, index the batch with the
+same segmentation, merge only the shards the delta touches.
+
 Physical shape of expunge: the deleted-id set never explodes the big
 postings relation when it is small — the ids become one shared literal
 array and a JVM ``filter`` lambda rewrites each (term, seg) shard's
@@ -142,6 +146,106 @@ def expunge_docs(
     )
     doc_count = int(stats["n"] or 0)
     avgdl = float(stats["total"]) / doc_count if doc_count else 0.0
+    return InvertedIndex(
+        postings=new_postings,
+        term_stats=term_stats,
+        doc_count=doc_count,
+        num_segments=index.num_segments,
+        _avgdl=avgdl,
+    )
+
+
+def upsert_docs(
+    index: InvertedIndex,
+    new_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    method: str = "auto",
+    literal_threshold: int = 1_000,
+    **build_opts,
+) -> InvertedIndex:
+    """Lucene ``updateDocument`` / Solr add-with-overwrite: each row of
+    ``new_docs`` REPLACES any existing document with the same id (a
+    plain add if the id is new). Returns a NEW InvertedIndex; the input
+    index stays valid.
+
+    Semantics are Lucene's exactly: delete-by-id then add — there is no
+    in-place posting mutation in either engine. Shape, scale-aware:
+
+    1. ``expunge_docs`` removes the ids being replaced (no-op rows for
+       genuinely new ids), on the literal map-only path for small
+       batches.
+    2. The batch is indexed on its own (``build_index`` with the SAME
+       num_segments, so the doc-hash segmentation lines up; pass the
+       original build's analyzer options through ``build_opts``).
+    3. Shard merge is DELTA-DRIVEN, never a full re-aggregation: the
+       delta's (term, seg) key set broadcasts; untouched shards of the
+       big index pass through with NO shuffle, and only overlapping
+       shards + the delta rows re-aggregate (flatten + array_sort —
+       the doc-sorted postings invariant every reader relies on).
+    4. term_stats merge by summing the two tiny stats relations;
+       doc_count/avgdl combine arithmetically (the expunge already
+       recomputed the survivors' stats).
+
+    A batch with duplicate ids raises — Lucene applies updates in
+    sequence, but a set-oriented batch has no defined order, so
+    last-write-wins would be nondeterministic here."""
+    from solrtexttagger_spark.index.build import build_index
+
+    ids = new_docs.select(F.col(doc_id_col).cast("long").alias("doc_id"))
+    n_rows, n_ids = (
+        ids.agg(
+            F.count("*").alias("n"), F.countDistinct("doc_id").alias("d")
+        ).collect()[0]
+    )
+    if n_rows != n_ids:
+        raise ValueError(
+            f"upsert batch has duplicate doc ids ({n_rows} rows, "
+            f"{n_ids} distinct) — split into ordered batches instead"
+        )
+    cleaned = expunge_docs(
+        index, ids, method=method, literal_threshold=literal_threshold
+    )
+    delta = build_index(
+        new_docs,
+        text_col=text_col,
+        doc_id_col=doc_id_col,
+        num_segments=index.num_segments,
+        **build_opts,
+    )
+    keys = delta.postings.select("term", "seg")
+    overlap = cleaned.postings.join(
+        F.broadcast(keys), ["term", "seg"], "left_semi"
+    )
+    untouched = cleaned.postings.join(
+        F.broadcast(keys), ["term", "seg"], "left_anti"
+    )
+    dt = cleaned.postings.schema
+    remerged = (
+        overlap.unionByName(delta.postings)
+        .groupBy("term", "seg")
+        .agg(
+            F.array_sort(F.flatten(F.collect_list("postings"))).alias(
+                "postings"
+            ),
+            F.sum("df_seg").cast(dt["df_seg"].dataType).alias("df_seg"),
+            F.sum("cf_seg").cast(dt["cf_seg"].dataType).alias("cf_seg"),
+        )
+    )
+    new_postings = untouched.unionByName(remerged)
+    term_stats = (
+        cleaned.term_stats.unionByName(delta.term_stats)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    )
+    doc_count = cleaned.doc_count + delta.doc_count
+    avgdl = (
+        (cleaned.avgdl * cleaned.doc_count + delta.avgdl * delta.doc_count)
+        / doc_count
+        if doc_count
+        else 0.0
+    )
     return InvertedIndex(
         postings=new_postings,
         term_stats=term_stats,

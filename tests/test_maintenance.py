@@ -110,3 +110,86 @@ def test_expunge_literal_larger_idset(spark, corpus):
     # no deleted doc survives anywhere in the rewritten postings
     gone = {r["doc_id"] for r in deleted.collect()}
     assert not gone & {p[0] for ps in pa.values() for p in ps}
+
+
+class TestUpsert:
+    """upsert_docs = Lucene updateDocument: delete-by-id + add, with a
+    delta-driven shard merge (untouched shards pass through unshuffled)."""
+
+    def _full_state(self, idx):
+        post = sorted(
+            (r["term"], int(r["p"]["doc_id"]), int(r["p"]["tf"]),
+             list(r["p"]["positions"]))
+            for r in idx.postings.select(
+                "term", F.explode("postings").alias("p")
+            ).collect()
+        )
+        stats = sorted(
+            (r["term"], int(r["df"]), int(r["cf"]))
+            for r in idx.term_stats.collect()
+        )
+        return post, stats
+
+    def test_upsert_equals_fresh_build(self, spark):
+        from solrtexttagger_spark.index.build import build_index
+        from solrtexttagger_spark.index.maintenance import upsert_docs
+
+        base = spark.createDataFrame(
+            [(0, "hash join scan"), (1, "merge sort"), (2, "hash probe")],
+            "doc_id long, text string",
+        )
+        idx = build_index(base, num_segments=4)
+        batch = spark.createDataFrame(
+            [(1, "stream window window"),  # replaces doc 1 entirely
+             (9, "hash stream")],          # brand-new doc
+            "doc_id long, text string",
+        )
+        up = upsert_docs(idx, batch)
+        updated_corpus = spark.createDataFrame(
+            [(0, "hash join scan"), (1, "stream window window"),
+             (2, "hash probe"), (9, "hash stream")],
+            "doc_id long, text string",
+        )
+        ref = build_index(updated_corpus, num_segments=4)
+        assert self._full_state(up) == self._full_state(ref)
+        assert up.doc_count == ref.doc_count == 4
+        assert up.avgdl == pytest.approx(ref.avgdl)
+        # old content of doc 1 is really gone
+        terms = {r["term"] for r in up.term_stats.collect()}
+        assert "merge" not in terms and "sort" not in terms
+
+    def test_upsert_duplicate_ids_raise(self, spark):
+        from solrtexttagger_spark.index.build import build_index
+        from solrtexttagger_spark.index.maintenance import upsert_docs
+
+        idx = build_index(
+            spark.createDataFrame([(0, "a b")], "doc_id long, text string"),
+            num_segments=2,
+        )
+        dup = spark.createDataFrame(
+            [(5, "x"), (5, "y")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="duplicate doc ids"):
+            upsert_docs(idx, dup)
+
+    def test_upsert_merge_is_delta_driven(self, spark):
+        """The big index's untouched shards must bypass the re-aggregation:
+        the plan carries broadcast LeftSemi/LeftAnti splits on the delta's
+        key set, not one global groupBy over all postings."""
+        from solrtexttagger_spark.index.build import build_index
+        from solrtexttagger_spark.index.maintenance import upsert_docs
+
+        idx = build_index(
+            spark.createDataFrame(
+                [(0, "hash join"), (1, "merge sort")],
+                "doc_id long, text string",
+            ),
+            num_segments=2,
+        )
+        batch = spark.createDataFrame(
+            [(7, "hash stream")], "doc_id long, text string"
+        )
+        up = upsert_docs(idx, batch)
+        plan = up.postings._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan and "LeftSemi" in plan
+        assert "Broadcast" in plan
