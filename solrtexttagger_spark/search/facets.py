@@ -17,6 +17,8 @@ deterministic (count desc, value asc) order and per-field limit.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from solrtexttagger_spark.index.build import InvertedIndex
@@ -270,3 +272,35 @@ def facet_query_counts(
     ).collect()
     by_id = {int(r["query_id"]): int(r["n"]) for r in rows}
     return {q: by_id.get(i, 0) for i, q in enumerate(facet_queries)}
+
+
+_INTERVAL_RE = re.compile(
+    r"^(?:\{!key=([^}]*)\})?([\[(])([^,]+),([^\])]+)([\])])$"
+)
+
+
+def parse_interval(s: str):
+    """Solr facet.interval set syntax: ``[0,10)`` / ``(5,100]`` with
+    ``[``/``]`` inclusive, ``(``/``)`` exclusive, ``*`` open endpoints,
+    and an optional ``{!key=alias}`` output-name local param (the set
+    string itself is the name otherwise, like Solr).
+
+    -> (key, lo, hi, lo_inclusive, hi_inclusive); lo/hi are numbers or
+    None for ``*``."""
+    m = _INTERVAL_RE.match(s.strip())
+    if not m:
+        raise ValueError(
+            f"bad facet.interval set {s!r} (expected [a,b) / (a,b] / "
+            "{{!key=alias}}[a,b] with * for open endpoints)"
+        )
+    alias, lo_br, lo_s, hi_s, hi_br = m.groups()
+
+    def num(x):
+        x = x.strip()
+        if x == "*":
+            return None
+        f = float(x)
+        return int(f) if f.is_integer() and "." not in x else f
+
+    key = alias if alias is not None else s.strip()
+    return key, num(lo_s), num(hi_s), lo_br == "[", hi_br == "]"

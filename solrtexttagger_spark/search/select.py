@@ -163,11 +163,21 @@ def _select_page(index, docs_df, query, fl, k, start, allowed_docs, spark):
 
 
 def _facet_sections(
-    index, docs_df, query, facet_cols, facet_ranges, allowed_docs, spark
+    index, docs_df, query, facet_cols, facet_ranges, allowed_docs, spark,
+    facet_intervals=None,
 ):
     """-> (field_counts: {col: [(value, n), ...] count-desc},
-    range_counts: {key: (start, end, gap, [(range_start, n), ...])}).
-    Both fq-aware, both over the FULL match set (Solr facet semantics).
+    range_counts: {key: (start, end, gap, [(range_start, n), ...])},
+    interval_counts: {col: [(key, n), ...] request order, zero-filled}).
+    All fq-aware, all over the FULL match set (Solr facet semantics).
+
+    ``facet_intervals`` entries are (col, [interval set strings]) —
+    Solr's facet.interval: arbitrary, possibly OVERLAPPING intervals
+    (``[0,10)`` / ``(5,*]`` / ``{!key=alias}[a,b]`` — see
+    facets.parse_interval). A doc falling in k intervals counts k times
+    across sets (one exploded arm per interval), which is exactly why
+    interval facets exist next to facet.range. They ride the SAME single
+    facet job — zero extra actions.
 
     ``facet_ranges`` entries are (col, start, end, gap) or
     (col, start, end, gap, key): ``key`` is the OUTPUT name — Solr's
@@ -207,16 +217,35 @@ def _facet_sections(
             )
         seen_keys.add(key)
         franges.append((col, lo, hi, gap, key))
+    from solrtexttagger_spark.search.facets import parse_interval
+
+    fintervals = []
+    for col, sets in facet_intervals or []:
+        if col in (c for c, _ in fintervals):
+            raise ValueError(
+                f"duplicate facet.interval field {col!r}: Solr takes one "
+                "set list per field (f.<field>.facet.interval.set)"
+            )
+        parsed = [parse_interval(s) for s in sets]
+        keys = [k for k, *_ in parsed]
+        if len(keys) != len(set(keys)):
+            raise ValueError(
+                f"duplicate facet.interval output key in {col!r} sets: "
+                "alias one with {{!key=...}}"
+            )
+        fintervals.append((col, parsed))
     fields: dict[str, list] = {}
     ranges: dict[str, tuple] = {}
-    if not facet_cols and not franges:
-        return fields, ranges
+    intervals: dict[str, list] = {}
+    if not facet_cols and not franges and not fintervals:
+        return fields, ranges, intervals
     spark = spark or docs_df.sparkSession
     terms = sorted(analyze_query_terms(query))
     if not terms:  # no match set: empty facet lists, un-zero-filled ranges
         return (
             {c: [] for c in facet_cols},
             {key: (lo, hi, gap, []) for _col, lo, hi, gap, key in franges},
+            {col: [(k, 0) for k, *_ in sets] for col, sets in fintervals},
         )
     tdf = spark.createDataFrame([(t,) for t in terms], "term string")
     matched = (
@@ -251,6 +280,23 @@ def _facet_sections(
                 F.when((c >= lo) & (c < hi), bucket.cast("string")).alias("value"),
             )
         )
+    for i, (col, sets) in enumerate(fintervals):
+        c = F.col(col)
+        for key, lo, hi, lo_inc, hi_inc in sets:
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (c >= lo if lo_inc else c > lo)
+            if hi is not None:
+                cond = cond & (c <= hi if hi_inc else c < hi)
+            # overlapping sets each get their own arm: a doc in k
+            # intervals legitimately counts k times (Solr semantics)
+            structs.append(
+                F.struct(
+                    F.lit("i").alias("sec"),
+                    F.lit(f"{i}\x00{key}").alias("field"),
+                    F.when(cond & c.isNotNull(), F.lit("1")).alias("value"),
+                )
+            )
     fv = (
         joined.select(F.explode(F.array(*structs)).alias("x"))
         .select("x.sec", "x.field", "x.value")
@@ -280,7 +326,15 @@ def _facet_sections(
         ranges[key] = (
             lo, hi, gap, [(b, got.get(b, 0)) for b in range(lo, hi, gap)]
         )
-    return fields, ranges
+    for i, (col, sets) in enumerate(fintervals):
+        got_i = {
+            r["field"].split("\x00", 1)[1]: r["n"]
+            for r in rows
+            if r["sec"] == "i" and r["field"].startswith(f"{i}\x00")
+        }
+        # request order, every set present (zero-filled like Solr)
+        intervals[col] = [(k, got_i.get(k, 0)) for k, *_ in sets]
+    return fields, ranges, intervals
 
 
 def _hl_section(index, docs_df, query, page_rows, hl_window, text_col, spark):
@@ -321,6 +375,7 @@ def render_select_xml(
     facet_cols: list[str] | None = None,
     facet_ranges: list[tuple] | None = None,
     facet_queries: list[str] | None = None,
+    facet_intervals: list[tuple] | None = None,
     hl: bool = False,
     hl_window: int = 8,
     text_col: str = "text",
@@ -346,6 +401,11 @@ def render_select_xml(
     in ONE boolean_matched_scores pass (facets.facet_query_counts;
     +1 action when requested, same as Solr evaluating extra DocSets).
 
+    ``facet_intervals`` (list of (col, [set strings])) appends Solr's
+    facet_intervals block — arbitrary possibly-overlapping intervals
+    ("[0,10)" / "(5,*]" / "{!key=alias}[a,b]"), zero extra actions
+    (the sets ride the one combined facet job, see _facet_sections).
+
     ``hl=True`` appends Solr's highlighting block — one best-window
     snippet per returned doc (search/highlight.snippets; plain text, no
     <em> wrapping). One request's page renders driver-side by contract."""
@@ -366,9 +426,10 @@ def render_select_xml(
             out.append(_xml_el(f_, r[f_], dtypes.get(f_, "string")))
         out.append("</doc>")
     out.append("</result>\n")
-    if facet_cols or facet_ranges or facet_queries:
-        fields, ranges = _facet_sections(
-            index, docs_df, query, facet_cols, facet_ranges, allowed_docs, spark
+    if facet_cols or facet_ranges or facet_queries or facet_intervals:
+        fields, ranges, ivals = _facet_sections(
+            index, docs_df, query, facet_cols, facet_ranges, allowed_docs,
+            spark, facet_intervals=facet_intervals,
         )
         out.append('<lst name="facet_counts">')
         if facet_queries:
@@ -398,7 +459,16 @@ def render_select_xml(
             out.append(f'<int name="gap">{gap}</int>')
             out.append(f'<int name="start">{lo}</int>')
             out.append(f'<int name="end">{hi}</int></lst>')
-        out.append("</lst></lst>\n")
+        out.append("</lst>")
+        if ivals:
+            out.append('<lst name="facet_intervals">')
+            for col, sets in ivals.items():
+                out.append(f'<lst name="{_xml_attr(col)}">')
+                for key_, n in sets:
+                    out.append(_xml_el(key_, n, "int"))
+                out.append("</lst>")
+            out.append("</lst>")
+        out.append("</lst>\n")
     if hl:
         out.append('<lst name="highlighting">')
         for doc_id, snip in _hl_section(
@@ -428,6 +498,7 @@ def render_select_json(
     facet_cols: list[str] | None = None,
     facet_ranges: list[tuple] | None = None,
     facet_queries: list[str] | None = None,
+    facet_intervals: list[tuple] | None = None,
     json_facet_spec: dict | None = None,
     hl: bool = False,
     hl_window: int = 8,
@@ -466,9 +537,10 @@ def render_select_json(
             "docs": docs,
         }
     }
-    if facet_cols or facet_ranges or facet_queries:
-        fields, ranges = _facet_sections(
-            index, docs_df, query, facet_cols, facet_ranges, allowed_docs, spark
+    if facet_cols or facet_ranges or facet_queries or facet_intervals:
+        fields, ranges, ivals = _facet_sections(
+            index, docs_df, query, facet_cols, facet_ranges, allowed_docs,
+            spark, facet_intervals=facet_intervals,
         )
         payload["facet_counts"] = {
             "facet_fields": {
@@ -483,6 +555,10 @@ def render_select_json(
                 for col, (lo, hi, gap, buckets) in ranges.items()
             },
         }
+        if ivals:
+            payload["facet_counts"]["facet_intervals"] = {
+                col: dict(sets) for col, sets in ivals.items()
+            }
         if facet_queries:
             from solrtexttagger_spark.search.facets import facet_query_counts
 

@@ -308,7 +308,7 @@ def test_facet_sections_single_aggregation(spark, docs_df, index):
     docs = docs_df.withColumn("n", (docs_df.doc_id * 7) % 40)
     try:
         DataFrame.collect = counting
-        fields, ranges = _facet_sections(
+        fields, ranges, _iv = _facet_sections(
             index, docs, "common w1", ["lang"] if "lang" in docs.columns else [],
             # same column twice: independent buckets, distinct output
             # keys (Solr's {!key=} local param)

@@ -426,7 +426,7 @@ def test_facet_null_bucket_and_same_column_ranges(spark):
     idx = build_index(df.select("doc_id", "text"), num_segments=2)
     # every lang bucket (None, en, de) has count 1 -> the sort ties
     # None against strings; en/de sort before the NULL bucket
-    fields, ranges = _facet_sections(
+    fields, ranges, _iv = _facet_sections(
         idx, df, "alpha", ["lang"],
         [("n", 0, 40, 20), ("n", 0, 30, 10, "n_fine")], None, spark,
     )
@@ -546,3 +546,80 @@ def test_select_facet_queries_golden(spark):
         facet_queries=["delta", "epsilon"], spark=spark,
     ))
     assert js["facet_counts"]["facet_queries"] == {"delta": 2, "epsilon": 0}
+
+
+def test_facet_intervals(spark):
+    """Solr facet.interval: arbitrary, possibly OVERLAPPING interval sets
+    with [inclusive]/(exclusive) brackets, * open endpoints and {!key=}
+    aliases — zero extra actions (rides the one combined facet job)."""
+    import json
+
+    import pytest as _pytest
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.search.facets import parse_interval
+    from solrtexttagger_spark.search.select import (
+        render_select_json,
+        render_select_xml,
+    )
+
+    assert parse_interval("[0,10)") == ("[0,10)", 0, 10, True, False)
+    assert parse_interval("(5,*]") == ("(5,*]", 5, None, False, True)
+    assert parse_interval("{!key=low}[*,7]") == ("low", None, 7, True, True)
+    with _pytest.raises(ValueError, match="bad facet.interval"):
+        parse_interval("0 TO 10")
+
+    docs = [
+        (0, "alpha beta", "en", 5),
+        (1, "alpha gamma", "en", 10),
+        (2, "alpha delta", "de", 25),
+        (3, "epsilon", "en", 40),  # outside the match set
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, n long")
+    idx = build_index(df.select("doc_id", "text"), num_segments=2)
+    idx.postings.persist().count()
+    render_select_xml(idx, df, "alpha", fl=[], k=1, spark=spark)  # warm
+
+    calls = []
+    orig = DataFrame.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    try:
+        DataFrame.collect = counting
+        js = json.loads(render_select_json(
+            idx, df, "alpha", fl=[], k=2,
+            facet_cols=["lang"],
+            facet_intervals=[
+                ("n", ["[0,10)", "[5,25]", "(25,*]", "{!key=none}(*,0)"]),
+            ],
+            spark=spark,
+        ))
+    finally:
+        DataFrame.collect = orig
+    assert len(calls) == 2  # page + ONE combined facet job, intervals free
+    # overlapping sets: doc 1 (n=10) counts in [5,25] but not [0,10);
+    # doc 0 (n=5) counts in BOTH [0,10) and [5,25]
+    assert js["facet_counts"]["facet_intervals"]["n"] == {
+        "[0,10)": 1, "[5,25]": 3, "(25,*]": 0, "none": 0
+    }
+    xml = render_select_xml(
+        idx, df, "alpha", fl=[], k=1,
+        facet_intervals=[("n", ["[0,10)", "{!key=hi}(10,*]"])], spark=spark,
+    )
+    assert (
+        '<lst name="facet_intervals"><lst name="n">'
+        '<int name="[0,10)">1</int><int name="hi">1</int></lst></lst>'
+    ) in xml
+    # duplicate keys / duplicate field requests raise like facet.range
+    with _pytest.raises(ValueError, match="duplicate facet.interval output"):
+        render_select_json(idx, df, "alpha", fl=[], k=1,
+                           facet_intervals=[("n", ["[0,1)", "[0,1)"])],
+                           spark=spark)
+    with _pytest.raises(ValueError, match="duplicate facet.interval field"):
+        render_select_json(idx, df, "alpha", fl=[], k=1,
+                           facet_intervals=[("n", ["[0,1)"]), ("n", ["[1,2)"])],
+                           spark=spark)
