@@ -253,3 +253,24 @@ def test_select_json_facet_block(spark, corpus):
     assert js["facets"]["count"] == 5
     assert js["facets"]["t"] == 150.0
     assert [b["val"] for b in js["facets"]["langs"]["buckets"]] == ["en", "de"]
+
+
+def test_empty_domain(spark, corpus):
+    """A base query matching nothing: count 0, empty terms buckets,
+    zero-filled range spine, query facets 0 — no errors anywhere."""
+    from solrtexttagger_spark.search.json_facet import json_facet
+
+    df, idx = corpus
+    out = json_facet(idx, df, "zzznope", {
+        "langs": {"type": "terms", "field": "lang", "numBuckets": True},
+        "hist": {"type": "range", "field": "n", "start": 0, "end": 40,
+                 "gap": 20},
+        "q1": {"type": "query", "q": "+beta"},
+        "t": "sum(n)",
+    }, spark=spark)
+    assert out["count"] == 0 and out["t"] is None
+    assert out["langs"] == {"buckets": [], "numBuckets": 0}
+    assert [(b["val"], b["count"]) for b in out["hist"]["buckets"]] == [
+        (0, 0), (20, 0)
+    ]
+    assert out["q1"]["count"] == 0
