@@ -408,6 +408,8 @@ def json_facet(
                 lead = r[node.gcol]
             else:
                 lead = r[stat_cols[(node.idx, key)]]
+                if lead is None:  # all-NULL stat bucket: sorts last
+                    lead = float("-inf") if rev else float("inf")
             return lead
 
         # two-pass stable sort: value asc tie-break, then lead key

@@ -274,3 +274,23 @@ def test_empty_domain(spark, corpus):
         (0, 0), (20, 0)
     ]
     assert out["q1"]["count"] == 0
+
+
+def test_sort_by_all_null_stat_bucket(spark, corpus):
+    """A bucket whose sort-stat aggregates over only NULLs must sort
+    (last), not crash the driver-side resort with None-vs-float."""
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.search.json_facet import json_facet
+
+    rows = [
+        (0, "alpha", "en", 10),
+        (1, "alpha", "de", None),  # de bucket: sum(n) over NULLs -> None
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n long")
+    idx = build_index(df.select("doc_id", "text"), num_segments=2)
+    out = json_facet(idx, df, "alpha", {
+        "langs": {"type": "terms", "field": "lang",
+                  "sort": {"t": "desc"}, "facet": {"t": "sum(n)"}},
+    }, spark=spark)
+    assert [b["val"] for b in out["langs"]["buckets"]] == ["en", "de"]
+    assert out["langs"]["buckets"][1]["t"] is None
