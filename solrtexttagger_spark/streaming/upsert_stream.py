@@ -1,0 +1,128 @@
+"""Streaming document UPSERTS over the micro-batch segment layout —
+Lucene's updateDocument semantics on a Structured Streaming source.
+
+The batch-side ``index/maintenance.upsert_docs`` rewrites an in-memory
+index; a stream cannot afford read-modify-write per micro-batch, and
+Lucene doesn't either: an update is an APPEND of the new version plus a
+tombstone that wins at read/merge time. Recast here:
+
+- every micro-batch appends its doc-term rows as an immutable segment
+  (``segment={batch_id}`` — exactly streaming/index_stream.py), and
+- an OWNERS table (``owners/batch={batch_id}``: doc_id, batch_id)
+  records which batch last wrote each document — including documents
+  the batch DELETES (a row with NULL ``text`` writes ownership but no
+  content, exactly Lucene's delete-is-an-update-with-no-doc).
+
+``merge_upsert_segments`` resolves last-write-wins at compaction: per
+doc, the max batch_id over owners selects the surviving rows; a deleted
+doc's final batch has ownership but no rows, so it vanishes. The merge
+is one join on doc_id + the same (term, seg) aggregation as
+segments.merge_segments — the Lucene 'merge discards superseded and
+tombstoned segments' step as a Spark job. Until compaction runs,
+readers call the same function as a VIEW (the streaming analogue of
+Solr's tombstone tier: correctness first, compaction amortized).
+
+foreachBatch + ``batch={id}`` overwrite keeps both writes idempotent
+under replay (exactly-once per batch id, the same contract as
+streaming/chunking.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from solrtexttagger_spark.index.build import doc_term_rows
+
+
+def upsert_index_stream(
+    stream_df: DataFrame,
+    out_dir: str,
+    *,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+):
+    """Start a streaming query applying document upserts: each incoming
+    row REPLACES the document with its id (a plain add for new ids); a
+    row with NULL ``text_col`` DELETES the id. Returns the started
+    query; resolve the current index state with merge_upsert_segments.
+
+    A single micro-batch must not carry two versions of one id (no
+    defined order within a batch — same contract as upsert_docs);
+    duplicate ids in one batch raise inside the batch write, failing
+    the query rather than silently picking a winner."""
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        batch_df = batch_df.persist()
+        try:
+            n, d = batch_df.select(
+                F.count("*").alias("n"),
+                F.countDistinct(doc_id_col).alias("d"),
+            ).collect()[0]
+            if n != d:
+                raise ValueError(
+                    f"upsert batch {batch_id} carries duplicate doc ids "
+                    f"({n} rows, {d} distinct) — no defined order within "
+                    "a batch"
+                )
+            owners = batch_df.select(
+                F.col(doc_id_col).cast("long").alias("doc_id"),
+                F.lit(int(batch_id)).cast("long").alias("batch_id"),
+            )
+            owners.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "owners", f"batch={batch_id}")
+            )
+            content = batch_df.where(F.col(text_col).isNotNull())
+            rows = doc_term_rows(
+                content, text_col=text_col, doc_id_col=doc_id_col
+            ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            rows.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"segment={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def merge_upsert_segments(
+    spark: SparkSession, out_dir: str, *, num_segments: int = 8
+) -> DataFrame:
+    """Resolve the upsert stream's segments to the LIVE postings table:
+    per doc, only the rows written by its latest owning batch survive
+    (a delete's final batch owns the id but wrote no rows — the doc
+    vanishes). Same output shape as segments.merge_segments:
+    (term, seg, postings, df_seg, cf_seg).
+
+    One doc_id-keyed join (owners are (doc_id, max batch) — tiny
+    relative to doc-term rows) + the standard (term, seg) aggregation;
+    superseded versions are FILTERED BEFORE the postings shuffle, so
+    compaction cost tracks the live corpus, not the update history."""
+    rows = spark.read.parquet(os.path.join(out_dir, "segment=*"))
+    owners = spark.read.parquet(os.path.join(out_dir, "owners", "batch=*"))
+    latest = owners.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
+    live = rows.join(latest, ["doc_id", "batch_id"], "left_semi")
+    elem = F.struct("doc_id", "tf", "dl", "positions")
+    return (
+        live.withColumn(
+            "seg",
+            F.pmod(F.xxhash64("doc_id"), F.lit(num_segments)).cast("int"),
+        )
+        .groupBy("term", "seg")
+        .agg(
+            F.sort_array(F.collect_list(elem)).alias("postings"),
+            F.count("*").alias("df_seg"),
+            F.sum("tf").alias("cf_seg"),
+        )
+    )

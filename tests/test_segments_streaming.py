@@ -300,3 +300,68 @@ def test_stream_first_seen_key(spark, tmp_path):
     assert got == {10, 11}
     n = spark.sql("SELECT count(*) c FROM first_seen_stream").collect()[0]["c"]
     assert n == 2
+
+
+def test_streaming_upserts_last_write_wins(spark, tmp_path):
+    """Upsert stream (streaming/upsert_stream.py): batch 1 replaces one
+    doc, adds one, deletes one (NULL text); the merged view equals a
+    fresh batch build of the FINAL corpus — Lucene updateDocument over
+    micro-batch segments, resolved last-write-wins at merge time."""
+    from solrtexttagger_spark.streaming.upsert_stream import (
+        merge_upsert_segments,
+        upsert_index_stream,
+    )
+
+    src = str(tmp_path / "usrc")
+    out = str(tmp_path / "usegs")
+    ckpt = str(tmp_path / "uckpt")
+    schema = "doc_id long, text string"
+
+    # batch 0: two docs
+    spark.createDataFrame(
+        [(1, "hash join"), (2, "merge sort")], schema
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = upsert_index_stream(stream, out, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+
+    # batch 1 (restart with the same checkpoint -> next batch id):
+    # update doc 1, add doc 3, DELETE doc 2
+    spark.createDataFrame(
+        [(1, "scan scan"), (3, "probe"), (2, None)], schema
+    ).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = upsert_index_stream(stream2, out, checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+
+    merged = merge_upsert_segments(spark, out, num_segments=2)
+    final = spark.createDataFrame(
+        [(1, "scan scan"), (3, "probe")], schema
+    )
+    ref = build_index(final, num_segments=2).postings
+
+    def norm(df):
+        return {
+            (r["term"], tuple((p["doc_id"], p["tf"]) for p in sorted(r["postings"])))
+            for r in df.groupBy("term")
+            .agg(F.array_sort(F.flatten(F.collect_list("postings"))).alias("postings"))
+            .collect()
+        }
+
+    assert norm(merged) == norm(ref)
+
+
+def test_streaming_upsert_duplicate_ids_fail_batch(spark, tmp_path):
+    from solrtexttagger_spark.streaming.upsert_stream import (
+        upsert_index_stream,
+    )
+
+    src = str(tmp_path / "dsrc")
+    out = str(tmp_path / "dsegs")
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(1, "a"), (1, "b")], schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = upsert_index_stream(stream, out)
+    with pytest.raises(Exception, match="duplicate doc ids"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
