@@ -247,6 +247,13 @@ def json_facet(
         ).agg(*aggs, F.grouping_id(*[F.col(c) for c in gcols]).alias("__gid"))
     else:
         agg = proj.agg(*aggs, F.lit(0).alias("__gid"))
+    # PERSIST the aggregated relation (rows = buckets, tiny) before the
+    # per-node slices: each node's filter+window+union branch would
+    # otherwise re-execute the whole corpus-join + Expand + aggregate
+    # subtree — the union's N branches all read this one cached
+    # computation instead (verified in the executed plan: one Expand
+    # under InMemoryRelation vs one per branch uncached)
+    agg = agg.persist()
 
     # gid for a node: bits of the EXCLUDED grouping columns set to 1
     def _mask(included: set[str]) -> int:
@@ -310,7 +317,10 @@ def json_facet(
     uni = pieces[0].withColumn("__nb", F.lit(None).cast("long"))
     for p in pieces[1:]:
         uni = uni.unionByName(p)
-    collected = uni.collect()  # ONE action for the whole tree
+    try:
+        collected = uni.collect()  # ONE action for the whole tree
+    finally:
+        agg.unpersist()
 
     by_mask: dict[int, list] = {}
     for r in collected:
