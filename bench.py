@@ -311,6 +311,25 @@ def main() -> None:
 
     timed_repeat("q2l_json_facets", json_facets)
 
+    # q2m: index write paths (round 7) — upsert a 200-doc batch (Lucene
+    # updateDocument: expunge + delta build + delta-driven shard merge)
+    # and serve /tvrh term vectors for 5 docs off the merged result
+    def maintenance_paths():
+        from solrtexttagger_spark.index.maintenance import upsert_docs
+        from solrtexttagger_spark.search.termvectors import term_vectors
+
+        batch = docs.limit(200).select(
+            "doc_id", F.concat_ws(" ", F.lit("updated"), "text").alias("text")
+        )
+        up = upsert_docs(idx, batch)
+        tv = term_vectors(
+            up, [int(r["doc_id"]) for r in docs.limit(5).collect()],
+            with_stats=True,
+        )
+        return tv.count() + up.doc_count
+
+    timed_repeat("q2m_upsert_tvrh", maintenance_paths)
+
     # q2c: single-query p50/p95 latency, split COLD (caches reset — every
     # query pays its term-metadata job) vs WARM (identical second pass
     # over populated caches). BASELINE.md target metric: top-k query p95.

@@ -1,0 +1,137 @@
+"""Solr function queries (search/functions.boosted_topk): bf= additive
+and boost= multiplicative ranking functions over document fields,
+folded into the score before the rank window."""
+
+import math
+
+import pytest
+
+
+DOCS = [
+    (0, "hash join scan", 1),
+    (1, "hash join", 100),
+    (2, "hash", 1000),
+    (3, "merge sort", 50),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from solrtexttagger_spark.index.build import build_index
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, views long")
+    idx = build_index(df.select("doc_id", "text"), num_segments=2)
+    idx.postings.persist().count()
+    yield df, idx
+    idx.postings.unpersist()
+
+
+def _plain_scores(idx, spark, q="hash join"):
+    from solrtexttagger_spark.search.bm25 import bm25_topk
+
+    return {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(idx, [(0, q)], k=10, spark=spark).collect()
+    }
+
+
+def test_bf_additive(spark, corpus):
+    from solrtexttagger_spark.search.functions import boosted_topk
+
+    df, idx = corpus
+    plain = _plain_scores(idx, spark)
+    got = boosted_topk(
+        idx, df, [(0, "hash join")], bf="log(1 + views)", k=10, spark=spark
+    ).collect()
+    views = {d: v for d, _t, v in DOCS}
+    for r in got:
+        expect = plain[r["doc_id"]] + math.log(1 + views[r["doc_id"]])
+        assert r["score"] == pytest.approx(expect, rel=1e-9)
+        assert r["bm25"] == pytest.approx(plain[r["doc_id"]], rel=1e-9)
+    # the popularity signal reorders: doc 2 (1000 views, weakest text
+    # match) must outrank doc 0 (1 view, strongest text match)
+    ranks = {r["doc_id"]: r["rank"] for r in got}
+    assert ranks[2] < ranks[0]
+    # unboosted order is the opposite
+    assert plain[0] > plain[2]
+
+
+def test_boost_multiplicative_and_combined(spark, corpus):
+    from solrtexttagger_spark.search.functions import boosted_topk
+
+    df, idx = corpus
+    plain = _plain_scores(idx, spark)
+    views = {d: v for d, _t, v in DOCS}
+    got = boosted_topk(
+        idx, df, [(0, "hash join")], boost="sqrt(views)", k=10, spark=spark
+    ).collect()
+    for r in got:
+        assert r["score"] == pytest.approx(
+            plain[r["doc_id"]] * math.sqrt(views[r["doc_id"]]), rel=1e-9
+        )
+    # combined: (bm25 + bf) * boost
+    got2 = boosted_topk(
+        idx, df, [(0, "hash join")], bf="log(1 + views)",
+        boost="sqrt(views)", k=10, spark=spark,
+    ).collect()
+    for r in got2:
+        d = r["doc_id"]
+        assert r["score"] == pytest.approx(
+            (plain[d] + math.log(1 + views[d])) * math.sqrt(views[d]),
+            rel=1e-9,
+        )
+
+
+def test_null_function_values_coalesce(spark, corpus):
+    """NULL function source: bf -> +0, boost -> x1 (Solr missing-field
+    numeric behavior), never NULL-ing the score."""
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.search.functions import boosted_topk
+
+    df = spark.createDataFrame(
+        [(0, "hash join", 10), (1, "hash join", None)],
+        "doc_id long, text string, views long",
+    )
+    idx = build_index(df.select("doc_id", "text"), num_segments=2)
+    got = {
+        r["doc_id"]: r
+        for r in boosted_topk(
+            idx, df, [(0, "hash")], bf="log(1 + views)",
+            boost="sqrt(views)", k=10, spark=spark,
+        ).collect()
+    }
+    assert got[1]["score"] == pytest.approx(got[1]["bm25"], rel=1e-9)
+    assert got[0]["score"] > got[0]["bm25"]
+
+
+def test_fq_pagination_and_errors(spark, corpus):
+    from solrtexttagger_spark.search.functions import boosted_topk
+
+    df, idx = corpus
+    en = df.where("views >= 50").select("doc_id")
+    got = boosted_topk(
+        idx, df, [(0, "hash join")], bf="log(1 + views)", k=10,
+        allowed_docs=en, spark=spark,
+    ).collect()
+    assert {r["doc_id"] for r in got} == {1, 2}
+    # start pages past rank 1
+    page2 = boosted_topk(
+        idx, df, [(0, "hash join")], bf="log(1 + views)", k=1, start=1,
+        spark=spark,
+    ).collect()
+    assert len(page2) == 1 and page2[0]["rank"] == 2
+    with pytest.raises(ValueError, match="bf= and/or boost="):
+        boosted_topk(idx, df, [(0, "hash")], k=5, spark=spark)
+
+
+def test_stays_jvm_side(spark, corpus):
+    """The function expression must compile to Catalyst (no Python UDF
+    in the plan) — Solr evaluates ValueSources JVM-side and so do we."""
+    from solrtexttagger_spark.search.functions import boosted_topk
+
+    df, idx = corpus
+    out = boosted_topk(
+        idx, df, [(0, "hash join")], bf="log(1 + views)", k=5, spark=spark
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
