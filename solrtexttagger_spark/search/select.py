@@ -81,6 +81,8 @@ def select_page(
     b: float = B,
     start: int = 0,
     allowed_docs: DataFrame | None = None,
+    bf: str | None = None,
+    boost: str | None = None,
     id_col: str = "doc_id",
     spark: SparkSession | None = None,
 ) -> DataFrame:
@@ -90,13 +92,38 @@ def select_page(
     numFound/maxScore). num_found = per-query count of ALL matched docs
     (>= 1 query term, under fq) and max_score = the global maximum —
     both window aggregates over the same partitioning the rank window
-    shuffles on, so they cost no extra exchange and no extra job."""
+    shuffles on, so they cost no extra exchange and no extra job.
+
+    ``bf``/``boost`` are Solr function queries (dismax bf= additive,
+    edismax boost= multiplicative — see search/functions.boosted_topk):
+    score = (bm25 + bf) * boost, folded in BEFORE the rank window so
+    numFound/maxScore/pagination all see the boosted ranking, still in
+    the same one job (the function columns ride the fl corpus join)."""
     spark = spark or docs_df.sparkSession
     fl = [c for c in fl if c != id_col]
     scores = exploded_scores(
         index, queries_to_df(spark, [(0, query)]), k1=k1, b=b,
         allowed_docs=allowed_docs,
     )
+    if bf is not None or boost is not None:
+        fcols = [F.col(id_col).alias("doc_id")]
+        if bf is not None:
+            fcols.append(F.expr(bf).cast("double").alias("__bf"))
+        if boost is not None:
+            fcols.append(F.expr(boost).cast("double").alias("__boost"))
+        add = (
+            F.coalesce(F.col("__bf"), F.lit(0.0))
+            if bf is not None else F.lit(0.0)
+        )
+        mul = (
+            F.coalesce(F.col("__boost"), F.lit(1.0))
+            if boost is not None else F.lit(1.0)
+        )
+        scores = (
+            scores.join(docs_df.select(*fcols), "doc_id")
+            .withColumn("score", (F.col("score") + add) * mul)
+            .drop("__bf", "__boost")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -145,14 +172,15 @@ def _xml_el(name: str, value, dtype: str) -> str:
     return f'<{tag} name="{_xml_attr(name)}">{sv}</{tag}>'
 
 
-def _select_page(index, docs_df, query, fl, k, start, allowed_docs, spark):
+def _select_page(index, docs_df, query, fl, k, start, allowed_docs, spark,
+                 bf=None, boost=None):
     """-> (page rows sorted by rank, dtypes, num_found, max_score) from the
     single-job select_page relation."""
     spark = spark or docs_df.sparkSession
     fl = [c for c in fl if c != "doc_id"]
     page = select_page(
         index, docs_df, query, fl=fl, k=k, start=start,
-        allowed_docs=allowed_docs, spark=spark,
+        allowed_docs=allowed_docs, bf=bf, boost=boost, spark=spark,
     )
     all_rows = sorted(page.collect(), key=lambda r: r["rank"])
     dtypes = dict(page.dtypes)
@@ -376,6 +404,8 @@ def render_select_xml(
     facet_ranges: list[tuple] | None = None,
     facet_queries: list[str] | None = None,
     facet_intervals: list[tuple] | None = None,
+    bf: str | None = None,
+    boost: str | None = None,
     hl: bool = False,
     hl_window: int = 8,
     text_col: str = "text",
@@ -410,7 +440,8 @@ def render_select_xml(
     snippet per returned doc (search/highlight.snippets; plain text, no
     <em> wrapping). One request's page renders driver-side by contract."""
     rows, dtypes, num_found, max_score_v = _select_page(
-        index, docs_df, query, fl, k, start, allowed_docs, spark
+        index, docs_df, query, fl, k, start, allowed_docs, spark,
+        bf=bf, boost=boost,
     )
     out = ['<?xml version="1.0" encoding="UTF-8"?>\n<response>\n']
     max_score = f"{max_score_v:.4f}" if num_found else "0.0"
@@ -499,6 +530,8 @@ def render_select_json(
     facet_ranges: list[tuple] | None = None,
     facet_queries: list[str] | None = None,
     facet_intervals: list[tuple] | None = None,
+    bf: str | None = None,
+    boost: str | None = None,
     json_facet_spec: dict | None = None,
     hl: bool = False,
     hl_window: int = 8,
@@ -521,7 +554,8 @@ def render_select_json(
     import json
 
     rows, _dtypes, num_found, max_score_v = _select_page(
-        index, docs_df, query, fl, k, start, allowed_docs, spark
+        index, docs_df, query, fl, k, start, allowed_docs, spark,
+        bf=bf, boost=boost,
     )
     fl = [c for c in fl if c != "doc_id"]
     docs = [

@@ -135,3 +135,38 @@ def test_stays_jvm_side(spark, corpus):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_select_writer_bf_boost(spark, corpus):
+    """bf/boost on the full /select request: the boosted ranking reaches
+    the page, maxScore and pagination — still one job per request."""
+    import json
+
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from solrtexttagger_spark.search.select import render_select_json
+
+    df, idx = corpus
+    render_select_json(idx, df, "hash", fl=[], k=1, spark=spark)  # warm
+
+    calls = []
+    orig = DataFrame.collect
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    try:
+        DataFrame.collect = counting
+        js = json.loads(render_select_json(
+            idx, df, "hash join", fl=["views"], k=2,
+            bf="log(1 + views)", spark=spark,
+        ))
+    finally:
+        DataFrame.collect = orig
+    assert len(calls) == 1  # boost rides the one page job
+    docs = js["response"]["docs"]
+    # popularity dominates: doc 2 (1000 views) first despite weakest text
+    assert [d["id"] for d in docs] == [2, 1]
+    # maxScore is the boosted maximum, matching the rank-1 score
+    assert js["response"]["maxScore"] == docs[0]["score"]
