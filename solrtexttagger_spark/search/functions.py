@@ -84,3 +84,76 @@ def boosted_topk(
         .where((F.col("rank") > start) & (F.col("rank") <= start + k))
         .select("query_id", "rank", "doc_id", "score", "bm25")
     )
+
+
+def explain_scores(
+    index: InvertedIndex,
+    queries,
+    doc_ids: list[int],
+    *,
+    k1: float = K1,
+    b: float = B,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Solr ``debugQuery=true`` explain: the per-term score breakdown of
+    specific documents under specific queries. Returns one row per
+    (query, doc, matched term):
+
+      (query_id, doc_id, term, tf, df, idf, tf_norm, qtf, contribution)
+
+    with ``contribution = idf * tf_norm * qtf`` and
+    ``sum(contribution) over (query_id, doc_id)`` equal to the scorer's
+    BM25 score bit-for-bit (same expressions as bm25.exploded_scores —
+    one formula, two projections).
+
+    Scale shape mirrors /tvrh (search/termvectors.py): the requested
+    docs' segments are computed with the build's own hash and semi-join
+    postings BEFORE the explode, so explaining k docs touches <= k
+    segments of the index regardless of corpus size. df stays GLOBAL
+    (summed over all of a term's segment rows pre-pruning is wrong —
+    it comes from broadcast term_stats, the corpus truth)."""
+    spark = spark or index.postings.sparkSession
+    n = float(index.doc_count)
+    avgdl = float(index.avgdl) if index.avgdl else 1.0
+    qdf = queries_to_df(spark, queries)
+    ids_df = spark.createDataFrame(
+        [(int(i),) for i in sorted(set(doc_ids))], "doc_id long"
+    ).withColumn(
+        "seg",
+        F.pmod(F.xxhash64("doc_id"), F.lit(index.num_segments)).cast("int"),
+    )
+    pruned = index.postings.join(
+        F.broadcast(ids_df.select("seg").distinct()), "seg", "left_semi"
+    )
+    qterms = qdf.select("term").distinct()
+    ex = (
+        pruned.join(F.broadcast(qterms), "term")
+        # global df from term_stats: the seg-pruned relation no longer
+        # carries every segment row, so a window-sum over it would
+        # undercount df
+        .join(F.broadcast(index.term_stats.select("term", "df")), "term")
+        .join(F.broadcast(qdf), "term")
+        .select(
+            "query_id", "term", "qtf",
+            F.col("df").cast("double").alias("df"),
+            F.explode("postings").alias("p"),
+        )
+        .where(F.col("p.doc_id").isin([int(i) for i in set(doc_ids)]))
+    )
+    tf = F.col("p.tf").cast("double")
+    dl = F.col("p.dl").cast("double")
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    return ex.select(
+        "query_id",
+        F.col("p.doc_id").alias("doc_id"),
+        "term",
+        F.col("p.tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        idf.alias("idf"),
+        tf_norm.alias("tf_norm"),
+        F.col("qtf").cast("double").alias("qtf"),
+        (idf * tf_norm * F.col("qtf").cast("double")).alias("contribution"),
+    )

@@ -170,3 +170,31 @@ def test_select_writer_bf_boost(spark, corpus):
     assert [d["id"] for d in docs] == [2, 1]
     # maxScore is the boosted maximum, matching the rank-1 score
     assert js["response"]["maxScore"] == docs[0]["score"]
+
+
+def test_explain_scores_sums_to_bm25(spark, corpus):
+    """debugQuery explain: per-term contributions sum bit-for-bit to the
+    scorer's BM25 score; the read path is seg-pruned like /tvrh."""
+    from solrtexttagger_spark.search.functions import explain_scores
+
+    df, idx = corpus
+    plain = _plain_scores(idx, spark)
+    rows = explain_scores(idx, [(0, "hash join")], [0, 1, 2], spark=spark).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {0, 1, 2}
+    for d, rs in by_doc.items():
+        assert sum(x["contribution"] for x in rs) == pytest.approx(
+            plain[d], rel=1e-12
+        )
+    # doc 2 matched only 'hash'; docs 0/1 matched both terms
+    assert {r["term"] for r in by_doc[2]} == {"hash"}
+    assert {r["term"] for r in by_doc[0]} == {"hash", "join"}
+    # df is GLOBAL (hash in docs 0,1,2 -> 3) even though the read is
+    # pruned to the requested docs' segments
+    assert {r["df"] for r in rows if r["term"] == "hash"} == {3}
+    plan = explain_scores(
+        idx, [(0, "hash")], [0], spark=spark
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
