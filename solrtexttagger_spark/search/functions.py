@@ -157,3 +157,51 @@ def explain_scores(
         F.col("qtf").cast("double").alias("qtf"),
         (idf * tf_norm * F.col("qtf").cast("double")).alias("contribution"),
     )
+
+
+def rerank_topk(
+    ranked: DataFrame,
+    docs_df: DataFrame,
+    rq_expr: str,
+    *,
+    rerank_docs: int = 10,
+    weight: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Solr ReRankQParser (``rq={!rerank reRankQuery=... reRankDocs=N
+    reRankWeight=w}``): rescore only the TOP-N of a first-pass ranking
+    with a second signal — the two-phase retrieval shape every
+    LTR/cross-encoder stack uses (cheap recall pass, expensive precision
+    pass over a bounded candidate set).
+
+    ``ranked``: any (query_id, rank, doc_id, score) relation
+    (bm25_topk / wand_topk / boolean_bm25_topk output). ``rq_expr``: a
+    SQL expression over ``docs_df`` columns (the second-pass model
+    score; NULL -> +0). Exactly Solr's combination: reranked docs score
+    ``first + w * rq`` and re-sort AMONG THEMSELVES in the first N
+    positions; docs beyond reRankDocs keep their first-pass order and
+    positions. One join + one window over <= N rows per query — the
+    corpus is never rescanned."""
+    head = ranked.where(F.col("rank") <= rerank_docs)
+    vals = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(rq_expr).cast("double").alias("__rq"),
+    )
+    head = (
+        head.join(F.broadcast(vals.join(
+            head.select("doc_id").distinct(), "doc_id", "left_semi"
+        )), "doc_id", "left")
+        .withColumn(
+            "score",
+            F.col("score") + weight * F.coalesce(F.col("__rq"), F.lit(0.0)),
+        )
+        .drop("__rq")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    head = head.withColumn("rank", F.row_number().over(w2).cast("long"))
+    tail = ranked.where(F.col("rank") > rerank_docs)
+    return head.unionByName(tail).select(
+        "query_id", "rank", "doc_id", "score"
+    )

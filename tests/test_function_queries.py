@@ -198,3 +198,29 @@ def test_explain_scores_sums_to_bm25(spark, corpus):
         idx, [(0, "hash")], [0], spark=spark
     )._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_rerank_topk(spark, corpus):
+    """Solr {!rerank}: only the top reRankDocs rescore (first + w*rq)
+    and re-sort among themselves; the tail keeps first-pass positions."""
+    from solrtexttagger_spark.search.bm25 import bm25_topk
+    from solrtexttagger_spark.search.functions import rerank_topk
+
+    df, idx = corpus
+    first = bm25_topk(idx, [(0, "hash join")], k=10, spark=spark)
+    plain = {r["doc_id"]: (r["rank"], r["score"]) for r in first.collect()}
+    # first-pass BM25 order: doc 1 ("hash join", shortest) then doc 0
+    # ("hash join scan") then doc 2 ("hash", one term)
+    assert [d for d, (r, _s) in sorted(plain.items(), key=lambda t: t[1][0])] == [1, 0, 2]
+    # rerank only the top 2 with an inverse-popularity signal: doc 0
+    # (1 view, +50) overtakes doc 1 (100 views, +~1); doc 2 outside
+    # reRankDocs keeps rank 3 even though its rq value (+99 at 1000
+    # views... inverse: tiny) is irrelevant — it is never rescored
+    out = rerank_topk(
+        first, df, "100.0 / (1 + views)", rerank_docs=2, weight=1.0
+    ).collect()
+    got = {r["doc_id"]: (r["rank"], r["score"]) for r in out}
+    assert got[0][0] == 1 and got[1][0] == 2
+    assert got[2] == plain[2]  # untouched tail row
+    assert got[0][1] == pytest.approx(plain[0][1] + 100.0 / 2, rel=1e-9)
+    assert got[1][1] == pytest.approx(plain[1][1] + 100.0 / 101, rel=1e-9)
