@@ -124,13 +124,20 @@ def select_sorted(
     breaks ties (Solr's stable secondary on the uniqueKey). BM25 score is
     still computed and returned (Solr keeps score available under any
     sort). Returns (query_id, rank, doc_id, sort_value, score) for
-    start < rank <= start + k with absolute ranks."""
+    start < rank <= start + k with absolute ranks.
+
+    ``sort_col`` may also be a FUNCTION over stored fields — Solr's
+    function sorting, ``sort=div(n_chars,1+n_lines) desc`` — any
+    Catalyst SQL expression string (a bare column name is the trivial
+    case); it stays JVM-side exactly like bf/boost
+    (search/functions.py). NULLs follow Spark's default ordering (first
+    asc / last desc)."""
     scores = _scores(index, queries, k1, b, allowed_docs, spark)
     if round_to is not None:
         scores = scores.withColumn("score", F.round("score", round_to))
     joined = scores.join(
         docs_df.select(
-            F.col(id_col).alias("doc_id"), F.col(sort_col).alias("sort_value")
+            F.col(id_col).alias("doc_id"), F.expr(sort_col).alias("sort_value")
         ),
         "doc_id",
     )

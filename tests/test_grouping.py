@@ -127,3 +127,22 @@ def test_facet_pivot_rollup(spark, corpus):
     ).collect()
     got2 = {(r["lang"], r["source"]): r["n"] for r in rows2}
     assert got2 == {("en", "web"): 1, ("en", "book"): 1, ("en", None): 2, (None, None): 2}
+
+
+def test_select_sorted_by_function(spark):
+    """Solr function sorting (sort=<expr> desc): select_sorted takes any
+    Catalyst expression over stored fields, not just a column."""
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.search.grouping import select_sorted
+
+    df = spark.createDataFrame(
+        [(0, "alpha x", 10, 2), (1, "alpha y", 9, 1), (2, "alpha z", 30, 10)],
+        "doc_id long, text string, n long, m long",
+    )
+    idx = build_index(df.select("doc_id", "text"), num_segments=2)
+    out = select_sorted(
+        idx, df, [(0, "alpha")], "n / m", ascending=False, k=3, spark=spark
+    ).collect()
+    # n/m: doc 1 -> 9, doc 0 -> 5, doc 2 -> 3
+    assert [(r["rank"], r["doc_id"]) for r in out] == [(1, 1), (2, 0), (3, 2)]
+    assert [round(r["sort_value"], 4) for r in out] == [9.0, 5.0, 3.0]
