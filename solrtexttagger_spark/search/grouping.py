@@ -200,3 +200,115 @@ def facet_pivot(
     return joined.rollup(*pivot_cols).agg(
         F.count("*").cast("long").alias("n"), level.alias("level")
     )
+
+
+def collapse_topk(
+    index: InvertedIndex,
+    docs_df: DataFrame,
+    queries,
+    collapse_col: str,
+    *,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+    null_policy: str = "ignore",
+    allowed_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    round_to: int | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Solr CollapsingQParser (``fq={!collapse field=f}``): the result
+    list stays a FLAT ranked page (unlike group=true's grouped response)
+    but only each group's best-scoring document survives into it —
+    field-collapsed search results. Returns (query_id, rank, doc_id,
+    group_value, score) with absolute ranks over the collapsed list
+    (score desc, doc_id asc ties, exactly bm25_topk's ordering).
+
+    ``null_policy`` is Solr's nullPolicy: 'ignore' (default — documents
+    with a NULL collapse field drop from the results), 'expand' (each
+    NULL doc passes through as its own group), 'collapse' (all NULL
+    docs form one group). ``allowed_docs`` = fq."""
+    if null_policy not in ("ignore", "expand", "collapse"):
+        raise ValueError("null_policy must be ignore|expand|collapse")
+    scores = _scores(index, queries, k1, b, allowed_docs, spark)
+    if round_to is not None:
+        scores = scores.withColumn("score", F.round("score", round_to))
+    joined = scores.join(
+        docs_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(collapse_col).cast("string").alias("group_value"),
+        ),
+        "doc_id",
+    )
+    if null_policy == "ignore":
+        joined = joined.where(F.col("group_value").isNotNull())
+        gkey = F.col("group_value")
+    elif null_policy == "expand":
+        # a NULL doc is its own group: key NULLs by their unique doc id
+        gkey = F.coalesce(
+            F.col("group_value"), F.concat(F.lit("\x00"), F.col("doc_id"))
+        )
+    else:  # collapse: one NULL group
+        gkey = F.coalesce(F.col("group_value"), F.lit("\x00null"))
+    w_in = Window.partitionBy("query_id", gkey).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    heads = joined.withColumn(
+        "__rn", F.row_number().over(w_in)
+    ).where(F.col("__rn") == 1).drop("__rn")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        heads.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "group_value", "score")
+    )
+
+
+def expand_collapsed(
+    index: InvertedIndex,
+    docs_df: DataFrame,
+    queries,
+    collapse_col: str,
+    page: DataFrame,
+    *,
+    expand_rows: int = 5,
+    k1: float = K1,
+    b: float = B,
+    allowed_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    round_to: int | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Solr's ExpandComponent (``expand=true&expand.rows=N``): for each
+    group whose head made the collapsed PAGE, the next ``expand_rows``
+    members (the head excluded), ranked (score desc, doc_id asc) —
+    Solr's expanded section keyed by group value. ``page`` is
+    collapse_topk's output (its (query_id, group_value) pairs define
+    which groups expand — only groups on the page, like Solr).
+    Returns (query_id, group_value, member_rank, doc_id, score)."""
+    scores = _scores(index, queries, k1, b, allowed_docs, spark)
+    if round_to is not None:
+        scores = scores.withColumn("score", F.round("score", round_to))
+    joined = scores.join(
+        docs_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(collapse_col).cast("string").alias("group_value"),
+        ),
+        "doc_id",
+    ).where(F.col("group_value").isNotNull())
+    keys = page.select("query_id", "group_value").where(
+        F.col("group_value").isNotNull()
+    ).distinct()
+    members = joined.join(F.broadcast(keys), ["query_id", "group_value"])
+    w_in = Window.partitionBy("query_id", "group_value").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        members.withColumn("__rn", F.row_number().over(w_in))
+        # rank 1 is the page's head — the expanded section starts below it
+        .where((F.col("__rn") > 1) & (F.col("__rn") <= expand_rows + 1))
+        .withColumn("member_rank", (F.col("__rn") - 1).cast("long"))
+        .select("query_id", "group_value", "member_rank", "doc_id", "score")
+    )

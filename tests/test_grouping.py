@@ -146,3 +146,54 @@ def test_select_sorted_by_function(spark):
     # n/m: doc 1 -> 9, doc 0 -> 5, doc 2 -> 3
     assert [(r["rank"], r["doc_id"]) for r in out] == [(1, 1), (2, 0), (3, 2)]
     assert [round(r["sort_value"], 4) for r in out] == [9.0, 5.0, 3.0]
+
+
+def test_collapse_and_expand(spark):
+    """Solr CollapsingQParser + ExpandComponent: flat collapsed page
+    (best doc per group), expanded section with the next members of
+    exactly the groups ON the page; nullPolicy ignore/expand/collapse."""
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.search.grouping import (
+        collapse_topk,
+        expand_collapsed,
+    )
+
+    rows = [
+        (0, "alpha alpha alpha", "g1"),   # best of g1
+        (1, "alpha alpha", "g1"),
+        (2, "alpha", "g1"),
+        (3, "alpha alpha", "g2"),         # best of g2
+        (4, "alpha", "g2"),
+        (5, "alpha", None),               # NULL group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, cat string")
+    idx = build_index(df.select("doc_id", "text"), num_segments=2)
+    q = [(0, "alpha")]
+
+    page = collapse_topk(idx, df, q, "cat", k=10, spark=spark).collect()
+    # ignore (default): NULL-cat doc 5 drops; one head per group
+    assert [(r["rank"], r["doc_id"], r["group_value"]) for r in page] == [
+        (1, 0, "g1"), (2, 3, "g2"),
+    ]
+    # expand: doc 5 passes through as its own group
+    p2 = collapse_topk(
+        idx, df, q, "cat", k=10, null_policy="expand", spark=spark
+    ).collect()
+    assert {r["doc_id"] for r in p2} == {0, 3, 5}
+    # collapse: all NULLs form one group (still one head)
+    p3 = collapse_topk(
+        idx, df, q, "cat", k=10, null_policy="collapse", spark=spark
+    ).collect()
+    assert {r["doc_id"] for r in p3} == {0, 3, 5}
+
+    page_df = collapse_topk(idx, df, q, "cat", k=10, spark=spark)
+    exp = expand_collapsed(
+        idx, df, q, "cat", page_df, expand_rows=1, spark=spark
+    ).collect()
+    # next member per paged group, head excluded, capped at expand_rows
+    assert sorted(
+        (r["group_value"], r["member_rank"], r["doc_id"]) for r in exp
+    ) == [("g1", 1, 1), ("g2", 1, 4)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="null_policy"):
+        collapse_topk(idx, df, q, "cat", null_policy="nope", spark=spark)
