@@ -133,12 +133,27 @@ def explain_scores(
         # undercount df
         .join(F.broadcast(index.term_stats.select("term", "df")), "term")
         .join(F.broadcast(qdf), "term")
+        # array-literal prefilter BEFORE the Generate (same shape as
+        # termvectors.term_vectors): explaining k docs generates O(k)
+        # rows per shard, never O(segment)
+        .withColumn(
+            "postings",
+            F.filter(
+                "postings",
+                lambda p: F.array_contains(
+                    F.lit(sorted({int(i) for i in doc_ids})).cast(
+                        "array<long>"
+                    ),
+                    p["doc_id"],
+                ),
+            ),
+        )
+        .where(F.size("postings") > 0)
         .select(
             "query_id", "term", "qtf",
             F.col("df").cast("double").alias("df"),
             F.explode("postings").alias("p"),
         )
-        .where(F.col("p.doc_id").isin([int(i) for i in set(doc_ids)]))
     )
     tf = F.col("p.tf").cast("double")
     dl = F.col("p.dl").cast("double")
@@ -188,8 +203,11 @@ def rerank_topk(
         F.expr(rq_expr).cast("double").alias("__rq"),
     )
     head = (
+        # the semi-join's build side (candidate ids, <= N per query) is
+        # hinted explicitly like the outer join — don't rely on AQE
         head.join(F.broadcast(vals.join(
-            head.select("doc_id").distinct(), "doc_id", "left_semi"
+            F.broadcast(head.select("doc_id").distinct()),
+            "doc_id", "left_semi",
         )), "doc_id", "left")
         .withColumn(
             "score",

@@ -250,12 +250,28 @@ def collapse_topk(
         )
     else:  # collapse: one NULL group
         gkey = F.coalesce(F.col("group_value"), F.lit("\x00null"))
-    w_in = Window.partitionBy("query_id", gkey).orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
+    # per-group head as ONE max_by aggregate, not a row_number window:
+    # aggregates get map-side partial aggregation and stay skew-safe
+    # when one group dominates (the "one giant domain" case at 100x) —
+    # a window must first co-locate EVERY member of the giant group on
+    # one task. The ordering struct mirrors the scorer's tie-break
+    # (score desc, doc_id asc) via (score, -doc_id) maximization.
+    heads = (
+        joined.groupBy(F.col("query_id"), gkey.alias("__gkey"))
+        .agg(
+            F.max_by(
+                F.struct("doc_id", "group_value", "score"),
+                F.struct(F.col("score").alias("s"),
+                         (-F.col("doc_id")).alias("d")),
+            ).alias("__h")
+        )
+        .select(
+            "query_id",
+            F.col("__h.doc_id").alias("doc_id"),
+            F.col("__h.group_value").alias("group_value"),
+            F.col("__h.score").alias("score"),
+        )
     )
-    heads = joined.withColumn(
-        "__rn", F.row_number().over(w_in)
-    ).where(F.col("__rn") == 1).drop("__rn")
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )

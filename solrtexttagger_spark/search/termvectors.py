@@ -15,7 +15,14 @@ are a read path, not a second stored structure:
          |segs(ids)| / S fraction of the index — the dominant win: a
          /tvrh request for k docs touches <= k segments regardless of
          corpus size)
-      -> explode only surviving shards, IN-list filter on doc_id
+      -> prefilter each shard's postings ARRAY to the requested ids
+         (one shared array literal, the maintenance.expunge trick) and
+         drop shards whose filtered array is empty — the Generate
+         (explode) then emits O(|ids|) rows per shard, never
+         O(segment): at the 100 TB design point one segment is
+         corpus/S, and exploding it to serve a 5-doc request is a
+         serving-path scale-killer (round-7 verdict #1)
+      -> explode the already-tiny filtered arrays
       -> optional broadcast join to term_stats for df / tf-idf.
 
 Char OFFSETS are out of scope: postings store token ordinals
@@ -44,8 +51,9 @@ def term_vectors(
     (doc_id, term, tf [, positions array<int>] [, df long,
     tfidf double]) — tfidf is Solr TermVectorComponent's tf/df.
 
-    One job, no shuffle: segment semi-join + IN-list are broadcast-side,
-    term_stats joins broadcast (tiny by contract)."""
+    One job, no shuffle: segment semi-join is broadcast-side, the doc-id
+    filter is an array-literal prefilter BEFORE the explode, term_stats
+    joins broadcast (tiny by contract)."""
     spark = spark or index.postings.sparkSession
     if not doc_ids:
         schema = "doc_id long, term string, tf long"
@@ -63,9 +71,17 @@ def term_vectors(
     pruned = index.postings.join(
         F.broadcast(ids_df.select("seg").distinct()), "seg", "left_semi"
     )
+    # ONE ArrayType literal shared by every shard (maintenance.py's
+    # expunge trick): filter the postings ARRAY to the requested docs
+    # BEFORE the Generate, drop empty shards — explode input is bounded
+    # by the request's shard overlap, not segment size
+    wanted = F.lit(sorted({int(i) for i in doc_ids})).cast("array<long>")
+    pruned = pruned.withColumn(
+        "postings",
+        F.filter("postings", lambda p: F.array_contains(wanted, p["doc_id"])),
+    ).where(F.size("postings") > 0)
     tv = (
         pruned.select("term", F.explode("postings").alias("p"))
-        .where(F.col("p.doc_id").isin([int(i) for i in set(doc_ids)]))
         .select(
             F.col("p.doc_id").alias("doc_id"),
             "term",

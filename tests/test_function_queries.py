@@ -198,6 +198,17 @@ def test_explain_scores_sums_to_bm25(spark, corpus):
         idx, [(0, "hash")], [0], spark=spark
     )._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+    # round-7 verdict #1 fix: the doc-id filter is an array-literal
+    # prefilter BELOW the Generate (explode input bounded by the
+    # request's shard overlap, never segment size)
+    opt = explain_scores(
+        idx, [(0, "hash")], [0], spark=spark
+    )._jdf.queryExecution().optimizedPlan().toString()
+    g = opt.find("Generate explode")
+    assert g != -1
+    assert opt.find("array_contains", g) > g
+    assert "size(filter(postings" in opt[g:]
+    assert " IN " not in opt[:g] and ".doc_id IN" not in opt
 
 
 def test_rerank_topk(spark, corpus):

@@ -197,3 +197,12 @@ def test_collapse_and_expand(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="null_policy"):
         collapse_topk(idx, df, q, "cat", null_policy="nope", spark=spark)
+
+    # round-7 verdict #5: the per-group head is ONE max_by aggregate with
+    # MAP-SIDE PARTIAL aggregation (skew-safe when one group dominates),
+    # not a row_number window that must co-locate every group member;
+    # the only remaining window is the absolute page rank, and being a
+    # plain row_number <= k it now gets WindowGroupLimit pushdown too
+    plan = page_df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan
+    assert "WindowGroupLimit" in plan
