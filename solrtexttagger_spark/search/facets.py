@@ -103,19 +103,25 @@ def facet_counts(
     counts = fv.groupBy("field", "value").agg(F.count("*").alias("n"))
     if mincount > 0:
         counts = counts.where(F.col("n") >= mincount)
+    order = (
+        [F.col("n").desc(), F.col("value").asc()]
+        if sort == "count"
+        else [F.col("value").asc()]
+    )
     if offset > 0 or limit is not None:
-        order = (
-            [F.col("n").desc(), F.col("value").asc()]
-            if sort == "count"
-            else [F.col("value").asc()]
-        )
         w = Window.partitionBy("field").orderBy(*order)
         hi = offset + limit if limit is not None else None
         counts = counts.withColumn("__r", F.row_number().over(w)).where(
             (F.col("__r") > offset)
             & (F.col("__r") <= hi if hi is not None else F.lit(True))
         ).drop("__r")
-    return counts.select("field", "value", "n")
+    # materialize the requested ordering even when not paginating (the
+    # docstring's ordering promise held only under limit/offset before —
+    # round-7 advice); the post-aggregation relation is distinct facet
+    # values, so the global sort is tiny
+    return counts.orderBy(F.col("field").asc(), *order).select(
+        "field", "value", "n"
+    )
 
 
 def facet_ranges(

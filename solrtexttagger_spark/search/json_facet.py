@@ -119,6 +119,19 @@ def _parse_tree(spec: dict, path: tuple, counter: list) -> tuple[list, dict]:
     return nodes, stats
 
 
+def _empty_bucket(node, val) -> dict:
+    """A zero-filled range bucket with the SAME shape as a populated one
+    (Solr emits the stat and sub-facet entries for zero buckets too):
+    count-like stats (sum/unique/hll) default to 0, value stats
+    (avg/min/max) to None, each sub-facet to an empty bucket list."""
+    b = {"val": val, "count": 0}
+    for sname, (fn, _col) in node.stats.items():
+        b[sname] = 0 if fn in ("sum", "unique", "hll") else None
+    for ch in node.children:
+        b[ch.name] = {"buckets": []}
+    return b
+
+
 def _walk(nodes):
     for n in nodes:
         yield n
@@ -215,12 +228,17 @@ def json_facet(
             if gap <= 0 or hi <= lo:
                 raise ValueError(f"range facet {n.name!r}: need gap > 0 "
                                  "and end > start")
+            # float start/end/gap keep a DOUBLE bucket key (Solr range
+            # facets take float gaps); the driver-side zero-fill spine
+            # mirrors the same lo + k*gap arithmetic bit-for-bit
+            key = F.floor((c - lo) / gap) * gap + lo
+            key = (
+                key.cast("double")
+                if any(isinstance(x, float) for x in (lo, hi, gap))
+                else key.cast("long")
+            )
             proj = proj.withColumn(
-                n.gcol,
-                F.when(
-                    (c >= lo) & (c < hi),
-                    (F.floor((c - lo) / gap) * gap + lo).cast("long"),
-                ),
+                n.gcol, F.when((c >= lo) & (c < hi), key)
             )
 
     gcols = [n.gcol for n in tree_nodes]
@@ -384,9 +402,15 @@ def json_facet(
             )
             have = {b["val"]: b for b in buckets}
             if node.mincount <= 0:
+                # arithmetic spine (not range(): float gaps are legal) —
+                # lo + i*gap is the SAME expression the bucket-key column
+                # computes (floor * gap + lo), so float vals line up
+                spine, i = [], 0
+                while lo + i * gap < hi:
+                    spine.append(lo + i * gap)
+                    i += 1
                 buckets = [
-                    have.get(v, {"val": v, "count": 0})
-                    for v in range(lo, hi, gap)
+                    have.get(v, _empty_bucket(node, v)) for v in spine
                 ]
             else:
                 buckets = [b for _, b in sorted(have.items())]

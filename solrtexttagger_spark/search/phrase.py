@@ -32,6 +32,14 @@ def phrase_terms(phrase: str, lowercase: bool = True) -> list[str]:
     ]
 
 
+# Slop expands every shifted position into slop+1 window anchors —
+# O(slop * positions) rows/memory — so unbounded query input is an OOM
+# vector (a careless '"a b"~1000000'); real Solr requests rarely exceed
+# ~100. Same contract as MAX_PREFIX_EXPANSIONS: raise, don't silently
+# clamp.
+MAX_SLOP = 512
+
+
 def _slop_map(phrases: list[str], slops: list[int] | None) -> dict[int, int]:
     if slops is None:
         return {}
@@ -39,7 +47,33 @@ def _slop_map(phrases: list[str], slops: list[int] | None) -> dict[int, int]:
         raise ValueError(
             f"slops has {len(slops)} entries for {len(phrases)} phrases"
         )
+    for s in slops:
+        if int(s) < 0 or int(s) > MAX_SLOP:
+            raise ValueError(
+                f"slop {s} outside [0, {MAX_SLOP}]: each position "
+                "expands to slop+1 window anchors, so unbounded slop is "
+                "an executor-memory vector"
+            )
     return {pid: int(s) for pid, s in enumerate(slops)}
+
+
+def _dup_min_occ(rows: list[tuple[int, int, str]]) -> dict[tuple[int, int], int]:
+    """{(phrase_id, term_idx): multiplicity} for phrase terms that repeat
+    WITHIN their phrase (multiplicity > 1 only — phrases without repeats
+    contribute nothing). Feeds _fold_phrases' repeated-term check:
+    Lucene's SloppyPhraseMatcher repeats-handling maps each phrase slot
+    to a DISTINCT token position, so a doc must hold at least
+    multiplicity distinct positions of a repeated term to match."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for pid, _idx, term in rows:
+        counts[(pid, term)] += 1
+    return {
+        (pid, idx): counts[(pid, term)]
+        for pid, idx, term in rows
+        if counts[(pid, term)] > 1
+    }
 
 
 def _phrase_rows(phrases: list[str], lowercase: bool):
@@ -70,9 +104,13 @@ def multi_phrase_match(
     ``slops`` (aligned with ``phrases``, default all 0) gives each
     phrase its Lucene slop: a doc matches when the offset-shifted
     positions fit a window of width <= slop — SloppyPhraseMatcher's
-    end-start criterion, exact Lucene semantics for two-term phrases
-    (span == move count) and the span relaxation of Lucene's
-    move-counting for longer ones (see _fold_phrases). For sloppy
+    end-start criterion, exact Lucene semantics for two-term phrases of
+    DISTINCT terms (span == move count) and the span relaxation of
+    Lucene's move-counting for longer ones (see _fold_phrases).
+    Repeated-term sloppy phrases ('"a a"~1') additionally require the
+    doc to hold >= multiplicity distinct positions of the repeated term
+    (Lucene's repeats-handling necessary condition; the remaining
+    within-window relaxation is documented in _fold_phrases). For sloppy
     phrases n_occurrences counts distinct qualifying window anchors
     (>= 1 iff matched), not Lucene's weighted sloppy freq."""
     spark = index.postings.sparkSession
@@ -93,7 +131,10 @@ def multi_phrase_match(
             ),
         )
     )
-    return _fold_phrases(ex, plens, slops=_slop_map(phrases, slops))
+    return _fold_phrases(
+        ex, plens, slops=_slop_map(phrases, slops),
+        min_occ=_dup_min_occ(rows),
+    )
 
 
 def multi_phrase_match_scored(
@@ -152,7 +193,8 @@ def multi_phrase_match_scored(
         ).alias("f"),
     )
     return _fold_phrases(
-        ex, plens, scored=True, slops=_slop_map(phrases, slops)
+        ex, plens, scored=True, slops=_slop_map(phrases, slops),
+        min_occ=_dup_min_occ(rows),
     )
 
 
@@ -162,6 +204,7 @@ def _fold_phrases(
     *,
     scored: bool = False,
     slops: dict[int, int] | None = None,
+    min_occ: dict[tuple[int, int], int] | None = None,
 ) -> DataFrame:
     """The per-(phrase, doc) contiguity fold shared by the uncompressed
     and compressed phrase paths. ``ex``: (phrase_id, term_idx, doc_id,
@@ -183,7 +226,45 @@ def _fold_phrases(
     [v, v + slop], i.e. iff a qualifying window exists. slop 0 expands
     to [p] (plan-identical to the exact path, which skips the rewrite
     entirely). Cost is O((slop + 1) * positions) rows into the same
-    shuffle — bounded by the query's slop, never the corpus."""
+    shuffle — bounded by the query's slop (<= MAX_SLOP, raised in
+    _slop_map), never the corpus.
+
+    REPEATED TERMS (``min_occ``: {(phrase_id, term_idx): multiplicity}
+    for within-phrase repeats, from _dup_min_occ): under slop > 0 the
+    window-anchor expansion alone would let '"a a"~1' match a doc with a
+    SINGLE 'a' (both instances' windows cover the same position), where
+    Lucene's SloppyPhraseMatcher repeats-handling requires each phrase
+    slot to take a DISTINCT token position. The check here is Lucene's
+    necessary condition — the doc must hold >= multiplicity distinct
+    positions of a repeated term (filtered BEFORE the window expansion,
+    where size(shifted) is the true occurrence count) — but not its full
+    sufficiency: the distinct positions are not forced inside one
+    window, so '"a a"~2' still matches "a x x x a" (span 3) that Lucene
+    rejects. slop-0 repeats need no check: the exact intersection
+    already demands consecutive distinct positions."""
+    if min_occ and slops and any(s > 0 for s in slops.values()):
+        need = {
+            (pid, idx): m
+            for (pid, idx), m in min_occ.items()
+            if slops.get(pid, 0) > 0
+        }
+        if need:
+            # scalar map key: term_idx is bounded by the phrase length,
+            # far below the 2**20 packing stride
+            mmap = F.create_map(
+                *[
+                    F.lit(x)
+                    for (pid, idx), m in sorted(need.items())
+                    for x in (pid * (1 << 20) + idx, m)
+                ]
+            )
+            key = (
+                F.col("phrase_id").cast("long") * (1 << 20)
+                + F.col("term_idx")
+            )
+            ex = ex.where(
+                F.size("shifted") >= F.coalesce(mmap[key], F.lit(1))
+            )
     if slops and any(s > 0 for s in slops.values()):
         slop_map = F.create_map(
             *[F.lit(x) for kv in slops.items() for x in kv]
@@ -290,7 +371,10 @@ def multi_phrase_match_compressed(
         decode,
         schema="phrase_id int, term_idx int, doc_id long, shifted array<long>",
     )
-    return _fold_phrases(ex, plens, slops=_slop_map(phrases, slops))
+    return _fold_phrases(
+        ex, plens, slops=_slop_map(phrases, slops),
+        min_occ=_dup_min_occ(rows),
+    )
 
 
 def multi_phrase_match_scored_compressed(
@@ -387,7 +471,8 @@ def multi_phrase_match_scored_compressed(
         ),
     )
     return _fold_phrases(
-        ex, plens, scored=True, slops=_slop_map(phrases, slops)
+        ex, plens, scored=True, slops=_slop_map(phrases, slops),
+        min_occ=_dup_min_occ(rows),
     )
 
 

@@ -306,7 +306,16 @@ class LocalSearcher:
         each shifted position p expands to {p - slop .. p} so the
         intersection is non-empty iff a window of width <= slop covers
         one position of every term (Lucene SloppyPhraseMatcher's
-        end - start criterion) — parity with the distributed path."""
+        end - start criterion) — parity with the distributed path,
+        including the repeated-term distinct-position check and the
+        MAX_SLOP guard of phrase._fold_phrases/_slop_map."""
+        from solrtexttagger_spark.search.phrase import MAX_SLOP
+
+        if slop < 0 or slop > MAX_SLOP:
+            raise ValueError(
+                f"slop {slop} outside [0, {MAX_SLOP}]: each position "
+                "expands to slop+1 window anchors on the serving driver"
+            )
         for t in toks:
             self._require_warmed(t)
         cand: set | None = None
@@ -317,8 +326,15 @@ class LocalSearcher:
             cand = set(pos) if cand is None else cand & set(pos)
             if not cand:
                 return set()
+        # repeated-term necessary condition (Lucene repeats-handling):
+        # a doc needs >= multiplicity distinct positions of a repeated
+        # term under slop > 0 — only the exact intersection implies it
+        mult = {t: toks.count(t) for t in set(toks)} if slop else {}
+        dup = {t: m for t, m in mult.items() if m > 1}
         out = set()
         for d in cand:
+            if dup and any(len(self.term_pos[t][d]) < m for t, m in dup.items()):
+                continue
             inter: set | None = None
             for i, t in enumerate(toks):
                 s = {int(p) - i for p in self.term_pos[t][d]}

@@ -202,6 +202,17 @@ def test_facet_counts(spark, docs_df, index):
     # empty query / no facet fields -> empty frame with the right schema
     assert facet_counts(index, docs, "", ["lang"], spark=spark).count() == 0
     assert facet_counts(index, docs, "alpha", [], spark=spark).count() == 0
+    # ordering promise holds WITHOUT limit/offset too (round-7 advice:
+    # sort= used to apply only inside the pagination branch)
+    assert [(r["value"], r["n"]) for r in out.collect()] == [
+        ("en", 2), ("de", 1)
+    ]
+    idx_sorted = facet_counts(
+        index, docs, "alpha", ["lang"], sort="index", spark=spark
+    ).collect()
+    assert [(r["value"], r["n"]) for r in idx_sorted] == [
+        ("de", 1), ("en", 2)
+    ]
 
 
 def test_more_like_this(spark, docs_df, index):

@@ -116,7 +116,10 @@ class TestTree:
         ]
         # nested terms under a range bucket
         assert b[1]["langs"]["buckets"] == [{"val": "en", "count": 2}]
-        assert "langs" not in b[3]  # empty spine bucket: count only
+        # empty spine bucket keeps the SAME shape as populated ones
+        # (Solr emits stat/sub-facet entries for zero buckets too —
+        # round-7 advice): sub-facet present with an empty bucket list
+        assert b[3]["langs"] == {"buckets": []}
         # mincount drops empty buckets instead of zero-filling
         out2 = _facet(spark, corpus, {
             "hist": {"type": "range", "field": "n",
@@ -124,6 +127,32 @@ class TestTree:
         })
         assert [(x["val"], x["count"]) for x in out2["hist"]["buckets"]] == [
             (20, 2), (40, 2)
+        ]
+
+    def test_zero_bucket_shape_and_float_gap(self, spark, corpus):
+        """Round-7 advice: zero-filled buckets carry the node's stat keys
+        (sum/unique -> 0, avg/min/max -> None) and sub-facet keys; float
+        start/end/gap is legal (the spine is arithmetic, not range())."""
+        out = _facet(spark, corpus, {
+            "hist": {"type": "range", "field": "n",
+                     "start": 0, "end": 80, "gap": 20,
+                     "facet": {"s": "sum(n)", "a": "avg(n)",
+                               "u": "unique(lang)"}},
+        })
+        empty = out["hist"]["buckets"][3]  # [60, 80): no alpha docs
+        assert empty == {"val": 60, "count": 0, "s": 0, "a": None, "u": 0}
+        full = out["hist"]["buckets"][1]  # [20, 40): docs 1, 2
+        assert full["count"] == 2 and full["s"] == 50.0 and full["u"] == 1
+
+        # float gap: buckets at 0.0, 17.5, 35.0, 52.5, 70.0 (end 87.5)
+        outf = _facet(spark, corpus, {
+            "hist": {"type": "range", "field": "n",
+                     "start": 0.0, "end": 87.5, "gap": 17.5},
+        })
+        got = [(x["val"], x["count"]) for x in outf["hist"]["buckets"]]
+        # n values in the alpha domain: 10,20,30,40,50
+        assert got == [
+            (0.0, 1), (17.5, 2), (35.0, 2), (52.5, 0), (70.0, 0)
         ]
 
     def test_query_facet_and_fq_domain(self, spark, corpus):

@@ -416,3 +416,142 @@ class TestPhraseBoost:
         # docs 0,1 adjacent; 2 has one gap (~1); 3 is reversed ("join
         # hash" — the two-term move count is exactly 2)
         assert {d for _r, d, _s in sloppy} == {0, 1, 2, 3}
+
+
+class TestRangeBoostParse:
+    def test_range_boost_folds_into_weight(self):
+        """Round-7 advice: '[lo TO hi]^2' folds into the clause weight —
+        previously the regex shed the dangling '^2' into a bare SHOULD
+        term '2', corrupting matching and scoring."""
+        from solrtexttagger_spark.search.boolean import parse_boolean_query
+
+        must, should, _n, _mp, _np = parse_boolean_query(
+            "+[query TO sort]^2 scan"
+        )
+        assert must == {"[query TO sort]": 2.0}
+        assert should == {"scan": 1.0}  # no phantom '2' term
+
+        m2, s2, _n2, _mp2, _np2 = parse_boolean_query("{a TO b}^0.5 merge")
+        assert s2 == {"{a TO b}": 0.5, "merge": 1.0} and m2 == {}
+
+    def test_range_boost_ignored_on_prohibited(self):
+        from solrtexttagger_spark.search.boolean import parse_boolean_query
+
+        _m, s, n, _mp, _np = parse_boolean_query("-[a TO b]^3 scan")
+        assert n == {"[a TO b]"} and s == {"scan": 1.0}
+
+    def test_range_boost_scales_scores(self, spark, corpus):
+        from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+
+        _, idx = corpus
+        base = _raw(
+            boolean_bm25_topk(idx, [(0, "+[merge TO merge]")], k=10,
+                              spark=spark)
+        )
+        boosted = _raw(
+            boolean_bm25_topk(idx, [(0, "+[merge TO merge]^2")], k=10,
+                              spark=spark)
+        )
+        assert base
+        for (_r1, d1, s1), (_r2, d2, s2) in zip(base, boosted):
+            assert d1 == d2 and s2 == pytest.approx(2.0 * s1, rel=1e-9)
+
+
+class TestSlopGuard:
+    """Round-7 advice: slop is query input — each position expands to
+    slop+1 window anchors (O(slop * positions) rows/memory), so values
+    above MAX_SLOP raise instead of OOMing executors or the serving
+    driver (same contract as MAX_PREFIX_EXPANSIONS)."""
+
+    def test_distributed_raises(self, spark, corpus):
+        from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+        from solrtexttagger_spark.search.phrase import (
+            MAX_SLOP,
+            multi_phrase_match,
+        )
+
+        _, idx = corpus
+        with pytest.raises(ValueError, match="slop"):
+            multi_phrase_match(idx, ["hash join"], slops=[MAX_SLOP + 1])
+        with pytest.raises(ValueError, match="slop"):
+            boolean_bm25_topk(
+                idx, [(0, '+"hash join"~1000000')], k=10, spark=spark
+            )
+        # the ceiling itself is legal
+        assert multi_phrase_match(
+            idx, ["hash join"], slops=[MAX_SLOP]
+        ).count() > 0
+
+    def test_serving_raises(self, spark, corpus):
+        from solrtexttagger_spark.index.compressed import compress_index
+        from solrtexttagger_spark.search.wand import LocalSearcher
+
+        _, idx = corpus
+        ls = LocalSearcher(compress_index(idx, with_positions=True),
+                           positions=True)
+        with pytest.raises(ValueError, match="slop"):
+            ls.search_boolean('+"hash join"~1000000', k=10)
+
+
+class TestRepeatedTermPhrases:
+    """Round-7 advice: under slop > 0 the window-anchor expansion alone
+    lets '"a a"~1' match a doc with a single 'a'; Lucene's
+    SloppyPhraseMatcher repeats-handling maps each slot to a DISTINCT
+    position. The engine now enforces the distinct-position necessary
+    condition (doc holds >= multiplicity positions of a repeated term);
+    the remaining within-window relaxation is documented."""
+
+    DOCS = [
+        (0, "alpha beta gamma"),        # single alpha
+        (1, "alpha alpha beta"),        # consecutive pair
+        (2, "alpha beta alpha"),        # pair one apart
+        (3, "beta gamma delta"),        # no alpha
+    ]
+
+    @pytest.fixture(scope="class")
+    def rep_corpus(self, spark):
+        from solrtexttagger_spark.index.build import build_index
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        idx = build_index(df, num_segments=2)
+        idx.postings.persist().count()
+        yield df, idx
+        idx.postings.unpersist()
+
+    def test_distributed(self, spark, rep_corpus):
+        from solrtexttagger_spark.search.phrase import multi_phrase_match
+
+        _, idx = rep_corpus
+        by_pid = {}
+        out = multi_phrase_match(
+            idx, ["alpha alpha", "alpha alpha"], slops=[0, 1]
+        ).collect()
+        for r in out:
+            by_pid.setdefault(r["phrase_id"], set()).add(r["doc_id"])
+        # exact: only the consecutive pair
+        assert by_pid.get(0, set()) == {1}
+        # slop 1: doc 2 ("alpha beta alpha", one move) joins; the
+        # single-alpha doc 0 must NOT match (the pre-fix bug)
+        assert by_pid.get(1, set()) == {1, 2}
+
+    def test_serving_parity(self, spark, rep_corpus):
+        from solrtexttagger_spark.index.compressed import compress_index
+        from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+        from solrtexttagger_spark.search.wand import LocalSearcher
+
+        _, idx = rep_corpus
+        ls = LocalSearcher(compress_index(idx, with_positions=True),
+                           positions=True)
+        for q in ('+"alpha alpha"', '+"alpha alpha"~1',
+                  'beta -"alpha alpha"~1'):
+            dist = sorted(
+                (r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in boolean_bm25_topk(
+                    idx, [(0, q)], k=10, spark=spark
+                ).collect()
+            )
+            local = [
+                (r, d, round(sc, 9))
+                for r, d, sc in ls.search_boolean(q, k=10)
+            ]
+            assert local == dist, q
