@@ -644,7 +644,11 @@ def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GROUP_FIELD = "lang"
 GROUP_LIMIT = 2
-SORT_FIELD = "n_chars"
+# Solr FUNCTION sorting (round-7 verdict #2a): any Catalyst expression,
+# not just a bare stored field — integer arithmetic so the DuckDB mirror
+# (`//` = Spark `div`, both floor on non-negatives) is value-identical
+SORT_EXPR_SPARK = "n_chars div (1 + doc_id % 7)"
+SORT_EXPR_SQL = "n_chars // (1 + doc_id % 7)"
 PIVOT_FIELDS = ["lang", "source"]
 PIVOT_ANY = "<any>"  # rollup-subtotal marker (NULL-free for hash compare)
 
@@ -671,13 +675,16 @@ def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_select_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Solr sort=n_chars desc: the match set ordered by a stored field
-    (doc_id asc tie-break), BM25 score still computed and returned."""
+    """Solr FUNCTION sorting (sort=div(n_chars,1+doc_id%7) desc): the
+    match set ordered by a Catalyst expression over stored fields
+    (doc_id asc tie-break), BM25 score still computed and returned —
+    the function-sort capability faces the oracle directly (round-7
+    verdict #2a; a bare field is the trivial case of the same path)."""
     from solrtexttagger_spark.search.grouping import select_sorted
 
     out = select_sorted(
         _index(spark, sf_dir), _docs(spark, sf_dir), BM25_QUERIES,
-        SORT_FIELD, ascending=False, k=BM25_K, round_to=4, spark=spark,
+        SORT_EXPR_SPARK, ascending=False, k=BM25_K, round_to=4, spark=spark,
     )
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -685,6 +692,41 @@ def q_select_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("sort_value").cast("long").alias("sort_value"),
         "score",
+    )
+
+
+COLLAPSE_FIELD = "source"   # 20 distinct values: pages stay full at k=10
+RERANK_DOCS = 5
+RERANK_WEIGHT = 2.0
+# the second-pass signal: deterministic integer arithmetic * an exact
+# scale, so Spark and DuckDB compute bit-identical doubles
+RERANK_RQ = "(n_chars % 101) * 0.01"
+
+
+def q_rerank_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr CollapsingQParser piped through ReRank — the two ranking ops
+    a search UI composes most (round-7 verdict #2b): field-collapsed
+    page (best doc per source), then the top RERANK_DOCS rescored in
+    place by a function-query signal (score + w*rq, re-sorted among
+    themselves; the tail keeps its first-pass positions)."""
+    from solrtexttagger_spark.search.functions import rerank_topk
+    from solrtexttagger_spark.search.grouping import collapse_topk
+
+    idx = _index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    page = collapse_topk(
+        idx, docs, BM25_QUERIES, COLLAPSE_FIELD, k=BM25_K, round_to=4,
+        spark=spark,
+    )
+    out = rerank_topk(
+        page, docs, RERANK_RQ, rerank_docs=RERANK_DOCS,
+        weight=RERANK_WEIGHT,
+    )
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
     )
 
 
@@ -800,9 +842,14 @@ def q_dup_span_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fingerprint + rolling_hash joined per doc — one driver row for the
-    per-doc hashing family (round-6 consolidation)."""
-    return q_fingerprint(spark, sf_dir).join(q_rolling_hash(spark, sf_dir), "doc_id")
+    """fingerprint + rolling_hash + simhash joined per doc — one driver
+    row for the per-doc hashing family (round-6 consolidation; simhash
+    folded in round 8 to free a surface slot for rerank_collapse)."""
+    return (
+        q_fingerprint(spark, sf_dir)
+        .join(q_rolling_hash(spark, sf_dir), "doc_id")
+        .join(q_simhash(spark, sf_dir), "doc_id")
+    )
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1332,7 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
-        "simhash": q_simhash,
+        "rerank_collapse": q_rerank_collapse,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
         "dedup_keep": q_dedup_keep,
@@ -2211,12 +2258,13 @@ FROM grp WHERE group_rank <= {BM25_K} AND rank_in_group <= {GROUP_LIMIT}
 """
 
     # mirrors search/grouping.select_sorted: match set ordered by the
-    # stored field desc (doc_id asc tie-break), score carried along
+    # sort FUNCTION desc (doc_id asc tie-break), score carried along —
+    # DuckDB `//` mirrors Spark `div` (both floor on non-negatives)
     sql["select_sorted"] = f"""
 {_bm25_scores_prefix()},
 rounded AS (SELECT query_id, doc_id, round(score, 4) AS score FROM scores),
 j AS (
-  SELECT r.query_id, r.doc_id, r.score, d.{SORT_FIELD}::BIGINT AS sort_value
+  SELECT r.query_id, r.doc_id, r.score, ({SORT_EXPR_SQL})::BIGINT AS sort_value
   FROM rounded r JOIN documents d USING (doc_id)
 ),
 ranked AS (
@@ -2226,6 +2274,50 @@ ranked AS (
 )
 SELECT query_id, rank::BIGINT AS rank, doc_id, sort_value, score
 FROM ranked WHERE rank <= {BM25_K}
+"""
+
+    # mirrors grouping.collapse_topk |> functions.rerank_topk: one head
+    # per (query, source) via the same (score desc, doc_id asc) order,
+    # absolute page ranks capped at k, then the top RERANK_DOCS rescored
+    # score + w*rq and re-sorted AMONG THEMSELVES while the tail keeps
+    # its first-pass rank — exactly Solr's {!collapse} + rq={!rerank}
+    sql["rerank_collapse"] = f"""
+{_bm25_scores_prefix()},
+rounded AS (SELECT query_id, doc_id, round(score, 4) AS score FROM scores),
+j AS (
+  SELECT r.query_id, r.doc_id, r.score, d.{COLLAPSE_FIELD} AS gv,
+         ({RERANK_RQ}) AS rq
+  FROM rounded r JOIN documents d USING (doc_id)
+  WHERE d.{COLLAPSE_FIELD} IS NOT NULL
+),
+heads AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, gv
+                               ORDER BY score DESC, doc_id ASC) AS rn
+  FROM j
+),
+page AS (
+  SELECT query_id, doc_id, score, rq,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM heads WHERE rn = 1
+),
+lim AS (SELECT * FROM page WHERE rank <= {BM25_K}),
+rr AS (
+  SELECT query_id, doc_id, score + {RERANK_WEIGHT} * rq AS new_score
+  FROM lim WHERE rank <= {RERANK_DOCS}
+),
+head2 AS (
+  SELECT query_id, doc_id, new_score AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY new_score DESC, doc_id ASC) AS rank
+  FROM rr
+),
+tail AS (
+  SELECT query_id, doc_id, score, rank FROM lim
+  WHERE rank > {RERANK_DOCS}
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, round(score, 4) AS score
+FROM (SELECT * FROM head2 UNION ALL SELECT * FROM tail)
 """
 
     # mirrors search/grouping.facet_pivot: ROLLUP over the match set;
@@ -3040,9 +3132,10 @@ FROM events GROUP BY 1, 2
         "JOIN (" + sql.pop("remove_dup_spans") + ") r USING (doc_id)"
     )
     sql["fingerprints"] = (
-        "SELECT f.doc_id, f.fp, r.rhash\n"
+        "SELECT f.doc_id, f.fp, r.rhash, s.simhash\n"
         "FROM (" + sql.pop("fingerprint") + ") f\n"
-        "JOIN (" + sql.pop("rolling_hash") + ") r USING (doc_id)"
+        "JOIN (" + sql.pop("rolling_hash") + ") r USING (doc_id)\n"
+        "JOIN (" + sql.pop("simhash") + ") s USING (doc_id)"
     )
     sql["doc_quality"] = (
         "SELECT q.doc_id, q.n_tokens, q.ttr, q.mean_word_len, q.stop_ratio,\n"
