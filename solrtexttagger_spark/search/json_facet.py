@@ -20,17 +20,41 @@ params in search/facets.py are its legacy twins). Supported subset:
                "facet": {"tot": "sum(n_chars)"}},     # stats only
    "total_chars": "sum(n_chars)"}                     # root-level stat
 
+Domain changes (round 8 — the multi-select faceting pattern every
+faceted UI hits; reference analogue: the per-request fq DocSet
+machinery, TaggerRequestHandler.java:310-351):
+
+  json_facet(..., allowed_docs=...,              # untagged fq: always on
+             tagged_filters={"COLOR": color_ids, "SIZE": size_ids})
+  {"colors": {"type": "terms", "field": "color",
+              "domain": {"excludeTags": "COLOR"}},   # fq arm removed
+   "small_hist": {"type": "range", ...,
+                  "domain": {"filter": "n_chars < 200"}}}  # extra filter
+
+``tagged_filters`` are Solr's ``fq={!tag=COLOR}...`` arms: doc-id
+relations ANDed into the base domain like ``allowed_docs``, but
+removable per node via ``domain: {excludeTags: "COLOR"}`` (string,
+comma-list, or list). ``domain: {filter: <expr>}`` narrows the node's
+domain with a Catalyst SQL expression over the corpus columns. Domain
+changes INHERIT down the tree (a child facet operates on its parent's
+bucket domain, Solr's model); the root ``count`` and root stats always
+use the unmodified base domain.
+
 Stats: sum / avg / min / max / unique (exact distinct) / hll
 (HyperLogLog++ approximate distinct — Solr's hll stat). Out of scope
 (documented): allBuckets, sorting by a SUB-facet's stat, sub-facets
 under ``missing`` buckets or under query facets (stats there are fine),
-percentiles, and domain changes (excludeTags/domain:{...}) — the domain
-is always the base query's match set restricted by ``allowed_docs``.
+percentiles, and domain changes on QUERY facets (their domain is always
+the base).
 
 Execution shape (the point of this module):
 
 - The ENTIRE terms/range tree — every nesting level, every per-bucket
-  stat — is ONE ``groupingSets`` aggregate over the match-set join:
+  stat — is ONE ``groupingSets`` aggregate PER DISTINCT DOMAIN (one
+  aggregate total without domain changes; nodes sharing a domain share
+  an aggregate; an excluded tag costs one fewer semi-join on that
+  domain's match set, a domain filter one extra predicate) over the
+  match-set join:
   each tree node contributes the grouping set (ancestor cols..., own
   col); ``grouping_id()`` tags which node a result row belongs to; a
   range node's grouping column is its bucket arithmetic. Catalyst
@@ -167,6 +191,24 @@ def _sort_exprs(node, cnt_col, stat_cols):
     return [lead, val.asc()]
 
 
+def _domain_change(node) -> tuple[frozenset, tuple]:
+    """Parse ``spec["domain"]`` -> (excluded tags, filter exprs). Unknown
+    domain keys raise (excludeTags + filter are the supported subset);
+    excludeTags accepts a string, a comma list, or a list."""
+    d = node.spec.get("domain") or {}
+    unknown = set(d) - {"excludeTags", "filter"}
+    if unknown:
+        raise ValueError(
+            f"facet {node.name!r}: unsupported domain keys {sorted(unknown)}"
+            " (excludeTags/filter are the supported subset)"
+        )
+    excl = d.get("excludeTags", [])
+    if isinstance(excl, str):
+        excl = [t.strip() for t in excl.split(",") if t.strip()]
+    filt = d.get("filter")
+    return frozenset(excl), (filt,) if filt else ()
+
+
 def json_facet(
     index: InvertedIndex,
     docs_df: DataFrame,
@@ -175,19 +217,26 @@ def json_facet(
     *,
     id_col: str = "doc_id",
     allowed_docs: DataFrame | None = None,
+    tagged_filters: dict[str, DataFrame] | None = None,
     field: str | None = None,
     spark: SparkSession | None = None,
 ) -> dict:
     """Evaluate a Solr ``json.facet`` spec over the documents matching
     ``query`` (bag semantics, like search/facets.facet_counts;
-    ``allowed_docs`` = fq restricting the domain). Returns the nested
-    Solr response shape: ``{"count": N, <facet name>: {"buckets":
-    [{"val": v, "count": n, <stat>: x, <subfacet>: {...}}, ...],
-    ["numBuckets": m,] ["missing": {"count": n}]}, <stat name>: x}``.
+    ``allowed_docs`` = untagged fq restricting the domain;
+    ``tagged_filters`` = Solr's ``fq={!tag=...}`` arms, removable per
+    node via ``domain: {excludeTags: ...}`` — see module docstring).
+    Returns the nested Solr response shape: ``{"count": N, <facet name>:
+    {"buckets": [{"val": v, "count": n, <stat>: x, <subfacet>: {...}},
+    ...], ["numBuckets": m,] ["missing": {"count": n}]}, <stat name>:
+    x}``.
 
-    One grouping-sets aggregate for the whole terms/range tree + one
-    batched boolean pass for all query facets — see module docstring."""
+    One grouping-sets aggregate per DISTINCT DOMAIN for the terms/range
+    tree (exactly one without domain changes) + one batched boolean pass
+    for all query facets, all under ONE collect — see module
+    docstring."""
     spark = spark or docs_df.sparkSession
+    tagged_filters = tagged_filters or {}
     counter = [0]
     roots, root_stats = _parse_tree(spec, (), counter)
     tree_nodes = [n for n in _walk(roots) if n.type != "query"]
@@ -197,6 +246,11 @@ def json_facet(
             raise ValueError(
                 f"query facet {n.name!r}: only top-level query facets are "
                 "supported (nested query domains are out of scope)"
+            )
+        if n.spec.get("domain"):
+            raise ValueError(
+                f"query facet {n.name!r}: domain changes on query facets "
+                "are out of scope (their domain is always the base)"
             )
 
     # --- domain: bag match of the base query, fq-restricted ---
@@ -214,39 +268,75 @@ def json_facet(
             allowed_docs.select(F.col("doc_id").alias(id_col)).distinct(),
             id_col, "left_semi",
         )
-    dom = docs_df.join(matched, id_col)
+
+    # Per-node EFFECTIVE domain: own change merged with the ancestors'
+    # (a child operates on its parent's bucket domain — Solr's model).
+    # Unknown excludeTags are ignored like Solr ignores unknown tags.
+    node_key: dict[int, tuple] = {}
+    by_name = {n.path + (n.name,): n for n in _walk(roots)}
+    for n in tree_nodes:
+        excl: frozenset = frozenset()
+        filts: tuple = ()
+        chain = [by_name[n.path[:i]] for i in range(1, len(n.path) + 1)
+                 if n.path[:i] in by_name] + [n]
+        for a in chain:
+            e, f = _domain_change(a)
+            excl, filts = excl | e, filts + f
+        node_key[n.idx] = (excl & set(tagged_filters), filts)
+
+    base_key = (frozenset(), ())
+    keys = [base_key] + sorted(
+        {k for k in node_key.values() if k != base_key},
+        key=lambda k: (sorted(k[0]), k[1]),
+    )
+
+    def _dom_for(key) -> DataFrame:
+        excl, filts = key
+        m = matched
+        for tag in sorted(tagged_filters):
+            if tag in excl:
+                continue
+            m = m.join(
+                tagged_filters[tag]
+                .select(F.col("doc_id").alias(id_col)).distinct(),
+                id_col, "left_semi",
+            )
+        d = docs_df.join(m, id_col)
+        for f in filts:
+            d = d.where(F.expr(f))
+        return d
 
     # --- grouping columns: field per terms node, bucket arithmetic per
     # range node (computed BEFORE the aggregate so it can be grouped) ---
-    proj = dom
-    for n in tree_nodes:
-        if n.type == "terms":
-            proj = proj.withColumn(n.gcol, F.col(n.spec["field"]))
-        else:  # range
-            c = F.col(n.spec["field"])
-            lo, hi, gap = n.spec["start"], n.spec["end"], n.spec["gap"]
-            if gap <= 0 or hi <= lo:
-                raise ValueError(f"range facet {n.name!r}: need gap > 0 "
-                                 "and end > start")
-            # float start/end/gap keep a DOUBLE bucket key (Solr range
-            # facets take float gaps); the driver-side zero-fill spine
-            # mirrors the same lo + k*gap arithmetic bit-for-bit
-            key = F.floor((c - lo) / gap) * gap + lo
-            key = (
-                key.cast("double")
-                if any(isinstance(x, float) for x in (lo, hi, gap))
-                else key.cast("long")
-            )
-            proj = proj.withColumn(
-                n.gcol, F.when((c >= lo) & (c < hi), key)
-            )
+    def _project(dom: DataFrame) -> DataFrame:
+        proj = dom
+        for n in tree_nodes:
+            if n.type == "terms":
+                proj = proj.withColumn(n.gcol, F.col(n.spec["field"]))
+            else:  # range
+                c = F.col(n.spec["field"])
+                lo, hi, gap = n.spec["start"], n.spec["end"], n.spec["gap"]
+                if gap <= 0 or hi <= lo:
+                    raise ValueError(f"range facet {n.name!r}: need gap > 0 "
+                                     "and end > start")
+                # float start/end/gap keep a DOUBLE bucket key (Solr range
+                # facets take float gaps); the driver-side zero-fill spine
+                # mirrors the same lo + k*gap arithmetic bit-for-bit
+                key = F.floor((c - lo) / gap) * gap + lo
+                key = (
+                    key.cast("double")
+                    if any(isinstance(x, float) for x in (lo, hi, gap))
+                    else key.cast("long")
+                )
+                proj = proj.withColumn(
+                    n.gcol, F.when((c >= lo) & (c < hi), key)
+                )
+        return proj
 
     gcols = [n.gcol for n in tree_nodes]
-    sets = [tuple()] + [
-        tuple(a.gcol for a in _ancestors(n, tree_nodes)) + (n.gcol,)
-        for n in tree_nodes
-    ]
-    # stats: every node's stats plus root stats, all in the ONE agg
+    # stats: every node's stats plus root stats, all in the per-domain
+    # aggregates (identical agg lists keep the union schema-aligned;
+    # each node's stat is only ever READ from its own domain's rows)
     stat_cols: dict[tuple[int, str], str] = {}
     aggs = [F.count("*").alias("__cnt")]
     for n in tree_nodes:
@@ -259,19 +349,39 @@ def json_facet(
         stat_cols[(-1, sname)] = alias
         aggs.append(_STAT_FN[fn](col).alias(alias))
 
-    if gcols:
-        agg = proj.groupingSets(
-            [tuple(s) for s in sets], *[F.col(c) for c in gcols]
-        ).agg(*aggs, F.grouping_id(*[F.col(c) for c in gcols]).alias("__gid"))
-    else:
-        agg = proj.agg(*aggs, F.lit(0).alias("__gid"))
-    # PERSIST the aggregated relation (rows = buckets, tiny) before the
-    # per-node slices: each node's filter+window+union branch would
-    # otherwise re-execute the whole corpus-join + Expand + aggregate
-    # subtree — the union's N branches all read this one cached
-    # computation instead (verified in the executed plan: one Expand
-    # under InMemoryRelation vs one per branch uncached)
-    agg = agg.persist()
+    # ONE groupingSets aggregate per distinct domain: the base domain's
+    # carries the root set () (root count/stats always use the
+    # unmodified domain) plus the sets of base-domain nodes; each
+    # changed domain's carries only its own nodes' sets. grouping_id is
+    # computed over the SAME global gcols everywhere, so node masks stay
+    # comparable across aggregates.
+    agg_by_key: dict[tuple, DataFrame] = {}
+    for key in keys:
+        proj = _project(_dom_for(key))
+        key_sets = ([tuple()] if key == base_key else []) + [
+            tuple(a.gcol for a in _ancestors(n, tree_nodes)) + (n.gcol,)
+            for n in tree_nodes
+            if node_key[n.idx] == key
+        ]
+        if not key_sets:
+            continue  # base key with every node re-domained: root only
+        if gcols:
+            a = proj.groupingSets(
+                [tuple(s) for s in key_sets], *[F.col(c) for c in gcols]
+            ).agg(
+                *aggs,
+                F.grouping_id(*[F.col(c) for c in gcols]).alias("__gid"),
+            )
+        else:
+            a = proj.agg(*aggs, F.lit(0).alias("__gid"))
+        # PERSIST the aggregated relation (rows = buckets, tiny) before
+        # the per-node slices: each node's filter+window+union branch
+        # would otherwise re-execute the whole corpus-join + Expand +
+        # aggregate subtree — the union's N branches all read this one
+        # cached computation instead (verified in the executed plan: one
+        # Expand under InMemoryRelation vs one per branch uncached)
+        agg_by_key[key] = a.persist()
+    agg = agg_by_key[base_key]
 
     # gid for a node: bits of the EXCLUDED grouping columns set to 1
     def _mask(included: set[str]) -> int:
@@ -287,7 +397,9 @@ def json_facet(
     for n in tree_nodes:
         anc = [a.gcol for a in _ancestors(n, tree_nodes)]
         mask = _mask(set(anc) | {n.gcol})
-        rows = agg.where(F.col("__gid") == F.lit(mask))
+        rows = agg_by_key[node_key[n.idx]].where(
+            F.col("__gid") == F.lit(mask)
+        )
         # drop buckets under a NULL ancestor (sub-facets under missing
         # buckets are out of scope, documented)
         for a in anc:
@@ -338,7 +450,8 @@ def json_facet(
     try:
         collected = uni.collect()  # ONE action for the whole tree
     finally:
-        agg.unpersist()
+        for a in agg_by_key.values():
+            a.unpersist()
 
     by_mask: dict[int, list] = {}
     for r in collected:
@@ -353,7 +466,8 @@ def json_facet(
         qm = boolean_matched_scores(
             index, qlist, field=field, spark=spark
         ).select("query_id", F.col("doc_id").alias(id_col))
-        qm = qm.join(dom.select(id_col), id_col, "left_semi")
+        # query facets always run over the full fq'd base domain
+        qm = qm.join(_dom_for(base_key).select(id_col), id_col, "left_semi")
         q_aggs = [F.count("*").alias("__cnt")]
         for i, n in enumerate(query_nodes):
             for sname, (fn, col) in n.stats.items():

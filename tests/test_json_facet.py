@@ -323,3 +323,103 @@ def test_sort_by_all_null_stat_bucket(spark, corpus):
     }, spark=spark)
     assert [b["val"] for b in out["langs"]["buckets"]] == ["en", "de"]
     assert out["langs"]["buckets"][1]["t"] is None
+
+
+class TestDomainChanges:
+    """Round-7 verdict #3: domain changes — excludeTags (multi-select
+    faceting: each facet recounts with its OWN fq arm removed) and
+    domain:{filter}. Reference analogue: the per-request fq DocSet
+    machinery (TaggerRequestHandler.java:310-351)."""
+
+    def _tagged(self, spark, corpus):
+        df, idx = corpus
+        return {
+            "SRC": df.where("src = 'web'").select("doc_id"),
+            "LANG": df.where("lang = 'en'").select("doc_id"),
+        }
+
+    def test_exclude_tags_multiselect(self, spark, corpus):
+        df, idx = corpus
+        out = _facet(spark, corpus, {
+            # own arm removed -> counts over base & LANG = docs {0,1,2}
+            "srcs": {"type": "terms", "field": "src",
+                     "domain": {"excludeTags": "SRC"}},
+            # own arm removed -> counts over base & SRC = docs {0,2,3}
+            "langs": {"type": "terms", "field": "lang",
+                      "domain": {"excludeTags": ["LANG"]}},
+            # no domain change -> full fq'd domain {0,2}
+            "both": {"type": "terms", "field": "src"},
+        }, tagged_filters=self._tagged(spark, corpus))
+        # root count always uses the unmodified base domain
+        assert out["count"] == 2
+        assert {(b["val"], b["count"]) for b in out["srcs"]["buckets"]} == {
+            ("web", 2), ("book", 1)
+        }
+        assert {(b["val"], b["count"]) for b in out["langs"]["buckets"]} == {
+            ("en", 2), ("de", 1)
+        }
+        assert [(b["val"], b["count"]) for b in out["both"]["buckets"]] == [
+            ("web", 2)
+        ]
+        # DuckDB mirror of the multi-select arithmetic
+        import duckdb
+        con = duckdb.connect()
+        con.sql("CREATE TABLE t AS SELECT * FROM (VALUES "
+                "(0,'en','web',10),(1,'en','book',20),(2,'en','web',30),"
+                "(3,'de','web',40),(4,NULL,'book',50),(5,'fr','web',60)"
+                ") v(doc_id, lang, src, n)")
+        base = "doc_id IN (0,1,2,3,4)"  # alpha matches
+        mirror = {
+            tuple(r) for r in con.sql(
+                f"SELECT src, count(*) FROM t WHERE {base} AND lang = 'en' "
+                "GROUP BY src"
+            ).fetchall()
+        }
+        assert {(b["val"], b["count"]) for b in out["srcs"]["buckets"]} == mirror
+
+    def test_domain_filter_and_inheritance(self, spark, corpus):
+        out = _facet(spark, corpus, {
+            # extra predicate on the full fq'd domain {0,2} -> n<25: doc 0
+            "small": {"type": "terms", "field": "src",
+                      "domain": {"filter": "n < 25"}},
+            # a child inherits its parent's changed domain (Solr model):
+            # langs over base & SRC = {0,2,3}; en bucket = {0,2} -> web 2
+            "langs": {"type": "terms", "field": "lang",
+                      "domain": {"excludeTags": "LANG"},
+                      "facet": {"srcs": {"type": "terms", "field": "src"}}},
+        }, tagged_filters=self._tagged(spark, corpus))
+        assert [(b["val"], b["count"]) for b in out["small"]["buckets"]] == [
+            ("web", 1)
+        ]
+        en = [b for b in out["langs"]["buckets"] if b["val"] == "en"][0]
+        assert en["count"] == 2
+        assert [(b["val"], b["count"]) for b in en["srcs"]["buckets"]] == [
+            ("web", 2)
+        ]
+
+    def test_no_cache_leak_and_errors(self, spark, corpus):
+        df, idx = corpus
+        before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        _facet(spark, corpus, {
+            "srcs": {"type": "terms", "field": "src",
+                     "domain": {"excludeTags": "SRC"}},
+        }, tagged_filters=self._tagged(spark, corpus))
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+        # unknown domain keys raise; unknown TAGS are ignored like Solr
+        with pytest.raises(ValueError, match="domain"):
+            _facet(spark, corpus, {
+                "srcs": {"type": "terms", "field": "src",
+                         "domain": {"query": "x"}},
+            })
+        out = _facet(spark, corpus, {
+            "srcs": {"type": "terms", "field": "src",
+                     "domain": {"excludeTags": "NOPE"}},
+        }, tagged_filters=self._tagged(spark, corpus))
+        assert {(b["val"], b["count"]) for b in out["srcs"]["buckets"]} == {
+            ("web", 2)
+        }
+        with pytest.raises(ValueError, match="query facet"):
+            _facet(spark, corpus, {
+                "special": {"type": "query", "q": "beta",
+                            "domain": {"excludeTags": "SRC"}},
+            }, tagged_filters=self._tagged(spark, corpus))
