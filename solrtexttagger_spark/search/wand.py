@@ -395,6 +395,69 @@ class LocalSearcher:
         instead re-sorts per request)."""
         return np.asarray(sorted(allowed_docs), dtype=np.int64)
 
+    @staticmethod
+    def prepare_boost(docs_df, *, bf: str | None = None,
+                      boost: str | None = None, id_col: str = "doc_id"):
+        """Resolve Solr ``bf=`` / ``boost=`` function queries into the
+        warm doc->value arrays ``search(boost_values=...)`` consumes —
+        the serving twin of functions.boosted_topk (round-7 verdict #4).
+
+        ONE Spark job evaluates the SAME Catalyst F.expr the distributed
+        path uses (value-identical by construction), collected as sorted
+        (doc_id, bf_value, boost_value) numpy arrays — Solr's in-memory
+        docValues under the warmed searcher. Call once, reuse across
+        requests like prepare_filter. NULL function values resolve to
+        the identity (bf 0 / boost 1), boosted_topk's missing-field
+        behavior. Memory is 8-24 bytes per doc; for a huge corpus pass a
+        docs_df pre-filtered to the serving shard, exactly like warming
+        ``terms=`` subsets."""
+        if bf is None and boost is None:
+            raise ValueError("prepare_boost needs bf= and/or boost=")
+        cols = [F.col(id_col).cast("long").alias("doc_id")]
+        if bf is not None:
+            cols.append(F.expr(bf).cast("double").alias("__bf"))
+        if boost is not None:
+            cols.append(F.expr(boost).cast("double").alias("__boost"))
+        pdf = docs_df.select(*cols).toPandas()
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        add = (
+            np.nan_to_num(
+                pdf["__bf"].to_numpy(np.float64)[order], nan=0.0
+            )
+            if bf is not None
+            else None
+        )
+        mul = (
+            np.nan_to_num(
+                pdf["__boost"].to_numpy(np.float64)[order], nan=1.0
+            )
+            if boost is not None
+            else None
+        )
+        return ids, add, mul
+
+    @staticmethod
+    def _apply_boost(uniq: np.ndarray, scores: np.ndarray, boost_values):
+        """(bm25 + bf) * boost over the accumulated scores, pre-top-k —
+        the same fold order as functions.boosted_topk. Docs absent from
+        the prepared map keep the identity (missing-field behavior)."""
+        ids, add, mul = boost_values
+        pos = np.searchsorted(ids, uniq)
+        safe = np.minimum(pos, max(len(ids) - 1, 0))
+        valid = (pos < len(ids)) & (np.take(ids, safe) == uniq) if len(ids) \
+            else np.zeros(len(uniq), dtype=bool)
+        if add is not None:
+            a = np.zeros(len(uniq))
+            a[valid] = np.take(add, safe[valid])
+            scores = scores + a
+        if mul is not None:
+            m = np.ones(len(uniq))
+            m[valid] = np.take(mul, safe[valid])
+            scores = scores * m
+        return scores
+
     @classmethod
     def _allowed_arr(cls, allowed_docs) -> np.ndarray:
         if isinstance(allowed_docs, np.ndarray):
@@ -423,10 +486,14 @@ class LocalSearcher:
         allowed_docs=None,
         start: int = 0,
         synonyms: dict[str, list[str]] | None = None,
+        boost_values=None,
     ):
         """-> [(rank, doc_id, score)]. k1/b were baked into the per-doc
         factors at warm-up; passing different values here would silently
         score with the warm-up parameters, so it raises instead.
+        ``boost_values`` (from prepare_boost) applies Solr bf=/boost=
+        function queries pre-top-k: score = (bm25 + bf) * boost, the
+        serving twin of functions.boosted_topk.
         ``synonyms`` applies query-time expansion with GRAPH semantics
         (bm25.expand_synonyms_graph) — Solr's analyzer chain runs
         regardless of scorer, so the warm path expands identically to
@@ -486,6 +553,8 @@ class LocalSearcher:
             uniq, scores = self._apply_allowed(
                 uniq, scores, self._allowed_arr(allowed_docs)
             )
+        if boost_values is not None:
+            scores = self._apply_boost(uniq, scores, boost_values)
         order = np.lexsort((uniq, -scores))[start : start + k]
         return [
             (rank, int(uniq[i]), float(scores[i]))
