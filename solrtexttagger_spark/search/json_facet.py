@@ -41,9 +41,14 @@ bucket domain, Solr's model); the root ``count`` and root stats always
 use the unmodified base domain.
 
 Stats: sum / avg / min / max / unique (exact distinct) / hll
-(HyperLogLog++ approximate distinct — Solr's hll stat). Out of scope
-(documented): allBuckets, sorting by a SUB-facet's stat, sub-facets
-under ``missing`` buckets or under query facets (stats there are fine),
+(HyperLogLog++ approximate distinct — Solr's hll stat).
+``allBuckets: true`` on a terms node emits Solr's
+``{"allBuckets": {"count": N}}`` — the doc count across ALL buckets
+pre-limit (missing/NULL docs excluded, like Solr) — as one more window
+aggregate over the already-aggregated bucket rows (zero extra passes;
+allBuckets STATS are out of scope, count is what UIs use). Also out of
+scope (documented): sorting by a SUB-facet's stat, sub-facets under
+``missing`` buckets or under query facets (stats there are fine),
 percentiles, and domain changes on QUERY facets (their domain is always
 the base).
 
@@ -424,6 +429,11 @@ def json_facet(
             wo = w.orderBy(*order)
             nn = nn.withColumn("__rn", F.row_number().over(wo)).withColumn(
                 "__nb", F.count("*").over(w)
+            ).withColumn(
+                # Solr allBuckets: docs across all buckets PRE-limit
+                # (NULL-field docs excluded — this window sees only the
+                # isNotNull rows), one more aggregate in the same window
+                "__ab", F.sum("__cnt").over(w)
             )
             off = n.spec.get("offset", 0)
             if n.limit is not None and n.limit >= 0:
@@ -436,15 +446,19 @@ def json_facet(
         else:  # range: mincount filter only; zero-fill happens driver-side
             if n.mincount > 0:
                 nn = nn.where(F.col("__cnt") >= n.mincount)
-            nn = nn.withColumn("__nb", F.lit(None).cast("long"))
+            nn = nn.withColumn("__nb", F.lit(None).cast("long")).withColumn(
+                "__ab", F.lit(None).cast("long")
+            )
         if keep_null:
             miss = rows.where(F.col(n.gcol).isNull()).withColumn(
                 "__nb", F.lit(None).cast("long")
-            )
+            ).withColumn("__ab", F.lit(None).cast("long"))
             nn = nn.unionByName(miss)
         pieces.append(nn)
 
-    uni = pieces[0].withColumn("__nb", F.lit(None).cast("long"))
+    uni = pieces[0].withColumn("__nb", F.lit(None).cast("long")).withColumn(
+        "__ab", F.lit(None).cast("long")
+    )
     for p in pieces[1:]:
         uni = uni.unionByName(p)
     try:
@@ -531,6 +545,10 @@ def json_facet(
         out = {"buckets": buckets}
         if node.type == "terms" and node.spec.get("numBuckets"):
             out["numBuckets"] = int(regular[0]["__nb"]) if regular else 0
+        if node.type == "terms" and node.spec.get("allBuckets"):
+            out["allBuckets"] = {
+                "count": int(regular[0]["__ab"]) if regular else 0
+            }
         if node.type == "terms" and node.spec.get("missing"):
             miss = [r for r in rows if r[node.gcol] is None]
             m = {"count": int(miss[0]["__cnt"]) if miss else 0}

@@ -93,6 +93,18 @@ class TestTree:
         })
         assert len(out5["srcs"]["buckets"]) == 2
 
+    def test_all_buckets(self, spark, corpus):
+        """Solr allBuckets:true — doc count across ALL buckets pre-limit
+        (NULL-field docs excluded), one extra window aggregate."""
+        out = _facet(spark, corpus, {
+            "langs": {"type": "terms", "field": "lang", "limit": 1,
+                      "allBuckets": True, "missing": True},
+        })
+        # alpha domain = docs 0-4; doc 4 has NULL lang -> 4 in buckets
+        assert out["langs"]["allBuckets"] == {"count": 4}
+        assert len(out["langs"]["buckets"]) == 1  # limit still applies
+        assert out["langs"]["missing"] == {"count": 1}
+
     def test_mincount_and_prefix(self, spark, corpus):
         out = _facet(spark, corpus, {
             "langs": {"type": "terms", "field": "lang", "mincount": 2},

@@ -365,3 +365,128 @@ def test_streaming_upsert_duplicate_ids_fail_batch(spark, tmp_path):
     with pytest.raises(Exception, match="duplicate doc ids"):
         q.awaitTermination(120)
         q.processAllAvailable()
+
+
+def _norm_postings(df):
+    return {
+        (r["term"], tuple((p["doc_id"], p["tf"]) for p in sorted(r["postings"])))
+        for r in df.groupBy("term")
+        .agg(F.array_sort(F.flatten(F.collect_list("postings"))).alias("postings"))
+        .collect()
+    }
+
+
+def _run_upsert_batch(spark, rows, src, out, ckpt):
+    from solrtexttagger_spark.streaming.upsert_stream import (
+        upsert_index_stream,
+    )
+
+    schema = "doc_id long, text string"
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = upsert_index_stream(stream, out, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+
+
+def test_upsert_compaction_threshold_and_delta_reads(spark, tmp_path):
+    """Round-7 verdict #7: compaction triggers on the superseded
+    fraction (owners-table signal, Lucene merge-policy analogue), and
+    current_postings serves compacted base + post-watermark deltas —
+    always equal to the full last-write-wins merge."""
+    from solrtexttagger_spark.streaming.upsert_stream import (
+        compact_upsert_segments,
+        current_postings,
+        merge_upsert_segments,
+        superseded_fraction,
+    )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("csrc", "csegs", "cckpt"))
+    _run_upsert_batch(spark, [(1, "hash join"), (2, "merge sort")],
+                      src, out, ckpt)
+    # append-only so far: nothing superseded
+    assert superseded_fraction(spark, out) == 0.0
+    ran, frac = compact_upsert_segments(spark, out, num_segments=2,
+                                        threshold=0.2)
+    assert (ran, frac) == (False, 0.0)
+
+    # batch 1: update doc 1, add doc 3, delete doc 2
+    # owners: 5 rows, 3 distinct docs -> fraction 0.4
+    _run_upsert_batch(spark, [(1, "scan scan"), (3, "probe"), (2, None)],
+                      src, out, ckpt)
+    assert superseded_fraction(spark, out) == pytest.approx(0.4)
+    ran, frac = compact_upsert_segments(spark, out, num_segments=2,
+                                        threshold=0.5)
+    assert not ran  # below threshold: data untouched
+    ran, frac = compact_upsert_segments(spark, out, num_segments=2,
+                                        threshold=0.4)
+    assert ran and frac == pytest.approx(0.4)
+
+    # compacted base == full merge; reader view == base (no deltas yet)
+    merged = _norm_postings(merge_upsert_segments(spark, out, num_segments=2))
+    assert _norm_postings(current_postings(spark, out, num_segments=2)) == merged
+    ref = build_index(
+        spark.createDataFrame([(1, "scan scan"), (3, "probe")],
+                              "doc_id long, text string"),
+        num_segments=2,
+    ).postings
+    assert merged == _norm_postings(ref)
+
+    # batch 2 AFTER compaction: update doc 3, add doc 4, delete doc 1 —
+    # the reader merges the compacted base with only the delta batch
+    _run_upsert_batch(spark, [(3, "group by"), (4, "window"), (1, None)],
+                      src, out, ckpt)
+    view = _norm_postings(current_postings(spark, out, num_segments=2))
+    assert view == _norm_postings(
+        merge_upsert_segments(spark, out, num_segments=2)
+    )
+    ref2 = build_index(
+        spark.createDataFrame([(3, "group by"), (4, "window")],
+                              "doc_id long, text string"),
+        num_segments=2,
+    ).postings
+    assert view == _norm_postings(ref2)
+
+
+def test_upsert_replay_exactly_once(spark, tmp_path):
+    """A replayed micro-batch (restart from a checkpoint taken BEFORE
+    the batch committed — the crash-between-write-and-commit window)
+    re-runs with the SAME batch id onto idempotent batch={id}
+    overwrites: the merged view, the compaction manifest and the
+    compacted postings are identical."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from solrtexttagger_spark.streaming.upsert_stream import (
+        compact_upsert_segments,
+        current_postings,
+        merge_upsert_segments,
+        upsert_index_stream,
+    )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("rsrc", "rsegs", "rckpt"))
+    _run_upsert_batch(spark, [(1, "hash join"), (2, "merge sort")],
+                      src, out, ckpt)
+    # snapshot the checkpoint as it stood before batch 1 committed
+    ckpt_replay = str(tmp_path / "rckpt_replay")
+    _shutil.copytree(ckpt, ckpt_replay)
+    _run_upsert_batch(spark, [(1, "scan scan"), (2, None)], src, out, ckpt)
+    before = _norm_postings(merge_upsert_segments(spark, out, num_segments=2))
+    compact_upsert_segments(spark, out, num_segments=2, force=True)
+    man_before = _json.load(open(_os.path.join(out, "compacted",
+                                               "manifest.json")))
+
+    # restart from the stale checkpoint: batch 1 replays (same id, same
+    # files) onto the already-written segment=1 / owners/batch=1 dirs
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = upsert_index_stream(stream, out, checkpoint_dir=ckpt_replay)
+    q.awaitTermination(120)
+
+    after = _norm_postings(merge_upsert_segments(spark, out, num_segments=2))
+    assert after == before
+    compact_upsert_segments(spark, out, num_segments=2, force=True)
+    man_after = _json.load(open(_os.path.join(out, "compacted",
+                                              "manifest.json")))
+    assert man_after == man_before
+    assert _norm_postings(current_postings(spark, out, num_segments=2)) == before
