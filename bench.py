@@ -399,6 +399,19 @@ def main() -> None:
             )
             extras["q2n_superseded_fraction"] = round(frac, 3)
             extras["q2n_compacted"] = bool(ran)
+            # a POST-compaction batch so the reader exercises the
+            # round-8 delta-driven merge (literal expunge of touched
+            # docs + broadcast key-set shard merge, base never exploded)
+            docs.limit(100).select(
+                "doc_id",
+                F.concat_ws(" ", F.lit("late"), "text").alias("text"),
+            ).write.mode("append").parquet(src)
+            stream3 = spark.readStream.schema(
+                "doc_id long, text string"
+            ).parquet(src)
+            upsert_index_stream(
+                stream3, out, checkpoint_dir=ckpt
+            ).awaitTermination(300)
             return current_postings(spark, out, num_segments=8).count()
         finally:
             shutil.rmtree(work, ignore_errors=True)

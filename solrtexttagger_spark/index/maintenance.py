@@ -33,6 +33,63 @@ from pyspark.sql import DataFrame, functions as F
 from solrtexttagger_spark.index.build import InvertedIndex
 
 
+def filter_postings_literal(postings: DataFrame, ids: list[int]) -> DataFrame:
+    """Map-only rewrite of a (term, seg, postings, df_seg, cf_seg)
+    relation dropping every posting whose doc_id is in ``ids`` (shards
+    left empty vanish). The ids ship as ONE shared array literal and a
+    JVM ``filter`` lambda rewrites each shard's array in place — zero
+    shuffles, the scale path when the removed set is small relative to
+    the postings relation (see expunge_docs for the measured crossover
+    and the let-binding rationale). The result stays LAZY: persist for
+    repeated serving, and never ``explode`` it unpersisted (Generate
+    re-evaluates a lazily rewritten array per emitted element)."""
+    # ONE ArrayType literal, not CreateArray(|ids| child literals) —
+    # a thousand-child expression tree blows up codegen/analysis time
+    # (measured: 237 s vs 2.4 s for the whole rewrite at 1k ids)
+    gone = (
+        F.lit(sorted(ids)).cast("array<long>")
+        if ids
+        else F.array().cast("array<long>")
+    )
+    # Per-shard cost is O(n + |ids|), not O(n * |ids|) (round-5
+    # verdict #4): array_intersect(gone, doc_ids) hash-builds from the
+    # ROW's own ids and probes the literal once, yielding the (almost
+    # always empty) overlap. Only overlapping shards pay the
+    # per-element rewrite, and they scan the tiny overlap, never the
+    # full deleted-id literal. The overlap is LET-BOUND as a lambda
+    # variable (a 1-element transform) — as a plain withColumn,
+    # CollapseProject inlines the intersect into the filter lambda
+    # and re-evaluates it per posting element (measured: 117 s vs
+    # 0.9 s for the rewrite of a 100k-doc corpus at 1k deleted ids).
+    doc_ids = F.transform("postings", lambda p: p["doc_id"])
+    kept = F.element_at(
+        F.transform(
+            F.array(F.array_intersect(gone, doc_ids)),
+            lambda ov: F.when(F.size(ov) == 0, F.col("postings")).otherwise(
+                F.filter(
+                    "postings",
+                    lambda p: ~F.array_contains(ov, p["doc_id"]),
+                )
+            ),
+        ),
+        1,
+    )
+    return (
+        postings.withColumn("postings", kept)
+        .withColumn(
+            "df_seg",
+            F.size("postings").cast(postings.schema["df_seg"].dataType),
+        )
+        .withColumn(
+            "cf_seg",
+            F.aggregate(
+                "postings", F.lit(0).cast("long"), lambda acc, p: acc + p["tf"]
+            ).cast(postings.schema["cf_seg"].dataType),
+        )
+        .where(F.col("df_seg") > 0)
+    )
+
+
 def expunge_docs(
     index: InvertedIndex,
     deleted_docs: DataFrame,
@@ -68,48 +125,7 @@ def expunge_docs(
         method = "literal" if ids_df.count() <= literal_threshold else "merge"
     if method == "literal":
         ids = sorted(int(r["doc_id"]) for r in ids_df.collect())
-        # ONE ArrayType literal, not CreateArray(|ids| child literals) —
-        # a thousand-child expression tree blows up codegen/analysis time
-        # (measured: 237 s vs 2.4 s for the whole rewrite at 1k ids)
-        gone = (
-            F.lit(ids).cast("array<long>")
-            if ids
-            else F.array().cast("array<long>")
-        )
-        # Per-shard cost is O(n + |ids|), not O(n * |ids|) (round-5
-        # verdict #4): array_intersect(gone, doc_ids) hash-builds from the
-        # ROW's own ids and probes the literal once, yielding the (almost
-        # always empty) overlap. Only overlapping shards pay the
-        # per-element rewrite, and they scan the tiny overlap, never the
-        # full deleted-id literal. The overlap is LET-BOUND as a lambda
-        # variable (a 1-element transform) — as a plain withColumn,
-        # CollapseProject inlines the intersect into the filter lambda
-        # and re-evaluates it per posting element (measured: 117 s vs
-        # 0.9 s for the rewrite of a 100k-doc corpus at 1k deleted ids).
-        doc_ids = F.transform("postings", lambda p: p["doc_id"])
-        kept = F.element_at(
-            F.transform(
-                F.array(F.array_intersect(gone, doc_ids)),
-                lambda ov: F.when(F.size(ov) == 0, F.col("postings")).otherwise(
-                    F.filter(
-                        "postings",
-                        lambda p: ~F.array_contains(ov, p["doc_id"]),
-                    )
-                ),
-            ),
-            1,
-        )
-        new_postings = (
-            index.postings.withColumn("postings", kept)
-            .withColumn("df_seg", F.size("postings").cast(index.postings.schema["df_seg"].dataType))
-            .withColumn(
-                "cf_seg",
-                F.aggregate(
-                    "postings", F.lit(0).cast("long"), lambda acc, p: acc + p["tf"]
-                ).cast(index.postings.schema["cf_seg"].dataType),
-            )
-            .where(F.col("df_seg") > 0)
-        )
+        new_postings = filter_postings_literal(index.postings, ids)
     elif method == "merge":
         ex = index.postings.select(
             "term", "seg", F.explode("postings").alias("p")

@@ -43,14 +43,24 @@ use the unmodified base domain.
 Stats: sum / avg / min / max / unique (exact distinct) / hll
 (HyperLogLog++ approximate distinct — Solr's hll stat).
 ``allBuckets: true`` on a terms node emits Solr's
-``{"allBuckets": {"count": N}}`` — the doc count across ALL buckets
-pre-limit (missing/NULL docs excluded, like Solr) — as one more window
-aggregate over the already-aggregated bucket rows (zero extra passes;
-allBuckets STATS are out of scope, count is what UIs use). Also out of
-scope (documented): sorting by a SUB-facet's stat, sub-facets under
-``missing`` buckets or under query facets (stats there are fine),
-percentiles, and domain changes on QUERY facets (their domain is always
-the base).
+``{"allBuckets": {"count": N, <stat>: x}}`` — the combined bucket
+across ALL buckets pre-limit/pre-mincount (missing/NULL docs excluded;
+``prefix`` restricts the term domain first, both like Solr). A
+count-only node pays zero extra passes (one more window aggregate over
+the already-aggregated bucket rows); a node with STATS (round 8) adds
+one grouping set — (ancestors..., field IS NOT NULL) — to the SAME
+aggregate, so every stat (avg/unique/hll included) is EXACT, not a
+lossy re-aggregation of per-bucket finals, still without a second pass
+over data. Sub-facets under allBuckets are not computed (Solr's
+behavior). Range nodes take Solr's ``other: before|after|between|all``
+(string or list) the same way — one extra grouping set per node whose
+rows are the out-of-range/combined buckets, stats included, emitted as
+the response's sibling ``before``/``after``/``between`` keys. Out of scope (documented): sorting by a SUB-facet's stat,
+sub-facets under ``missing`` buckets or under query facets (stats
+there are fine), and percentiles. QUERY facets accept the same
+``domain`` changes as terms/range nodes (top-level only — their
+excludeTags/filter re-derive the domain their one batched boolean pass
+is intersected with).
 
 Execution shape (the point of this module):
 
@@ -107,6 +117,28 @@ class _Node:
         self.children: list[_Node] = []
         self.stats: dict[str, tuple[str, str]] = {}  # name -> (fn, col)
         self.gcol = f"__g{idx}"  # this node's grouping column alias
+        self.abcol = f"__b{idx}"  # allBuckets-stats grouping column
+        self.ocol = f"__o{idx}"  # range "other" grouping column
+
+    @property
+    def other(self) -> tuple[str, ...]:
+        """Solr range-facet ``other``: which of before/after/between to
+        emit (string, list, or 'all'/'none'). Empty when unset."""
+        o = self.spec.get("other")
+        if not o:
+            return ()
+        vals = [o] if isinstance(o, str) else list(o)
+        if "none" in vals:
+            return ()
+        if "all" in vals:
+            return ("before", "after", "between")
+        bad = set(vals) - {"before", "after", "between"}
+        if bad:
+            raise ValueError(
+                f"range facet {self.name!r}: unsupported other values "
+                f"{sorted(bad)} (before/after/between/all/none)"
+            )
+        return tuple(v for v in ("before", "after", "between") if v in vals)
 
     @property
     def limit(self):
@@ -252,11 +284,6 @@ def json_facet(
                 f"query facet {n.name!r}: only top-level query facets are "
                 "supported (nested query domains are out of scope)"
             )
-        if n.spec.get("domain"):
-            raise ValueError(
-                f"query facet {n.name!r}: domain changes on query facets "
-                "are out of scope (their domain is always the base)"
-            )
 
     # --- domain: bag match of the base query, fq-restricted ---
     terms = sorted(analyze_query_terms(query))
@@ -336,9 +363,39 @@ def json_facet(
                 proj = proj.withColumn(
                     n.gcol, F.when((c >= lo) & (c < hi), key)
                 )
+        for n in ab_nodes:
+            # allBuckets-with-stats grouping column: the combined bucket
+            # is "field present" (prefix restricts the term domain first,
+            # like Solr) — one extra grouping set in the SAME aggregate
+            cond = F.col(n.gcol).isNotNull()
+            if n.spec.get("prefix") is not None:
+                cond = cond & F.col(n.gcol).cast("string").startswith(
+                    n.spec["prefix"]
+                )
+            proj = proj.withColumn(n.abcol, cond)
+        for n in o_nodes:
+            # Solr range "other": before/after/between land in one extra
+            # grouping set of the same aggregate — stats ride along free
+            c = F.col(n.spec["field"])
+            lo, hi = n.spec["start"], n.spec["end"]
+            proj = proj.withColumn(
+                n.ocol,
+                F.when(c < lo, F.lit("before"))
+                .when(c >= hi, F.lit("after"))
+                .when(c.isNotNull(), F.lit("between")),
+            )
         return proj
 
-    gcols = [n.gcol for n in tree_nodes]
+    ab_nodes = [
+        n for n in tree_nodes
+        if n.type == "terms" and n.spec.get("allBuckets") and n.stats
+    ]
+    o_nodes = [n for n in tree_nodes if n.type == "range" and n.other]
+    gcols = (
+        [n.gcol for n in tree_nodes]
+        + [n.abcol for n in ab_nodes]
+        + [n.ocol for n in o_nodes]
+    )
     # stats: every node's stats plus root stats, all in the per-domain
     # aggregates (identical agg lists keep the union schema-aligned;
     # each node's stat is only ever READ from its own domain's rows)
@@ -366,6 +423,14 @@ def json_facet(
         key_sets = ([tuple()] if key == base_key else []) + [
             tuple(a.gcol for a in _ancestors(n, tree_nodes)) + (n.gcol,)
             for n in tree_nodes
+            if node_key[n.idx] == key
+        ] + [
+            tuple(a.gcol for a in _ancestors(n, tree_nodes)) + (n.abcol,)
+            for n in ab_nodes
+            if node_key[n.idx] == key
+        ] + [
+            tuple(a.gcol for a in _ancestors(n, tree_nodes)) + (n.ocol,)
+            for n in o_nodes
             if node_key[n.idx] == key
         ]
         if not key_sets:
@@ -416,8 +481,6 @@ def json_facet(
                 nn = nn.where(
                     F.col(n.gcol).cast("string").startswith(n.spec["prefix"])
                 )
-            if n.mincount > 0:
-                nn = nn.where(F.col("__cnt") >= n.mincount)
             # window over the AGGREGATED relation: rows are buckets, so a
             # top-level node's empty partitionBy single-partitions its
             # bucket list (field cardinality), never the documents —
@@ -425,15 +488,17 @@ def json_facet(
             w = Window.partitionBy(*[F.col(a) for a in anc]) if anc else (
                 Window.partitionBy()
             )
+            # Solr allBuckets: docs across all buckets PRE-limit and
+            # PRE-mincount (NULL-field docs excluded — this window sees
+            # only the isNotNull rows; prefix restricts the term domain
+            # first, both like Solr), one aggregate in the same window
+            nn = nn.withColumn("__ab", F.sum("__cnt").over(w))
+            if n.mincount > 0:
+                nn = nn.where(F.col("__cnt") >= n.mincount)
             order = _sort_exprs(n, "__cnt", stat_cols)
             wo = w.orderBy(*order)
             nn = nn.withColumn("__rn", F.row_number().over(wo)).withColumn(
                 "__nb", F.count("*").over(w)
-            ).withColumn(
-                # Solr allBuckets: docs across all buckets PRE-limit
-                # (NULL-field docs excluded — this window sees only the
-                # isNotNull rows), one more aggregate in the same window
-                "__ab", F.sum("__cnt").over(w)
             )
             off = n.spec.get("offset", 0)
             if n.limit is not None and n.limit >= 0:
@@ -455,6 +520,24 @@ def json_facet(
             ).withColumn("__ab", F.lit(None).cast("long"))
             nn = nn.unionByName(miss)
         pieces.append(nn)
+    for n, col, keep in [(n, n.abcol, F.col(n.abcol)) for n in ab_nodes] + [
+        (n, n.ocol, F.col(n.ocol).isNotNull()) for n in o_nodes
+    ]:
+        # the allBuckets / range-"other" rows: their grouping set
+        # aggregated the node's whole combined domain (field present /
+        # before-after-between respectively), so every stat is exact
+        anc = [a.gcol for a in _ancestors(n, tree_nodes)]
+        mask = _mask(set(anc) | {col})
+        rows = agg_by_key[node_key[n.idx]].where(
+            F.col("__gid") == F.lit(mask)
+        ).where(keep)
+        for a in anc:
+            rows = rows.where(F.col(a).isNotNull())
+        pieces.append(
+            rows.withColumn("__nb", F.lit(None).cast("long")).withColumn(
+                "__ab", F.lit(None).cast("long")
+            )
+        )
 
     uni = pieces[0].withColumn("__nb", F.lit(None).cast("long")).withColumn(
         "__ab", F.lit(None).cast("long")
@@ -480,8 +563,30 @@ def json_facet(
         qm = boolean_matched_scores(
             index, qlist, field=field, spark=spark
         ).select("query_id", F.col("doc_id").alias(id_col))
-        # query facets always run over the full fq'd base domain
-        qm = qm.join(_dom_for(base_key).select(id_col), id_col, "left_semi")
+        # per-node domain (round 8): excludeTags/filter re-derive the
+        # domain each query facet's match set intersects with — nodes
+        # sharing a domain (the common case: all base) share one
+        # semi-join; everything still lands in ONE aggregate + collect
+        qkey = {
+            i: (lambda e_f: (e_f[0] & set(tagged_filters), e_f[1]))(
+                _domain_change(n)
+            )
+            for i, n in enumerate(query_nodes)
+        }
+        parts = []
+        for key in sorted(
+            set(qkey.values()), key=lambda k: (sorted(k[0]), k[1])
+        ):
+            ids = [i for i, k in qkey.items() if k == key]
+            part = qm if len(qkey) == len(ids) else qm.where(
+                F.col("query_id").isin(ids)
+            )
+            parts.append(
+                part.join(_dom_for(key).select(id_col), id_col, "left_semi")
+            )
+        qm = parts[0]
+        for p in parts[1:]:
+            qm = qm.unionByName(p)
         q_aggs = [F.count("*").alias("__cnt")]
         for i, n in enumerate(query_nodes):
             for sname, (fn, col) in n.stats.items():
@@ -543,12 +648,51 @@ def json_facet(
             else:
                 buckets = [b for _, b in sorted(have.items())]
         out = {"buckets": buckets}
+        if node.type == "range" and node.other:
+            omask = _mask(
+                {a.gcol for a in _ancestors(node, tree_nodes)} | {node.ocol}
+            )
+            orows = {
+                r[node.ocol]: r
+                for r in by_mask.get(omask, [])
+                if r[node.ocol] is not None
+                and all(r[a] == v for a, v in parent_filter.items())
+            }
+            for kind in node.other:
+                r = orows.get(kind)
+                d = {"count": int(r["__cnt"]) if r else 0}
+                for sname, (fn, _c) in node.stats.items():
+                    d[sname] = (
+                        r[stat_cols[(node.idx, sname)]]
+                        if r
+                        else (0 if fn in ("sum", "unique", "hll") else None)
+                    )
+                out[kind] = d
         if node.type == "terms" and node.spec.get("numBuckets"):
             out["numBuckets"] = int(regular[0]["__nb"]) if regular else 0
         if node.type == "terms" and node.spec.get("allBuckets"):
-            out["allBuckets"] = {
-                "count": int(regular[0]["__ab"]) if regular else 0
-            }
+            if node.stats:
+                amask = _mask(
+                    {a.gcol for a in _ancestors(node, tree_nodes)}
+                    | {node.abcol}
+                )
+                arows = [
+                    r for r in by_mask.get(amask, [])
+                    if r[node.abcol]
+                    and all(r[a] == v for a, v in parent_filter.items())
+                ]
+                ab = {"count": int(arows[0]["__cnt"]) if arows else 0}
+                for sname, (fn, _c) in node.stats.items():
+                    ab[sname] = (
+                        arows[0][stat_cols[(node.idx, sname)]]
+                        if arows
+                        else (0 if fn in ("sum", "unique", "hll") else None)
+                    )
+                out["allBuckets"] = ab
+            else:
+                out["allBuckets"] = {
+                    "count": int(regular[0]["__ab"]) if regular else 0
+                }
         if node.type == "terms" and node.spec.get("missing"):
             miss = [r for r in rows if r[node.gcol] is None]
             m = {"count": int(miss[0]["__cnt"]) if miss else 0}

@@ -197,7 +197,11 @@ def compact_upsert_segments(
 
 
 def current_postings(
-    spark: SparkSession, out_dir: str, *, num_segments: int = 8
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    num_segments: int = 8,
+    literal_threshold: int = 1_000,
 ) -> DataFrame:
     """The live postings view a reader should use: the compacted base
     (when a compaction manifest exists) merged with only the
@@ -205,7 +209,24 @@ def current_postings(
     dropped from the base shards and replaced by their latest delta rows
     (deletes vanish: ownership after the watermark, no content rows).
     Without a manifest, the full merge view (correctness first,
-    compaction amortized). Output shape = merge_upsert_segments."""
+    compaction amortized). Output shape = merge_upsert_segments.
+
+    The merge is DELTA-DRIVEN (round-8; maintenance.upsert_docs' shard
+    merge is the shape) when the touched-doc set is small — the normal
+    state between compactions:
+
+    1. touched docs are removed from the base by the map-only literal
+       array rewrite (``filter_postings_literal`` — zero shuffles over
+       the big compacted relation, only shards actually containing a
+       touched doc pay a per-element pass);
+    2. the delta rows aggregate into shards on their own (tiny), and
+       only base shards whose (term, seg) key the delta touches
+       re-aggregate — untouched shards pass through UNSHUFFLED
+       (broadcast anti-join on the delta's key set).
+
+    Past ``literal_threshold`` touched docs the honest cost is the full
+    explode → anti-join → re-aggregate merge, same as a Lucene major
+    merge."""
     try:
         man = json.loads(_fs_read_text(spark, _manifest_path(out_dir)))
     except Exception:
@@ -216,7 +237,12 @@ def current_postings(
     comp = spark.read.parquet(os.path.join(out_dir, "compacted", "postings"))
     owners = spark.read.parquet(os.path.join(out_dir, "owners", "batch=*"))
     new_owners = owners.where(F.col("batch_id") > w)
-    if not new_owners.take(1):
+    touched_ids = [
+        int(r["doc_id"])
+        for r in new_owners.select("doc_id").distinct()
+        .limit(literal_threshold + 1).collect()
+    ]
+    if not touched_ids:
         return comp
     rows = spark.read.parquet(os.path.join(out_dir, "segment=*"))
     # a delta batch beats anything at or below the watermark, so the
@@ -227,14 +253,37 @@ def current_postings(
     live_new = rows.where(F.col("batch_id") > w).join(
         latest_new, ["doc_id", "batch_id"], "left_semi"
     ).select("doc_id", "term", "tf", "dl", "positions")
-    touched = new_owners.select("doc_id").distinct()
-    base_rows = (
-        comp.select("term", F.explode("postings").alias("p"))
-        .select(
-            F.col("p.doc_id").alias("doc_id"), "term",
-            F.col("p.tf").alias("tf"), F.col("p.dl").alias("dl"),
-            F.col("p.positions").alias("positions"),
+    if len(touched_ids) > literal_threshold:
+        # big post-watermark churn: the full merge shuffle is honest
+        touched = new_owners.select("doc_id").distinct()
+        base_rows = (
+            comp.select("term", F.explode("postings").alias("p"))
+            .select(
+                F.col("p.doc_id").alias("doc_id"), "term",
+                F.col("p.tf").alias("tf"), F.col("p.dl").alias("dl"),
+                F.col("p.positions").alias("positions"),
+            )
+            .join(touched, "doc_id", "left_anti")
         )
-        .join(touched, "doc_id", "left_anti")
+        return _aggregate_rows(base_rows.unionByName(live_new), s)
+    from solrtexttagger_spark.index.maintenance import (
+        filter_postings_literal,
     )
-    return _aggregate_rows(base_rows.unionByName(live_new), s)
+
+    base = filter_postings_literal(comp, touched_ids)
+    delta = _aggregate_rows(live_new, s)
+    keys = delta.select("term", "seg")
+    untouched = base.join(F.broadcast(keys), ["term", "seg"], "left_anti")
+    overlap = base.join(F.broadcast(keys), ["term", "seg"], "left_semi")
+    remerged = (
+        overlap.unionByName(delta)
+        .groupBy("term", "seg")
+        .agg(
+            F.array_sort(F.flatten(F.collect_list("postings"))).alias(
+                "postings"
+            ),
+            F.sum("df_seg").alias("df_seg"),
+            F.sum("cf_seg").alias("cf_seg"),
+        )
+    )
+    return untouched.unionByName(remerged)

@@ -141,6 +141,37 @@ class TestTree:
             (20, 2), (40, 2)
         ]
 
+    def test_range_other_buckets(self, spark, corpus):
+        """Solr range ``other``: before/after/between as sibling keys of
+        buckets, stats riding the same aggregate (round 8 — one extra
+        grouping set, exact stats)."""
+        out = _facet(spark, corpus, {
+            "hist": {"type": "range", "field": "n",
+                     "start": 20, "end": 50, "gap": 10, "other": "all",
+                     "facet": {"s": "sum(n)"}},
+        })
+        # alpha domain docs 0-4 with n = 10,20,30,40,50
+        assert out["hist"]["before"] == {"count": 1, "s": 10.0}
+        assert out["hist"]["after"] == {"count": 1, "s": 50.0}
+        assert out["hist"]["between"] == {"count": 3, "s": 90.0}
+        assert [(b["val"], b["count"]) for b in out["hist"]["buckets"]] == [
+            (20, 1), (30, 1), (40, 1)
+        ]
+        # subset list + no stats; empty 'before' still emitted as 0
+        out2 = _facet(spark, corpus, {
+            "hist": {"type": "range", "field": "n",
+                     "start": 0, "end": 100, "gap": 50,
+                     "other": ["before", "after"]},
+        })
+        assert out2["hist"]["before"] == {"count": 0}
+        assert out2["hist"]["after"] == {"count": 0}
+        assert "between" not in out2["hist"]
+        with pytest.raises(ValueError, match="unsupported other"):
+            _facet(spark, corpus, {
+                "hist": {"type": "range", "field": "n", "start": 0,
+                         "end": 10, "gap": 5, "other": "outer"},
+            })
+
     def test_zero_bucket_shape_and_float_gap(self, spark, corpus):
         """Round-7 advice: zero-filled buckets carry the node's stat keys
         (sum/unique -> 0, avg/min/max -> None) and sub-facet keys; float
@@ -430,8 +461,81 @@ class TestDomainChanges:
         assert {(b["val"], b["count"]) for b in out["srcs"]["buckets"]} == {
             ("web", 2)
         }
-        with pytest.raises(ValueError, match="query facet"):
-            _facet(spark, corpus, {
-                "special": {"type": "query", "q": "beta",
-                            "domain": {"excludeTags": "SRC"}},
-            }, tagged_filters=self._tagged(spark, corpus))
+
+    def test_query_facet_domain_changes(self, spark, corpus):
+        """Round-8: query facets accept the same domain changes as
+        terms/range nodes — excludeTags widens the domain their match
+        set intersects with, domain:{filter} narrows it; base-domain
+        query facets share one semi-join."""
+        out = _facet(spark, corpus, {
+            # base domain under both fq arms: docs {0,2}; beta -> doc 0
+            "plain": {"type": "query", "q": "beta"},
+            # SRC arm removed: domain {0,1,2}; beta matches {0} -> 1
+            # (doc 3 'alpha beta' is de, excluded by the LANG arm)
+            "nosrc": {"type": "query", "q": "beta",
+                      "domain": {"excludeTags": "SRC"}},
+            # both arms removed + filter: {0..4} & n>=30 -> beta hits {3}
+            "filt": {"type": "query", "q": "beta",
+                     "domain": {"excludeTags": "SRC,LANG",
+                                "filter": "n >= 30"},
+                     "facet": {"tot": "sum(n)"}},
+        }, tagged_filters=self._tagged(spark, corpus))
+        assert out["plain"]["count"] == 1
+        assert out["nosrc"]["count"] == 1
+        assert out["filt"] == {"count": 1, "tot": 40.0}
+        # DuckDB mirror of the excludeTags+filter arithmetic
+        import duckdb
+        con = duckdb.connect()
+        con.sql("CREATE TABLE t AS SELECT * FROM (VALUES "
+                "(0,'en','web',10,TRUE),(1,'en','book',20,FALSE),"
+                "(2,'en','web',30,FALSE),(3,'de','web',40,TRUE),"
+                "(4,NULL,'book',50,FALSE),(5,'fr','web',60,FALSE)"
+                ") v(doc_id, lang, src, n, has_beta)")
+        cnt, tot = con.sql(
+            "SELECT count(*), sum(n) FROM t WHERE doc_id IN (0,1,2,3,4) "
+            "AND n >= 30 AND has_beta"
+        ).fetchone()
+        assert out["filt"] == {"count": cnt, "tot": float(tot)}
+
+    def test_all_buckets_stats(self, spark, corpus):
+        """Round-8: allBuckets on a node WITH stats gets the combined
+        bucket from one extra grouping set in the same aggregate —
+        exact for every stat (avg over non-null values, exact unique),
+        never a re-aggregation of per-bucket finals; composes with a
+        changed domain and with prefix (which restricts the term domain
+        first, like Solr)."""
+        out = _facet(spark, corpus, {
+            "langs": {"type": "terms", "field": "lang", "limit": 1,
+                      "allBuckets": True,
+                      "facet": {"a": "avg(n)", "u": "unique(src)",
+                                "mx": "max(n)"}},
+        })
+        # alpha domain docs 0-4; lang non-null: {0,1,2,3} -> avg 25
+        ab = out["langs"]["allBuckets"]
+        assert ab == {"count": 4, "a": pytest.approx(25.0), "u": 2,
+                      "mx": 40.0}
+        assert len(out["langs"]["buckets"]) == 1  # limit still applies
+        # with an excludeTags domain: docs {0,2,3} (SRC arm kept),
+        # lang non-null all three -> avg (10+30+40)/3
+        out2 = _facet(spark, corpus, {
+            "langs": {"type": "terms", "field": "lang",
+                      "allBuckets": True,
+                      "domain": {"excludeTags": "LANG"},
+                      "facet": {"a": "avg(n)"}},
+        }, tagged_filters=self._tagged(spark, corpus))
+        assert out2["langs"]["allBuckets"] == {
+            "count": 3, "a": pytest.approx(80.0 / 3)
+        }
+        # prefix restricts the combined bucket too
+        out3 = _facet(spark, corpus, {
+            "srcs": {"type": "terms", "field": "src", "prefix": "b",
+                     "allBuckets": True, "facet": {"s": "sum(n)"}},
+        })
+        assert out3["srcs"]["allBuckets"] == {"count": 2, "s": 70.0}
+        # empty field domain: zero-count combined bucket, defaulted stats
+        out4 = _facet(spark, corpus, {
+            "srcs": {"type": "terms", "field": "src", "prefix": "zzz",
+                     "allBuckets": True,
+                     "facet": {"s": "sum(n)", "a": "avg(n)"}},
+        })
+        assert out4["srcs"]["allBuckets"] == {"count": 0, "s": 0, "a": None}

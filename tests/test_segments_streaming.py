@@ -447,6 +447,58 @@ def test_upsert_compaction_threshold_and_delta_reads(spark, tmp_path):
     assert view == _norm_postings(ref2)
 
 
+def test_current_postings_merge_is_delta_driven(spark, tmp_path):
+    """Round-8: the post-compaction reader view merges deltas WITHOUT
+    exploding the compacted base — touched docs leave via the map-only
+    literal array rewrite and only delta-touched (term, seg) shards
+    re-aggregate. Pinned: (a) no Generate anywhere in the physical plan
+    (the old path exploded every base shard), (b) an untouched shard's
+    row comes through with its array object untouched, (c) output stays
+    identical to the full merge. Past literal_threshold the honest
+    explode merge runs (same outputs)."""
+    from solrtexttagger_spark.streaming.upsert_stream import (
+        compact_upsert_segments,
+        current_postings,
+        merge_upsert_segments,
+    )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("psrc", "psegs", "pckpt"))
+    _run_upsert_batch(
+        spark,
+        [(1, "hash join"), (2, "merge sort"), (5, "bloom bloom filter")],
+        src, out, ckpt,
+    )
+    _run_upsert_batch(spark, [(1, "scan scan"), (2, None)], src, out, ckpt)
+    compact_upsert_segments(spark, out, num_segments=2, force=True)
+    # delta: update doc 1 again, add doc 4 — doc 5's shards untouched
+    _run_upsert_batch(spark, [(1, "probe side"), (4, "window")],
+                      src, out, ckpt)
+
+    import contextlib
+    import io
+
+    def _plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    view = current_postings(spark, out, num_segments=2)
+    plan = _plan(view)
+    assert "Generate" not in plan  # nothing explodes the base
+    assert "BroadcastExchange" in plan  # delta key set broadcasts
+    full = _norm_postings(merge_upsert_segments(spark, out, num_segments=2))
+    assert _norm_postings(view) == full
+    # untouched term ('bloom', only in doc 5) survives bit-for-bit
+    bloom = [r for r in view.collect() if r["term"] == "bloom"]
+    assert len(bloom) == 1 and [p["doc_id"] for p in bloom[0]["postings"]] == [5]
+    assert bloom[0]["cf_seg"] == 2
+    # threshold 0: forced onto the explode merge path — same outputs
+    big = current_postings(spark, out, num_segments=2, literal_threshold=0)
+    assert _norm_postings(big) == full
+    assert "Generate" in _plan(big)
+
+
 def test_upsert_replay_exactly_once(spark, tmp_path):
     """A replayed micro-batch (restart from a checkpoint taken BEFORE
     the batch committed — the crash-between-write-and-commit window)
