@@ -1,0 +1,354 @@
+"""Solr JoinQParser ({!join from= to= score=}) and Lucene block join
+({!parent}/{!child}) — search/join_qp.py and search/blockjoin.py.
+
+Every semantic assertion is mirrored in DuckDB SQL over the same rows
+(the oracle-mirroring discipline of the driver contract)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+# FROM collection: products made by manufacturers (the classic Solr
+# join example); TO collection: manufacturer docs.
+PRODUCTS = [
+    # (doc_id, text, manu)
+    (0, "ipod nano music player", "apple"),
+    (1, "ipod shuffle tiny music", "apple"),
+    (2, "walkman cassette music player", "sony"),
+    (3, "android phone", "samsung"),
+    (4, "record player", None),  # NULL join value never bridges
+]
+MANUS = [
+    # (doc_id, name, manu)
+    (100, "Apple Inc", "apple"),
+    (101, "Sony Corp", "sony"),
+    (102, "Samsung", "samsung"),
+    (103, "Generic", "generic"),
+]
+
+
+@pytest.fixture(scope="module")
+def rels(spark):
+    from solrtexttagger_spark.index.build import build_index
+
+    prod = spark.createDataFrame(
+        PRODUCTS, "doc_id long, text string, manu string"
+    )
+    manu = spark.createDataFrame(MANUS, "doc_id long, name string, manu string")
+    idx = build_index(prod.select("doc_id", "text"), num_segments=2)
+    idx.postings.persist().count()
+    yield prod, manu, idx
+    idx.postings.unpersist()
+
+
+def _inner_scores(idx, spark, q):
+    from solrtexttagger_spark.search.boolean import boolean_matched_scores
+
+    return boolean_matched_scores(idx, [(0, q)], spark=spark)
+
+
+class TestJoinQP:
+    def test_score_none_filter_join(self, spark, rels):
+        from solrtexttagger_spark.search.join_qp import join_topk
+
+        prod, manu, idx = rels
+        got = join_topk(
+            _inner_scores(idx, spark, "music"),
+            prod, manu, from_col="manu", to_col="manu", score="none",
+        ).collect()
+        # music matches products 0,1,2 -> manus apple, sony
+        assert sorted(r["doc_id"] for r in got) == [100, 101]
+        assert {r["query_id"] for r in got} == {0}
+
+    def test_score_modes_aggregate_inner_scores(self, spark, rels):
+        from solrtexttagger_spark.search.boolean import (
+            boolean_matched_scores,
+        )
+        from solrtexttagger_spark.search.join_qp import join_topk
+
+        prod, manu, idx = rels
+        inner = boolean_matched_scores(idx, [(0, "ipod music")], spark=spark)
+        by_doc = {r["doc_id"]: r["score"] for r in inner.collect()}
+        manu_of = {d: m for d, _t, m in PRODUCTS}
+        for mode, fold in [
+            ("max", max),
+            ("min", min),
+            ("total", sum),
+            ("avg", lambda xs: sum(xs) / len(xs)),
+        ]:
+            got = {
+                r["doc_id"]: r["score"]
+                for r in join_topk(
+                    inner, prod, manu, from_col="manu", to_col="manu",
+                    score=mode,
+                ).collect()
+            }
+            # expected: fold product scores per manu, keyed to manu docs
+            per_value = {}
+            for d, s in by_doc.items():
+                v = manu_of[d]
+                if v is not None:
+                    per_value.setdefault(v, []).append(s)
+            expect = {
+                md: fold(per_value[mv])
+                for md, _n, mv in MANUS
+                if mv in per_value
+            }
+            assert set(got) == set(expect)
+            for d in got:
+                assert got[d] == pytest.approx(expect[d], rel=1e-9)
+
+    def test_rank_window_and_k(self, spark, rels):
+        from solrtexttagger_spark.search.join_qp import join_topk
+
+        prod, manu, idx = rels
+        got = join_topk(
+            _inner_scores(idx, spark, "music player"),
+            prod, manu, from_col="manu", to_col="manu",
+            score="total", k=1,
+        ).collect()
+        assert len(got) == 1 and got[0]["rank"] == 1
+
+    def test_cross_collection_predicate_inner(self, spark, rels):
+        """fromIndex= shape: the inner query is a Catalyst predicate on
+        a different relation (events-like), joined into documents —
+        mirrored in DuckDB."""
+        from solrtexttagger_spark.search.join_qp import (
+            join_topk, predicate_scores,
+        )
+
+        prod, manu, _idx = rels
+        events = spark.createDataFrame(
+            [(0, "click", "apple"), (1, "click", "sony"),
+             (2, "view", "generic"), (3, "click", None)],
+            "event_id long, event_type string, manu string",
+        )
+        got = join_topk(
+            predicate_scores(events, "event_type = 'click'",
+                             id_col="event_id"),
+            events, manu, from_col="manu", to_col="manu",
+            from_id="event_id", score="none",
+        ).collect()
+        con = duckdb.connect()
+        con.sql(
+            "CREATE TABLE ev AS SELECT * FROM (VALUES "
+            "(0,'click','apple'),(1,'click','sony'),(2,'view','generic'),"
+            "(3,'click',NULL)) v(event_id, event_type, manu)"
+        )
+        con.sql(
+            "CREATE TABLE manu AS SELECT * FROM (VALUES "
+            + ",".join(f"({d},'{n}','{m}')" for d, n, m in MANUS)
+            + ") v(doc_id, name, manu)"
+        )
+        oracle = con.sql(
+            "SELECT doc_id FROM manu WHERE manu IN ("
+            "SELECT manu FROM ev WHERE event_type='click' "
+            "AND manu IS NOT NULL) ORDER BY doc_id"
+        ).fetchall()
+        assert sorted(r["doc_id"] for r in got) == [r[0] for r in oracle]
+
+    def test_bad_score_mode_raises(self, spark, rels):
+        from solrtexttagger_spark.search.join_qp import join_topk
+
+        prod, manu, idx = rels
+        with pytest.raises(ValueError, match="score must be"):
+            join_topk(
+                _inner_scores(idx, spark, "music"), prod, manu,
+                from_col="manu", to_col="manu", score="sum",
+            )
+
+
+# ---------- block join ----------
+
+PARENTS = [
+    (0, "spark tuning guide", "en"),
+    (1, "cassette restoration", "en"),
+    (2, "parquet layout notes", "de"),
+]
+CHUNKS = [
+    # (doc_id, chunk_idx, chunk_text)
+    (0, 0, "spark shuffle partitions"),
+    (0, 1, "broadcast join threshold"),
+    (1, 0, "tape deck azimuth"),
+    (1, 1, "spark plug unrelated"),
+    (2, 0, "columnar parquet encodings"),
+    # dangling child: parent 9 is not in PARENTS (deleted)
+    (9, 0, "spark ghost chunk"),
+]
+
+
+@pytest.fixture(scope="module")
+def blocks(spark):
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.search.blockjoin import child_corpus
+
+    parents = spark.createDataFrame(
+        PARENTS, "doc_id long, text string, lang string"
+    )
+    chunks = spark.createDataFrame(
+        CHUNKS, "doc_id long, chunk_idx long, chunk_text string"
+    )
+    kids = child_corpus(chunks)
+    idx = build_index(kids, num_segments=2)
+    idx.postings.persist().count()
+    yield parents, chunks, kids, idx
+    idx.postings.unpersist()
+
+
+class TestBlockJoin:
+    def test_block_key_roundtrip(self, spark, blocks):
+        from solrtexttagger_spark.search.blockjoin import (
+            BLOCK_BITS, parent_of,
+        )
+
+        _p, chunks, kids, _i = blocks
+        back = kids.select(
+            parent_of("doc_id").alias("p"),
+            (F.col("doc_id") - (F.shiftleft(F.shiftright("doc_id",
+             BLOCK_BITS), BLOCK_BITS))).alias("i"),
+        ).collect()
+        assert sorted((r["p"], r["i"]) for r in back) == sorted(
+            (d, i) for d, i, _t in CHUNKS
+        )
+
+    def test_parents_topk_score_modes(self, spark, blocks):
+        from solrtexttagger_spark.search.blockjoin import (
+            parent_of, parents_topk,
+        )
+        from solrtexttagger_spark.search.boolean import (
+            boolean_matched_scores,
+        )
+
+        parents, _c, _k, idx = blocks
+        child_scores = boolean_matched_scores(idx, [(0, "spark")],
+                                              spark=spark)
+        raw = child_scores.withColumn(
+            "p", parent_of("doc_id")
+        ).collect()
+        per_parent = {}
+        for r in raw:
+            per_parent.setdefault(r["p"], []).append(r["score"])
+        live = {0, 1, 2}
+        for mode, fold in [
+            ("avg", lambda xs: sum(xs) / len(xs)),
+            ("max", max), ("total", sum), ("min", min),
+        ]:
+            got = parents_topk(
+                child_scores, parents, k=10, score_mode=mode
+            ).collect()
+            expect = {
+                p: fold(xs) for p, xs in per_parent.items() if p in live
+            }
+            assert {r["doc_id"]: r["score"] for r in got} == pytest.approx(
+                expect
+            )
+            # dangling child's parent 9 never ranks (which= filter
+            # applies BEFORE the rank window — no rank gaps either)
+            assert sorted(r["rank"] for r in got) == list(
+                range(1, len(expect) + 1)
+            )
+
+    def test_parents_topk_counts_children(self, spark, blocks):
+        from solrtexttagger_spark.search.blockjoin import parents_topk
+        from solrtexttagger_spark.search.boolean import (
+            boolean_matched_scores,
+        )
+
+        parents, _c, _k, idx = blocks
+        got = {
+            r["doc_id"]: r["n_children"]
+            for r in parents_topk(
+                boolean_matched_scores(idx, [(0, "spark")], spark=spark),
+                parents, k=10, score_mode="none",
+            ).collect()
+        }
+        assert got == {0: 1, 1: 1}  # one matching chunk each
+
+    def test_children_of(self, spark, blocks):
+        from solrtexttagger_spark.search.blockjoin import children_of
+
+        parents, _c, kids, _i = blocks
+        pm = spark.createDataFrame(
+            [(0, 0), (0, 2)], "query_id long, doc_id long"
+        )
+        got = children_of(pm, kids, parent_id_col="doc_id").collect()
+        # all chunks of parents 0 and 2
+        texts = sorted(r["text"] for r in got)
+        assert texts == sorted(
+            t for d, _i2, t in CHUNKS if d in (0, 2)
+        )
+
+    def test_duckdb_mirror_parent_join(self, spark, blocks):
+        """The whole {!parent} fold mirrored in SQL: per-chunk match ->
+        group by parent -> max, on the same rows."""
+        from solrtexttagger_spark.search.blockjoin import parents_topk
+        from solrtexttagger_spark.search.boolean import (
+            boolean_matched_scores,
+        )
+
+        parents, _c, _k, idx = blocks
+        got = parents_topk(
+            boolean_matched_scores(idx, [(0, "spark")], spark=spark),
+            parents, k=10, score_mode="none",
+        ).collect()
+        con = duckdb.connect()
+        con.sql(
+            "CREATE TABLE chunks AS SELECT * FROM (VALUES "
+            + ",".join(f"({d},{i},'{t}')" for d, i, t in CHUNKS)
+            + ") v(doc_id, chunk_idx, chunk_text)"
+        )
+        con.sql(
+            "CREATE TABLE parents AS SELECT * FROM (VALUES "
+            + ",".join(f"({d},'{t}','{l}')" for d, t, l in PARENTS)
+            + ") v(doc_id, text, lang)"
+        )
+        oracle = con.sql(
+            "SELECT c.doc_id, count(*) AS n FROM chunks c "
+            "JOIN parents p USING (doc_id) "
+            "WHERE ' ' || chunk_text || ' ' LIKE '% spark %' "
+            "GROUP BY c.doc_id ORDER BY c.doc_id"
+        ).fetchall()
+        assert sorted((r["doc_id"], r["n_children"]) for r in got) == [
+            (d, n) for d, n in oracle
+        ]
+
+    def test_plan_shapes(self, spark, blocks):
+        """Plan pins: the join value set / parent page BROADCASTS onto
+        the big side, and the ScoreMode fold is a partial (map-side)
+        aggregation — the two properties that keep these joins
+        100-TB-shaped."""
+        from solrtexttagger_spark.search.blockjoin import parents_topk
+        from solrtexttagger_spark.search.boolean import (
+            boolean_matched_scores,
+        )
+        from solrtexttagger_spark.search.join_qp import join_topk
+
+        from tests.test_plans import plan_str
+
+        parents, _c, _k, idx = blocks
+        child_scores = boolean_matched_scores(idx, [(0, "spark")],
+                                              spark=spark)
+        plan = plan_str(
+            parents_topk(child_scores, parents, k=10, score_mode="max")
+        )
+        assert "partial_max" in plan  # map-side combine before the shuffle
+        prod = spark.range(3).select(
+            F.col("id").alias("doc_id"), F.lit("a").alias("manu")
+        )
+        jplan = plan_str(
+            join_topk(
+                child_scores, prod, prod, from_col="manu", to_col="manu",
+                score="total",
+            )
+        )
+        assert "partial_sum" in jplan
+        assert "BroadcastHashJoin" in jplan  # value set onto the TO scan
+
+    def test_block_overflow_raises(self, spark):
+        from solrtexttagger_spark.search.blockjoin import child_corpus
+
+        bad = spark.createDataFrame(
+            [(1, 5, "x")], "doc_id long, chunk_idx long, chunk_text string"
+        )
+        with pytest.raises(Exception, match="overflows block_bits"):
+            child_corpus(bad, block_bits=2).collect()
