@@ -41,7 +41,11 @@ bucket domain, Solr's model); the root ``count`` and root stats always
 use the unmodified base domain.
 
 Stats: sum / avg / min / max / unique (exact distinct) / hll
-(HyperLogLog++ approximate distinct — Solr's hll stat).
+(HyperLogLog++ approximate distinct — Solr's hll stat) / percentile
+(Solr's percentiles stat, ``percentile(field, 50)`` scalar or
+``percentile(field, 25, 50, 99.9)`` list; Solr sketches these with
+t-digest, this engine computes them EXACTLY — one array-returning
+`percentile` aggregate per stat, k cut points never k passes).
 ``allBuckets: true`` on a terms node emits Solr's
 ``{"allBuckets": {"count": N, <stat>: x}}`` — the combined bucket
 across ALL buckets pre-limit/pre-mincount (missing/NULL docs excluded;
@@ -55,9 +59,10 @@ over data. Sub-facets under allBuckets are not computed (Solr's
 behavior). Range nodes take Solr's ``other: before|after|between|all``
 (string or list) the same way — one extra grouping set per node whose
 rows are the out-of-range/combined buckets, stats included, emitted as
-the response's sibling ``before``/``after``/``between`` keys. Out of scope (documented): sorting by a SUB-facet's stat,
-sub-facets under ``missing`` buckets or under query facets (stats
-there are fine), and percentiles. QUERY facets accept the same
+the response's sibling ``before``/``after``/``between`` keys. Out of
+scope (documented): sorting by a SUB-facet's stat, and sub-facets
+under ``missing`` buckets or under query facets (stats there are
+fine). QUERY facets accept the same
 ``domain`` changes as terms/range nodes (top-level only — their
 excludeTags/filter re-derive the domain their one batched boolean pass
 is intersected with).
@@ -95,6 +100,13 @@ from solrtexttagger_spark.index.build import InvertedIndex
 from solrtexttagger_spark.search.bm25 import analyze_query_terms
 
 _STAT_RE = re.compile(r"^(sum|avg|min|max|unique|hll)\((\w+)\)$")
+# Solr percentiles stat: percentile(field, 50) / percentile(field, 25,
+# 50, 99.9). Solr computes these with a t-digest sketch; Spark's
+# built-in `percentile` aggregate is EXACT (linear interpolation, the
+# same definition DuckDB's quantile_cont mirrors) — strictly tighter
+# than the reference, at the cost Catalyst already knows how to pay
+# (a per-group sorted buffer inside the one groupingSets aggregate).
+_PCT_RE = re.compile(r"^percentile\((\w+)((?:\s*,\s*\d+(?:\.\d+)?)+)\)$")
 _STAT_FN = {
     "sum": lambda c: F.sum(c).cast("double"),
     "avg": lambda c: F.avg(c).cast("double"),
@@ -105,6 +117,29 @@ _STAT_FN = {
     # unlike countDistinct needs no distinct-expand, the petabyte choice
     "hll": lambda c: F.approx_count_distinct(c).cast("long"),
 }
+
+
+def _stat_expr(fn: str, col: str):
+    """The Catalyst aggregate for one stat. Percentiles encode their
+    cut points in the fn key (``percentile:50,99``) and aggregate as
+    ONE array-returning `percentile` — k cut points never cost k
+    passes."""
+    if fn.startswith("percentile:"):
+        fr = ", ".join(
+            repr(float(p) / 100.0) for p in fn.split(":", 1)[1].split(",")
+        )
+        return F.expr(f"percentile({col}, array({fr}))")
+    return _STAT_FN[fn](col)
+
+
+def _stat_value(fn: str, raw):
+    """Row value -> response value. Solr emits a scalar for a single
+    percentile cut, a list for several; everything else passes
+    through."""
+    if fn.startswith("percentile:") and raw is not None:
+        vals = list(raw)
+        return vals[0] if len(vals) == 1 else vals
+    return raw
 
 
 class _Node:
@@ -156,12 +191,22 @@ def _parse_tree(spec: dict, path: tuple, counter: list) -> tuple[list, dict]:
     for name, val in spec.items():
         if isinstance(val, str):
             m = _STAT_RE.match(val)
-            if not m:
-                raise ValueError(
-                    f"unsupported stat {val!r} (sum/avg/min/max/unique)"
-                )
-            stats[name] = (m.group(1), m.group(2))
-            continue
+            if m:
+                stats[name] = (m.group(1), m.group(2))
+                continue
+            p = _PCT_RE.match(val)
+            if p:
+                cuts = [c.strip() for c in p.group(2).lstrip(" ,").split(",")]
+                if any(not 0 <= float(c) <= 100 for c in cuts):
+                    raise ValueError(
+                        f"percentile cuts must be in [0, 100]: {val!r}"
+                    )
+                stats[name] = ("percentile:" + ",".join(cuts), p.group(1))
+                continue
+            raise ValueError(
+                f"unsupported stat {val!r} "
+                "(sum/avg/min/max/unique/hll/percentile)"
+            )
         if not isinstance(val, dict) or "type" not in val:
             raise ValueError(f"facet {name!r}: need a stat string or a "
                              "dict with 'type'")
@@ -405,11 +450,11 @@ def json_facet(
         for sname, (fn, col) in n.stats.items():
             alias = f"__s{n.idx}_{sname}"
             stat_cols[(n.idx, sname)] = alias
-            aggs.append(_STAT_FN[fn](col).alias(alias))
+            aggs.append(_stat_expr(fn, col).alias(alias))
     for sname, (fn, col) in root_stats.items():
         alias = f"__sroot_{sname}"
         stat_cols[(-1, sname)] = alias
-        aggs.append(_STAT_FN[fn](col).alias(alias))
+        aggs.append(_stat_expr(fn, col).alias(alias))
 
     # ONE groupingSets aggregate per distinct domain: the base domain's
     # carries the root set () (root count/stats always use the
@@ -590,7 +635,7 @@ def json_facet(
         q_aggs = [F.count("*").alias("__cnt")]
         for i, n in enumerate(query_nodes):
             for sname, (fn, col) in n.stats.items():
-                q_aggs.append(_STAT_FN[fn](col).alias(f"__q{i}_{sname}"))
+                q_aggs.append(_stat_expr(fn, col).alias(f"__q{i}_{sname}"))
         q_rows = (
             qm.join(docs_df, id_col)
             .groupBy("query_id")
@@ -601,8 +646,10 @@ def json_facet(
         for i, n in enumerate(query_nodes):
             r = got.get(i)
             res = {"count": int(r["__cnt"]) if r else 0}
-            for sname in n.stats:
-                res[sname] = r[f"__q{i}_{sname}"] if r else None
+            for sname, (fn, _c) in n.stats.items():
+                res[sname] = (
+                    _stat_value(fn, r[f"__q{i}_{sname}"]) if r else None
+                )
             query_results[n.name] = res
 
     # --- assemble the nested response ---
@@ -622,8 +669,8 @@ def json_facet(
         buckets = []
         for r in regular:
             b = {"val": r[node.gcol], "count": int(r["__cnt"])}
-            for sname in node.stats:
-                b[sname] = r[stat_cols[(node.idx, sname)]]
+            for sname, (fn, _c) in node.stats.items():
+                b[sname] = _stat_value(fn, r[stat_cols[(node.idx, sname)]])
             for ch in node.children:
                 b[ch.name] = _assemble(
                     ch, {**parent_filter, node.gcol: r[node.gcol]}
@@ -663,7 +710,7 @@ def json_facet(
                 d = {"count": int(r["__cnt"]) if r else 0}
                 for sname, (fn, _c) in node.stats.items():
                     d[sname] = (
-                        r[stat_cols[(node.idx, sname)]]
+                        _stat_value(fn, r[stat_cols[(node.idx, sname)]])
                         if r
                         else (0 if fn in ("sum", "unique", "hll") else None)
                     )
@@ -684,7 +731,7 @@ def json_facet(
                 ab = {"count": int(arows[0]["__cnt"]) if arows else 0}
                 for sname, (fn, _c) in node.stats.items():
                     ab[sname] = (
-                        arows[0][stat_cols[(node.idx, sname)]]
+                        _stat_value(fn, arows[0][stat_cols[(node.idx, sname)]])
                         if arows
                         else (0 if fn in ("sum", "unique", "hll") else None)
                     )
@@ -728,9 +775,11 @@ def json_facet(
 
     root_rows = by_mask.get(root_mask, [])
     out: dict = {"count": int(root_rows[0]["__cnt"]) if root_rows else 0}
-    for sname in root_stats:
+    for sname, (fn, _c) in root_stats.items():
         out[sname] = (
-            root_rows[0][stat_cols[(-1, sname)]] if root_rows else None
+            _stat_value(fn, root_rows[0][stat_cols[(-1, sname)]])
+            if root_rows
+            else None
         )
     for n in roots:
         if n.type == "query":

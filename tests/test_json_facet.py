@@ -39,6 +39,40 @@ def _facet(spark, corpus, spec, **kw):
 
 
 class TestTree:
+    def test_percentile_stat(self, spark, corpus):
+        """Solr percentiles: scalar for one cut, list for several; a
+        root-level percentile, a per-bucket percentile, and the DuckDB
+        quantile_cont mirror (linear interpolation — the same exact
+        definition Spark's percentile uses)."""
+        import duckdb
+
+        out = _facet(spark, corpus, {
+            "median_n": "percentile(n, 50)",
+            "spread_n": "percentile(n, 25, 50, 75)",
+            "langs": {"type": "terms", "field": "lang", "limit": 10,
+                      "facet": {"p90": "percentile(n, 90)"}},
+        })
+        con = duckdb.connect()
+        con.sql(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            "(0,'en',10),(1,'en',20),(2,'en',30),(3,'de',40),(4,NULL,50)"
+            ") v(doc_id, lang, n)"
+        )
+        med, q1, q3 = con.sql(
+            "SELECT quantile_cont(n, 0.5), quantile_cont(n, 0.25), "
+            "quantile_cont(n, 0.75) FROM t"
+        ).fetchone()
+        assert out["median_n"] == pytest.approx(med)
+        assert out["spread_n"] == pytest.approx([q1, med, q3])
+        p90 = dict(con.sql(
+            "SELECT lang, quantile_cont(n, 0.9) FROM t "
+            "WHERE lang IS NOT NULL GROUP BY lang"
+        ).fetchall())
+        got = {b["val"]: b["p90"] for b in out["langs"]["buckets"]}
+        assert got == pytest.approx(p90)
+        with pytest.raises(ValueError, match="in \\[0, 100\\]"):
+            _facet(spark, corpus, {"bad": "percentile(n, 101)"})
+
     def test_nested_terms_with_stats(self, spark, corpus):
         out = _facet(spark, corpus, {
             "langs": {

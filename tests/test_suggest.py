@@ -1,0 +1,109 @@
+"""Solr /suggest (search/suggest.py — AnalyzingInfixSuggester shape):
+distributed path vs DuckDB mirror, warm LocalSuggester parity."""
+
+import duckdb
+import pytest
+
+DICT = [
+    # (name, popularity)
+    ("New York", 100),
+    ("New York City", 90),
+    ("Newark", 40),
+    ("York", 30),
+    ("New Orleans", 80),
+    ("Yorkshire Terrier", 20),
+    ("new york", 95),   # case-folds to a duplicate analysis, distinct string
+    (None, 10),         # NULL suggestion dropped
+    ("--", 5),          # analyzes to zero tokens, dropped
+]
+
+
+@pytest.fixture(scope="module")
+def sugg(spark):
+    from solrtexttagger_spark.search.suggest import build_suggestions
+
+    df = spark.createDataFrame(DICT, "name string, pop long")
+    s = build_suggestions(df, text_col="name", weight_col="pop")
+    s.persist().count()
+    yield s
+    s.unpersist()
+
+
+def test_build_drops_null_and_empty(sugg):
+    got = {r["suggestion"] for r in sugg.collect()}
+    assert None not in got and "--" not in got
+    assert len(got) == 7
+
+
+def test_infix_prefix_match_and_ranking(spark, sugg):
+    from solrtexttagger_spark.search.suggest import suggest
+
+    got = [(r["suggestion"], r["weight"])
+           for r in suggest(sugg, "new yor", count=10).collect()]
+    # 'new' whole-token + 'yor' prefix on any token
+    assert got == [("New York", 100.0), ("new york", 95.0),
+                   ("New York City", 90.0)]
+    # single-token prefix: every suggestion with a token starting 'new'
+    got2 = {r["suggestion"] for r in suggest(sugg, "new", count=10).collect()}
+    assert got2 == {"New York", "new york", "New York City", "Newark",
+                    "New Orleans"}
+    # count truncates after the (weight desc, suggestion asc) order
+    got3 = [r["suggestion"] for r in suggest(sugg, "new", count=2).collect()]
+    assert got3 == ["New York", "new york"]
+
+
+def test_exact_last_token(spark, sugg):
+    from solrtexttagger_spark.search.suggest import suggest
+
+    got = {r["suggestion"]
+           for r in suggest(sugg, "york", infix_prefix=False).collect()}
+    # 'Yorkshire Terrier' needs the prefix mode; exact drops it
+    assert got == {"New York", "new york", "New York City", "York"}
+
+
+def test_duckdb_mirror(spark, sugg):
+    from solrtexttagger_spark.search.suggest import suggest
+
+    got = [(r["suggestion"], r["weight"])
+           for r in suggest(sugg, "new yor", count=10).collect()]
+    con = duckdb.connect()
+    vals = ",".join(
+        f"('{n}',{w})" for n, w in DICT if n is not None
+    )
+    oracle = con.sql(
+        f"""
+        WITH d AS (SELECT name, max(pop) AS pop FROM (VALUES {vals})
+                   v(name, pop) GROUP BY name),
+        toks AS (SELECT name, pop,
+                 list_filter(string_split_regex(lower(name),
+                             '[^a-z0-9]+'), t -> t <> '') AS tokens
+                 FROM d)
+        SELECT name, CAST(pop AS DOUBLE) FROM toks
+        WHERE len(tokens) > 0
+          AND list_contains(tokens, 'new')
+          AND len(list_filter(tokens, t -> t LIKE 'yor%')) > 0
+        ORDER BY pop DESC, name ASC LIMIT 10
+        """
+    ).fetchall()
+    assert got == [(n, w) for n, w in oracle]
+
+
+def test_local_suggester_parity(spark, sugg):
+    from solrtexttagger_spark.search.suggest import LocalSuggester, suggest
+
+    local = LocalSuggester(sugg)
+    for q, infix in [("new yor", True), ("new", True), ("york", False),
+                     ("yorkshire terr", True), ("nomatch", True)]:
+        dist = [(r["suggestion"], r["weight"])
+                for r in suggest(sugg, q, count=10,
+                                 infix_prefix=infix).collect()]
+        assert local.suggest(q, count=10, infix_prefix=infix) == dist, q
+
+
+def test_empty_query_raises(spark, sugg):
+    from solrtexttagger_spark.search.suggest import LocalSuggester, suggest
+
+    with pytest.raises(ValueError, match="zero tokens"):
+        suggest(sugg, "--")
+    with pytest.raises(ValueError, match="zero tokens"):
+        LocalSuggester(sugg).suggest("  ")
