@@ -860,7 +860,13 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = q_quality_score(spark, sf_dir)
     lang = q_lang_id(spark, sf_dir)
     toks = q_token_stats(spark, sf_dir).select("doc_id", "n_distinct", "n_chars")
-    return quality.join(lang, "doc_id").join(toks, "doc_id")
+    # round-8 consolidation: unigram-LM cross-entropy (the CCNet-style
+    # perplexity filter) joins the same per-doc profile family — its
+    # column stays hash-pinned, its driver slot freed for {!join}
+    ppl = q_unigram_ppl(spark, sf_dir).select("doc_id", "cross_entropy")
+    return (
+        quality.join(lang, "doc_id").join(toks, "doc_id").join(ppl, "doc_id")
+    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1116,6 +1122,50 @@ def q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_hash(_docs(spark, sf_dir))
 
 
+JOIN_INNER_Q = "merge sort"  # {!join} inner query over the FROM side
+BLOCKJOIN_Q = "join"  # single-term child query over the chunk corpus
+
+
+def q_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr JoinQParser ``q={!join from=source to=source score=total}
+    merge sort`` (round 8): documents ranked by the TOTAL relevancy of
+    all documents sharing their source — the inner match set folds per
+    join value in one partial aggregation, the value set broadcasts
+    onto the TO scan (search/join_qp.py)."""
+    from solrtexttagger_spark.search.boolean import boolean_matched_scores
+    from solrtexttagger_spark.search.join_qp import join_topk
+
+    docs = _docs(spark, sf_dir)
+    inner = boolean_matched_scores(
+        _index(spark, sf_dir), [(0, JOIN_INNER_Q)], spark=spark
+    )
+    return join_topk(
+        inner, docs, docs, from_col="source", to_col="source",
+        score="total", k=50,
+    )
+
+
+def q_blockjoin_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene block join ``{!parent}`` (round 8): chunk the corpus
+    (same windows as chunk_docs), index the chunks as a CHILD corpus
+    whose doc id is the arithmetic block key (parent << 20 | idx), run
+    the child query, fold child scores to parents with
+    ScoreMode.Total — the child->parent hop is a shiftright projection,
+    never a join (search/blockjoin.py)."""
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.ops.chunking import chunk_documents
+    from solrtexttagger_spark.search.blockjoin import child_corpus, parents_topk
+    from solrtexttagger_spark.search.boolean import boolean_matched_scores
+
+    docs = _docs(spark, sf_dir)
+    chunks = chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+    cidx = build_index(child_corpus(chunks), use_split=True)
+    cs = boolean_matched_scores(cidx, [(0, BLOCKJOIN_Q)], spark=spark)
+    return parents_topk(cs, docs, k=50, score_mode="max")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -1368,6 +1418,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   - round-6 additions inside the freed budget: spellcheck_collate,
     #     chunk_docs (overlapping token windows), doc_split
     #     (deterministic train/val/test hash split)
+    #   - round-8: unigram_ppl merged into doc_quality (same per-doc
+    #     profile family, cross_entropy column still hash-pinned);
+    #     minhash_signatures moved to a pytest pin with the identical
+    #     DuckDB mirror (test_dedup_buckets.py; the sigs stay
+    #     oracle-pinned through lsh_pairs/dup_clusters/dedup_keep whose
+    #     SQL recomputes them); freed slots carry join_docs
+    #     ({!join score=total}) and blockjoin_parents ({!parent}
+    #     ScoreMode.Max over the chunk child corpus)
     return {
         "bm25_topk": q_bm25_topk,
         "wand_topk": q_wand_topk,
@@ -1377,7 +1435,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_nosub": q_tag_nosub,
         "tag_ldr": q_tag_ldr,
         "dedup_exact": q_dedup_exact,
-        "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
         "rerank_collapse": q_rerank_collapse,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1414,7 +1471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_synonyms": q_bm25_synonyms,
         "stats_field": q_stats_field,
         "elevated": q_elevated,
-        "unigram_ppl": q_unigram_ppl,
+        "join_docs": q_join_docs,
+        "blockjoin_parents": q_blockjoin_parents,
         "pack_sequences": q_pack_sequences,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -3139,10 +3197,12 @@ FROM events GROUP BY 1, 2
     )
     sql["doc_quality"] = (
         "SELECT q.doc_id, q.n_tokens, q.ttr, q.mean_word_len, q.stop_ratio,\n"
-        "       q.quality, l.pred_lang, l.pred_score, t.n_distinct, t.n_chars\n"
+        "       q.quality, l.pred_lang, l.pred_score, t.n_distinct, t.n_chars,\n"
+        "       p.cross_entropy\n"
         "FROM (" + sql.pop("quality_score") + ") q\n"
         "JOIN (" + sql.pop("lang_id") + ") l USING (doc_id)\n"
-        "JOIN (" + sql.pop("token_stats") + ") t USING (doc_id)"
+        "JOIN (" + sql.pop("token_stats") + ") t USING (doc_id)\n"
+        "JOIN (" + sql.pop("unigram_ppl") + ") p USING (doc_id)"
     )
     _fs_col = FACET_RANGE[0]
     # facet.query arms: each FACET_QUERIES sub-query as a membership
@@ -3250,6 +3310,85 @@ SELECT doc_id, (start / {_stride})::BIGINT AS chunk_idx,
        array_to_string(w[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk_text
 FROM st
 """
+    # {!join from=source to=source score=total}: the inner query's BM25
+    # scores (the shared scores CTE — a pure-SHOULD boolean match set IS
+    # the exploded bm25 relation) fold per join value, every doc holding
+    # that value ranks by the fold
+    sql["join_docs"] = f"""
+{_bm25_scores_prefix(queries=[(0, JOIN_INNER_Q)])},
+jv AS (
+  SELECT s.query_id, d.source AS v, sum(s.score) AS jscore
+  FROM scores s JOIN documents d USING (doc_id)
+  WHERE d.source IS NOT NULL
+  GROUP BY 1, 2
+),
+joined AS (
+  SELECT jv.query_id, dd.doc_id, jv.jscore AS score
+  FROM documents dd JOIN jv ON dd.source = jv.v
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM joined
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= 50
+"""
+    # {!parent} block join: the SAME chunk windows as chunk_docs become
+    # the child corpus (block key = parent * 2^20 + idx), BM25 over the
+    # chunks for the single-term child query, ScoreMode.Max fold per
+    # parent (max is order-independent -> bit-exact across engines,
+    # where a sum fold diverges in the last ulp and flips tie ranks) —
+    # n is ALL chunks (build_index counts every corpus row)
+    sql["blockjoin_parents"] = f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+st AS (
+  SELECT doc_id, w, len(w) AS n,
+         unnest(range(0, greatest(len(w) - {CHUNK_OVERLAP}, 1), {_stride})) AS start
+  FROM words
+),
+ck AS (
+  SELECT doc_id * 1048576 + (start / {_stride}) AS cid, doc_id AS parent,
+         array_to_string(w[start + 1 : start + {CHUNK_TOKENS}], ' ') AS ctext
+  FROM st
+),
+ctok AS (
+  SELECT cid, parent, x AS term, count(*)::BIGINT AS tf
+  FROM (SELECT cid, parent, unnest(string_split(ctext, ' ')) AS x FROM ck)
+  WHERE x <> '' GROUP BY 1, 2, 3
+),
+cdl AS (SELECT cid, sum(tf)::BIGINT AS dl FROM ctok GROUP BY 1),
+cstats AS (SELECT (SELECT count(*) FROM ck)::DOUBLE AS n,
+                  (SELECT sum(tf) FROM ctok)::DOUBLE
+                    / (SELECT count(*) FROM ck)::DOUBLE AS avgdl),
+cdf AS (SELECT term, count(*)::DOUBLE AS df FROM ctok GROUP BY 1),
+sc AS (
+  SELECT t.parent, t.cid,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf::DOUBLE * 2.2) / (t.tf::DOUBLE + 1.2
+           * (0.25 + 0.75 * l.dl / s.avgdl)) AS score
+  FROM ctok t
+  JOIN cdf d USING (term)
+  JOIN cdl l USING (cid)
+  CROSS JOIN cstats s
+  WHERE t.term = '{BLOCKJOIN_Q}'
+),
+folded AS (
+  SELECT 0::BIGINT AS query_id, parent AS doc_id, max(score) AS score,
+         count(*)::BIGINT AS n_children
+  FROM sc GROUP BY 2
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score, n_children
+  FROM folded JOIN documents USING (doc_id)
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score, n_children
+FROM ranked WHERE rank <= 50
+"""
     # mirrors ops/sampling.hash_split: SAME float accumulation for the
     # cumulative bounds (0.8 + 0.1 != 0.9 exactly — the truncation must
     # match bit for bit), same md5 key hash as doc_samples
@@ -3264,6 +3403,11 @@ FROM st
 SELECT doc_id, lang, {_split_case} AS split FROM documents
 """
     # strategy twins dropped from the driver surface (pytest parity pins
-    # them: test_tag_join.py, test_index_bm25.py, test_compression_wand.py)
+    # them: test_tag_join.py, test_index_bm25.py, test_compression_wand.py);
+    # minhash_signatures moved to a pytest pin (test_dedup_buckets.py runs
+    # this exact SQL) — the signature arithmetic stays TRIPLY oracle-pinned
+    # through lsh_pairs / dup_clusters / dedup_keep, which recompute the
+    # sigs inside their own SQL
     del sql["tag_join_nosub"], sql["bm25_exploded"], sql["wand_fq"]
+    del sql["minhash_signatures"]
     return sql

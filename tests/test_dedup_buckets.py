@@ -156,3 +156,32 @@ def test_remove_dup_spans_keep_first(spark):
     assert out[4]["text_kept"] == "u1 u2 u3 u4 u5"
     # n_tokens always the ORIGINAL length
     assert out[1]["n_tokens"] == 8 and out[3]["n_tokens"] == 10
+
+
+def test_minhash_signatures_duckdb_pin(spark):
+    """The former minhash_signatures driver entry as a pytest pin
+    (round-8 surface consolidation): the Spark signatures equal the
+    DuckDB md5-slice mirror row for row at sf0.001. The signature
+    arithmetic additionally stays oracle-pinned through the lsh_pairs /
+    dup_clusters / dedup_keep driver entries, whose SQL recomputes the
+    sigs."""
+    import duckdb
+
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in em.q_minhash_signatures(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    mirror = f"""
+WITH {em._SHINGLE_CTE}
+SELECT doc_id, {em._minhash_sig_exprs()}
+FROM sh GROUP BY doc_id
+"""
+    want = sorted(tuple(r) for r in con.sql(mirror).fetchall())
+    assert got == want
