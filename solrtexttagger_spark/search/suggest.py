@@ -115,6 +115,70 @@ def suggest(
     )
 
 
+def _highlight(suggestion: str, toks: list[str], infix_prefix: bool) -> str:
+    """AnalyzingInfixSuggester's highlighted form: every suggestion
+    token that matched wraps in <b>..</b>; for the prefix token only
+    the typed prefix wraps (Lucene highlights the matched span, the
+    completion stays plain)."""
+    import re
+
+    whole = set(toks[:-1])
+    last = toks[-1]
+    out = []
+    for piece in re.split(r"(\W+)", suggestion):
+        low = piece.lower()
+        if low in whole or (not infix_prefix and low == last):
+            out.append(f"<b>{piece}</b>")
+        elif infix_prefix and low.startswith(last) and low:
+            cut = len(last)
+            out.append(f"<b>{piece[:cut]}</b>{piece[cut:]}")
+        else:
+            out.append(piece)
+    return "".join(out)
+
+
+def render_suggest_json(
+    suggestions: DataFrame,
+    q: str,
+    *,
+    count: int = 10,
+    dictionary: str = "default",
+    infix_prefix: bool = True,
+    highlight: bool = True,
+) -> dict:
+    """Solr SuggestComponent response shape::
+
+        {"suggest": {<dict>: {<q>: {"numFound": n, "suggestions":
+            [{"term": ..., "weight": ..., "payload": ""}, ...]}}}}
+
+    ``highlight=True`` renders ``term`` with the matched spans wrapped
+    in ``<b>`` (AnalyzingInfixSuggester's highlighted output). One
+    action: the bounded suggest() page collects, highlighting runs on
+    the driver over <= count strings."""
+    toks = _analyze_query(q)
+    rows = suggest(
+        suggestions, q, count=count, infix_prefix=infix_prefix
+    ).collect()
+    entries = [
+        {
+            "term": (
+                _highlight(r["suggestion"], toks, infix_prefix)
+                if highlight
+                else r["suggestion"]
+            ),
+            "weight": r["weight"],
+            "payload": "",
+        }
+        for r in rows
+    ]
+    return {
+        "suggest": {
+            dictionary: {q: {"numFound": len(entries),
+                             "suggestions": entries}}
+        }
+    }
+
+
 class LocalSuggester:
     """Warm driver-resident twin: one collect of the analyzed
     dictionary, then every request is a bisect over the sorted token

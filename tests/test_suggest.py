@@ -100,6 +100,29 @@ def test_local_suggester_parity(spark, sugg):
         assert local.suggest(q, count=10, infix_prefix=infix) == dist, q
 
 
+def test_render_suggest_json(spark, sugg):
+    from solrtexttagger_spark.search.suggest import render_suggest_json
+
+    out = render_suggest_json(sugg, "new yor", count=2, dictionary="cities")
+    body = out["suggest"]["cities"]["new yor"]
+    assert body["numFound"] == 2
+    assert [s["term"] for s in body["suggestions"]] == [
+        "<b>New</b> <b>Yor</b>k", "<b>new</b> <b>yor</b>k"
+    ]
+    assert body["suggestions"][0]["weight"] == 100.0
+    plain = render_suggest_json(sugg, "new yor", count=2,
+                                highlight=False)
+    assert [s["term"] for s in
+            plain["suggest"]["default"]["new yor"]["suggestions"]] == [
+        "New York", "new york"
+    ]
+    # exact-mode highlight wraps the whole matched token
+    ex = render_suggest_json(sugg, "york", count=10, infix_prefix=False)
+    terms = {s["term"]
+             for s in ex["suggest"]["default"]["york"]["suggestions"]}
+    assert "New <b>York</b> City" in terms
+
+
 def test_empty_query_raises(spark, sugg):
     from solrtexttagger_spark.search.suggest import LocalSuggester, suggest
 
