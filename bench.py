@@ -418,6 +418,60 @@ def main() -> None:
 
     timed("q2n_upsert_stream_compact", stream_compact)
 
+    # q2o: the round-8 join surfaces — {!join score=total} over the
+    # shared index, {!parent} block join (chunk child corpus built
+    # in-op, the honest cost), and the /suggest handler's distributed
+    # path. Single sample: each is one bounded job. LocalSuggester warm
+    # latency lands in extras next to the other serve_* numbers.
+    def join_surfaces():
+        from pyspark.sql import functions as F
+
+        from solrtexttagger_spark.index.build import build_index
+        from solrtexttagger_spark.ops.chunking import chunk_documents
+        from solrtexttagger_spark.search.blockjoin import (
+            child_corpus, parents_topk,
+        )
+        from solrtexttagger_spark.search.boolean import (
+            boolean_matched_scores,
+        )
+        from solrtexttagger_spark.search.join_qp import join_topk
+        from solrtexttagger_spark.search.suggest import (
+            LocalSuggester, build_suggestions, suggest,
+        )
+
+        inner = boolean_matched_scores(
+            idx, [(0, em.JOIN_INNER_Q)], spark=spark
+        )
+        n = join_topk(
+            inner, docs, docs, from_col="source", to_col="source",
+            score="total", k=50,
+        ).count()
+        chunks = chunk_documents(
+            docs, chunk_tokens=em.CHUNK_TOKENS, overlap=em.CHUNK_OVERLAP
+        )
+        cidx = build_index(child_corpus(chunks), use_split=True)
+        cs = boolean_matched_scores(cidx, [(0, em.BLOCKJOIN_Q)], spark=spark)
+        n += parents_topk(cs, docs, k=50, score_mode="max").count()
+        sugg = build_suggestions(
+            docs.groupBy("source").agg(F.count("*").alias("w")),
+            text_col="source", weight_col="w",
+        )
+        sugg.persist().count()
+        n += suggest(sugg, "src1", count=10).count()
+        local = LocalSuggester(sugg)
+        lat = []
+        for i in range(200):
+            t0 = time.perf_counter()
+            local.suggest(f"src{i % 20}", count=10)
+            lat.append((time.perf_counter() - t0) * 1000)
+        lat.sort()
+        extras["serve_suggest_p50_ms"] = round(lat[len(lat) // 2], 3)
+        extras["serve_suggest_p95_ms"] = round(lat[int(len(lat) * 0.95)], 3)
+        sugg.unpersist()
+        return n
+
+    timed("q2o_join_blockjoin_suggest", join_surfaces)
+
     # q2c: single-query p50/p95 latency, split COLD (caches reset — every
     # query pays its term-metadata job) vs WARM (identical second pass
     # over populated caches). BASELINE.md target metric: top-k query p95.
@@ -825,6 +879,8 @@ def _emit(result: dict, sf: str) -> dict:
         "serve_query_p95_ms": best("serve_query_p95_ms", min),
         "serve_boosted_p50_ms": best("serve_boosted_p50_ms", min),
         "serve_boosted_p95_ms": best("serve_boosted_p95_ms", min),
+        "serve_suggest_p50_ms": best("serve_suggest_p50_ms", min),
+        "serve_suggest_p95_ms": best("serve_suggest_p95_ms", min),
     }
     # per-entry q2j minima (round-7 verdict #6): attributable shifts
     q2j = {}
