@@ -1,0 +1,102 @@
+"""Solr GraphQuery parser — ``q={!graph from=f to=t maxDepth=N
+traversalFilter=... returnRoot=true|false}root_query``.
+
+Reference surface: Solr's graph query walks the docset from the roots
+(the docs matching the wrapped query) along edges defined by field
+values — a doc D reaches every doc E whose ``to`` field value equals
+one of D's ``from`` field values — repeating to a fixed point or
+``maxDepth``, optionally filtering each HOP's frontier with
+``traversalFilter`` and optionally dropping the roots from the result
+(``returnRoot=false``). It is Solr's "give me the whole dependency
+closure / org subtree / thread" query.
+
+Spark-first shape — frontier-style BFS, the same discipline as the
+dedup module's connected components (ops/dedup.py):
+
+- the EDGE relation (``__from_value`` per doc on the from side,
+  ``__to_value`` per doc on the to side) projects to two columns each
+  before any join — the corpus never widens a shuffle;
+- each hop is ONE hash join: frontier values -> to-side docs; the
+  frontier is values-DISTINCT and BROADCAST when small (the common
+  case: a query page's out-edges), falling back to a shuffle join
+  automatically via AQE when it is not;
+- visited-set semantics run per hop (`left_anti` against the
+  accumulated result) so a cyclic graph terminates: the frontier
+  strictly shrinks to empty, exactly Solr's bitset fixpoint;
+- hops are driver-side iterations over LAZY plans with a localCheckpoint
+  every hop — the lineage stays O(1) per hop instead of O(depth), the
+  same pattern the CC operator uses for pointer jumping.
+
+``maxDepth=-1`` (Solr's default) walks to the fixpoint; each hop adds
+its depth so callers can cap or page by distance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def graph_traverse(
+    roots: DataFrame,
+    nodes: DataFrame,
+    *,
+    from_col: str,
+    to_col: str,
+    id_col: str = "doc_id",
+    max_depth: int = -1,
+    traversal_filter: str | None = None,
+    return_root: bool = True,
+) -> DataFrame:
+    """``{!graph}``: every doc reachable from ``roots`` (a relation
+    carrying ``id_col``) by repeatedly following from-value -> to-value
+    edges inside ``nodes``. Returns (``id_col``, depth) — depth 0 for
+    roots, the MINIMUM hop count otherwise (BFS order guarantees it).
+    ``traversal_filter`` is a Catalyst predicate applied to newly
+    reached docs at every hop (Solr applies it to each traversal step,
+    NOT to the roots); ``return_root=False`` drops depth-0 rows from
+    the result, like Solr's returnRoot=false."""
+    if max_depth == 0:
+        out = roots.select(F.col(id_col), F.lit(0).alias("depth"))
+        return out if return_root else out.where(F.lit(False))
+    from_edges = nodes.select(
+        F.col(id_col), F.col(from_col).alias("__v")
+    ).where(F.col("__v").isNotNull())
+    to_edges = nodes.select(
+        F.col(id_col), F.col(to_col).alias("__v")
+    ).where(F.col("__v").isNotNull())
+
+    visited = roots.select(F.col(id_col), F.lit(0).alias("depth"))
+    visited = visited.localCheckpoint(eager=True)
+    frontier = visited
+    depth = 0
+    while max_depth < 0 or depth < max_depth:
+        depth += 1
+        # the frontier's OUT values, distinct — |values|, not |docs|;
+        # broadcast onto the to-side edge scan (AQE demotes to a
+        # shuffle join if the value set outgrows the threshold)
+        vals = (
+            frontier.select(F.col(id_col))
+            .join(from_edges, id_col)
+            .select("__v")
+            .distinct()
+        )
+        reached = (
+            to_edges.join(F.broadcast(vals), "__v")
+            .select(F.col(id_col))
+            .distinct()
+        )
+        if traversal_filter is not None:
+            reached = reached.join(
+                nodes.where(F.expr(traversal_filter)).select(id_col),
+                id_col,
+                "left_semi",
+            )
+        fresh = reached.join(visited, id_col, "left_anti").select(
+            F.col(id_col), F.lit(depth).alias("depth")
+        )
+        fresh = fresh.localCheckpoint(eager=True)
+        if not fresh.take(1):
+            break
+        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh
+    return visited if return_root else visited.where(F.col("depth") > 0)

@@ -1,0 +1,148 @@
+"""Solr {!graph} query parser (search/graph_qp.graph_traverse): BFS
+closure semantics vs a DuckDB recursive-CTE oracle, maxDepth /
+traversalFilter / returnRoot knobs, cycle termination."""
+
+import duckdb
+import pytest
+
+# a little dependency graph: doc -> the module it provides / requires.
+# provides = the "to" field, requires = the "from" field:
+# following requires->provides walks the dependency closure downward.
+NODES = [
+    # (doc_id, provides, requires, lang)
+    (0, "app", "web", "en"),
+    (1, "web", "core", "en"),
+    (2, "core", "libc", "en"),
+    (3, "libc", None, "en"),      # leaf: requires nothing
+    (4, "docs", "app", "de"),     # points INTO the graph, not reached from 0
+    (5, "cycle_a", "cycle_b", "en"),
+    (6, "cycle_b", "cycle_a", "en"),  # 2-cycle
+    (7, "core", "extra", "de"),   # second provider of core (de)
+    (8, "extra", None, "de"),
+]
+
+
+@pytest.fixture(scope="module")
+def nodes(spark):
+    return spark.createDataFrame(
+        NODES, "doc_id long, provides string, requires string, lang string"
+    )
+
+
+def _roots(spark, *ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+def _oracle(root_ids, max_depth=-1, lang=None):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE n AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({d},{'NULL' if p is None else repr(p)},"
+            f"{'NULL' if r is None else repr(r)},'{l}')"
+            for d, p, r, l in NODES
+        )
+        + ") v(doc_id, provides, requires, lang)"
+    )
+    roots = ",".join(str(i) for i in root_ids)
+    # the CTE recurses on (doc_id, depth) pairs, so a cycle would grow
+    # depth forever (UNION can't dedup it) — cap at |V|, past which no
+    # NEW minimum depth is possible
+    cap = max_depth if max_depth >= 0 else len(NODES)
+    depth_cap = f"AND w.depth < {cap}"
+    filt = "" if lang is None else f"AND n2.lang = '{lang}'"
+    rows = con.sql(
+        f"""
+        WITH RECURSIVE walk(doc_id, depth) AS (
+          SELECT doc_id, 0 FROM n WHERE doc_id IN ({roots})
+          UNION
+          SELECT n2.doc_id, w.depth + 1
+          FROM walk w
+          JOIN n n1 ON n1.doc_id = w.doc_id
+          JOIN n n2 ON n2.provides = n1.requires
+          WHERE n1.requires IS NOT NULL {depth_cap} {filt}
+        )
+        SELECT doc_id, min(depth) FROM walk GROUP BY doc_id
+        """
+    ).fetchall()
+    return {d: dep for d, dep in rows}
+
+
+def test_fixpoint_closure(spark, nodes):
+    from solrtexttagger_spark.search.graph_qp import graph_traverse
+
+    got = {
+        r["doc_id"]: r["depth"]
+        for r in graph_traverse(
+            _roots(spark, 0), nodes, from_col="requires", to_col="provides"
+        ).collect()
+    }
+    # 0 -> web(1) -> core(2,7) -> libc(3)+extra(8); docs(4) unreachable
+    assert got == {0: 0, 1: 1, 2: 2, 7: 2, 3: 3, 8: 3}
+    assert got == _oracle([0])
+
+
+def test_max_depth_and_min_depth_semantics(spark, nodes):
+    from solrtexttagger_spark.search.graph_qp import graph_traverse
+
+    got = {
+        r["doc_id"]: r["depth"]
+        for r in graph_traverse(
+            _roots(spark, 0), nodes, from_col="requires",
+            to_col="provides", max_depth=2,
+        ).collect()
+    }
+    assert got == _oracle([0], max_depth=2) == {0: 0, 1: 1, 2: 2, 7: 2}
+    # maxDepth=0: roots only (Solr degenerates to the wrapped query)
+    got0 = {
+        r["doc_id"]: r["depth"]
+        for r in graph_traverse(
+            _roots(spark, 0), nodes, from_col="requires",
+            to_col="provides", max_depth=0,
+        ).collect()
+    }
+    assert got0 == {0: 0}
+
+
+def test_cycle_terminates(spark, nodes):
+    from solrtexttagger_spark.search.graph_qp import graph_traverse
+
+    got = {
+        r["doc_id"]: r["depth"]
+        for r in graph_traverse(
+            _roots(spark, 5), nodes, from_col="requires", to_col="provides"
+        ).collect()
+    }
+    assert got == {5: 0, 6: 1} == _oracle([5])
+
+
+def test_traversal_filter_prunes_paths(spark, nodes):
+    from solrtexttagger_spark.search.graph_qp import graph_traverse
+
+    got = {
+        r["doc_id"]: r["depth"]
+        for r in graph_traverse(
+            _roots(spark, 0), nodes, from_col="requires",
+            to_col="provides", traversal_filter="lang = 'en'",
+        ).collect()
+    }
+    # doc 7 (de) is filtered at its hop, so 'extra' (8) is never
+    # reached THROUGH it — Solr's per-step traversalFilter semantics
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3} == _oracle([0], lang="en")
+
+
+def test_return_root_false_and_multi_roots(spark, nodes):
+    from solrtexttagger_spark.search.graph_qp import graph_traverse
+
+    got = {
+        r["doc_id"]: r["depth"]
+        for r in graph_traverse(
+            _roots(spark, 0, 4), nodes, from_col="requires",
+            to_col="provides", return_root=False,
+        ).collect()
+    }
+    want = {d: dep for d, dep in _oracle([0, 4]).items() if dep > 0}
+    # doc 0 is itself a root (min depth 0), so returnRoot=false drops
+    # it even though root 4 also reaches it at depth 1 — Solr's bitset
+    # result has no second copy either
+    assert got == want and 0 not in got
