@@ -59,10 +59,16 @@ over data. Sub-facets under allBuckets are not computed (Solr's
 behavior). Range nodes take Solr's ``other: before|after|between|all``
 (string or list) the same way — one extra grouping set per node whose
 rows are the out-of-range/combined buckets, stats included, emitted as
-the response's sibling ``before``/``after``/``between`` keys. Out of
-scope (documented): sorting by a SUB-facet's stat, and sub-facets
-under ``missing`` buckets or under query facets (stats there are
-fine). QUERY facets accept the same
+the response's sibling ``before``/``after``/``between`` keys. QUERY facets
+take full terms/range SUB-facet trees (round 8): a query ancestor
+contributes no grouping column — its match set becomes part of the
+child's DOMAIN key, so query-subtree children ride the same
+per-domain grouping-sets aggregates as every other node, and the one
+batched boolean pass is shared between the query facets' own counts
+and their children's domains. Out of scope (documented): sorting by a
+SUB-facet's stat, sub-facets under ``missing`` buckets, query facets
+nested under other facets, and query facets under query facets.
+QUERY facets accept the same
 ``domain`` changes as terms/range nodes (top-level only — their
 excludeTags/filter re-derive the domain their one batched boolean pass
 is intersected with).
@@ -216,10 +222,12 @@ def _parse_tree(spec: dict, path: tuple, counter: list) -> tuple[list, dict]:
         counter[0] += 1
         sub = val.get("facet", {})
         node.children, node.stats = _parse_tree(sub, path + (name,), counter)
-        if node.type == "query" and node.children:
+        if node.type == "query" and any(
+            c.type == "query" for c in node.children
+        ):
             raise ValueError(
-                f"query facet {name!r}: sub-facets under a query facet are "
-                "out of scope (stats are supported)"
+                f"query facet {name!r}: a query facet under a query facet "
+                "is out of scope (terms/range sub-facets are supported)"
             )
         nodes.append(node)
     return nodes, stats
@@ -329,6 +337,19 @@ def json_facet(
                 f"query facet {n.name!r}: only top-level query facets are "
                 "supported (nested query domains are out of scope)"
             )
+    # the batched boolean pass for ALL query facets runs ONCE and serves
+    # both the query facets' own counts/stats AND (round 8) the domains
+    # of their terms/range SUB-facets, which ride the per-domain
+    # grouping-sets aggregates like any other node
+    qm_base = None
+    if query_nodes:
+        from solrtexttagger_spark.search.boolean import boolean_matched_scores
+
+        qlist = [(i, n.spec["q"]) for i, n in enumerate(query_nodes)]
+        qm_base = boolean_matched_scores(
+            index, qlist, field=field, spark=spark
+        ).select("query_id", F.col("doc_id").alias(id_col)).persist()
+    qidx_of = {id(n): i for i, n in enumerate(query_nodes)}
 
     # --- domain: bag match of the base query, fq-restricted ---
     terms = sorted(analyze_query_terms(query))
@@ -354,21 +375,26 @@ def json_facet(
     for n in tree_nodes:
         excl: frozenset = frozenset()
         filts: tuple = ()
+        qchain: tuple = ()
         chain = [by_name[n.path[:i]] for i in range(1, len(n.path) + 1)
                  if n.path[:i] in by_name] + [n]
         for a in chain:
             e, f = _domain_change(a)
             excl, filts = excl | e, filts + f
-        node_key[n.idx] = (excl & set(tagged_filters), filts)
+            if a.type == "query":
+                # a query-facet ancestor narrows the domain to its
+                # match set (its "bucket" IS the domain)
+                qchain = qchain + (qidx_of[id(a)],)
+        node_key[n.idx] = (excl & set(tagged_filters), filts, qchain)
 
-    base_key = (frozenset(), ())
+    base_key = (frozenset(), (), ())
     keys = [base_key] + sorted(
         {k for k in node_key.values() if k != base_key},
-        key=lambda k: (sorted(k[0]), k[1]),
+        key=lambda k: (sorted(k[0]), k[1], k[2]),
     )
 
     def _dom_for(key) -> DataFrame:
-        excl, filts = key
+        excl, filts, qchain = key
         m = matched
         for tag in sorted(tagged_filters):
             if tag in excl:
@@ -376,6 +402,11 @@ def json_facet(
             m = m.join(
                 tagged_filters[tag]
                 .select(F.col("doc_id").alias(id_col)).distinct(),
+                id_col, "left_semi",
+            )
+        for qi in qchain:
+            m = m.join(
+                qm_base.where(F.col("query_id") == qi).select(id_col),
                 id_col, "left_semi",
             )
         d = docs_df.join(m, id_col)
@@ -599,28 +630,23 @@ def json_facet(
     for r in collected:
         by_mask.setdefault(r["__gid"], []).append(r)
 
-    # --- query facets: one batched boolean pass + one stats agg ---
+    # --- query facets: the hoisted boolean pass + one stats agg ---
     query_results: dict[str, dict] = {}
     if query_nodes:
-        from solrtexttagger_spark.search.boolean import boolean_matched_scores
-
-        qlist = [(i, n.spec["q"]) for i, n in enumerate(query_nodes)]
-        qm = boolean_matched_scores(
-            index, qlist, field=field, spark=spark
-        ).select("query_id", F.col("doc_id").alias(id_col))
+        qm = qm_base
         # per-node domain (round 8): excludeTags/filter re-derive the
         # domain each query facet's match set intersects with — nodes
         # sharing a domain (the common case: all base) share one
         # semi-join; everything still lands in ONE aggregate + collect
         qkey = {
-            i: (lambda e_f: (e_f[0] & set(tagged_filters), e_f[1]))(
+            i: (lambda e_f: (e_f[0] & set(tagged_filters), e_f[1], ()))(
                 _domain_change(n)
             )
             for i, n in enumerate(query_nodes)
         }
         parts = []
         for key in sorted(
-            set(qkey.values()), key=lambda k: (sorted(k[0]), k[1])
+            set(qkey.values()), key=lambda k: (sorted(k[0]), k[1], k[2])
         ):
             ids = [i for i, k in qkey.items() if k == key]
             part = qm if len(qkey) == len(ids) else qm.where(
@@ -783,9 +809,18 @@ def json_facet(
         )
     for n in roots:
         if n.type == "query":
-            out[n.name] = query_results[n.name]
+            res = query_results[n.name]
+            # round 8: terms/range sub-facets under a query facet rode
+            # the per-domain aggregates (domain = base ∩ query match);
+            # the query node contributes no grouping column, so its
+            # children assemble with an empty parent filter
+            for ch in n.children:
+                res[ch.name] = _assemble(ch, {})
+            out[n.name] = res
         else:
             out[n.name] = _assemble(n, {})
+    if qm_base is not None:
+        qm_base.unpersist()
     return out
 
 

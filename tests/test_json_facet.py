@@ -316,11 +316,6 @@ class TestValidation:
                 "langs": {"type": "terms", "field": "lang",
                           "facet": {"q": {"type": "query", "q": "beta"}}},
             })
-        with pytest.raises(ValueError, match="sub-facets under a query"):
-            _facet(spark, corpus, {
-                "q": {"type": "query", "q": "beta",
-                      "facet": {"t": {"type": "terms", "field": "lang"}}},
-            })
         with pytest.raises(ValueError, match="sort key"):
             _facet(spark, corpus, {
                 "langs": {"type": "terms", "field": "lang",
@@ -530,6 +525,49 @@ class TestDomainChanges:
             "AND n >= 30 AND has_beta"
         ).fetchone()
         assert out["filt"] == {"count": cnt, "tot": float(tot)}
+
+    def test_query_facet_subfacets(self, spark, corpus):
+        """Round-8: terms/range sub-facets under a query facet — the
+        query match set becomes the child's domain (base ∩ match),
+        children ride the per-domain groupingSets aggregate; the
+        query facet's own count/stats are unchanged. DuckDB mirror for
+        the arithmetic."""
+        import duckdb
+
+        out = _facet(spark, corpus, {
+            "has_beta": {
+                "type": "query", "q": "beta",
+                "facet": {
+                    "tot": "sum(n)",
+                    "langs": {"type": "terms", "field": "lang",
+                              "limit": 10, "facet": {"s": "sum(n)"}},
+                    "hist": {"type": "range", "field": "n",
+                             "start": 0, "end": 60, "gap": 30},
+                },
+            },
+        })
+        # alpha domain docs 0-4; beta matches docs {0, 3}
+        node = out["has_beta"]
+        assert node["count"] == 2 and node["tot"] == 50.0
+        assert {(b["val"], b["count"], b["s"])
+                for b in node["langs"]["buckets"]} == {
+            ("en", 1, 10.0), ("de", 1, 40.0)
+        }
+        assert [(b["val"], b["count"]) for b in node["hist"]["buckets"]] == [
+            (0, 1), (30, 1)
+        ]
+        con = duckdb.connect()
+        con.sql("CREATE TABLE t AS SELECT * FROM (VALUES "
+                "(0,'en',10,TRUE),(3,'de',40,TRUE)) v(doc_id, lang, n, b)")
+        assert dict(con.sql(
+            "SELECT lang, sum(n) FROM t GROUP BY lang"
+        ).fetchall()) == {b["val"]: b["s"] for b in node["langs"]["buckets"]}
+        # a query facet under a query facet stays out of scope
+        with pytest.raises(ValueError, match="query facet under a query"):
+            _facet(spark, corpus, {
+                "q1": {"type": "query", "q": "beta",
+                       "facet": {"q2": {"type": "query", "q": "alpha"}}},
+            })
 
     def test_all_buckets_stats(self, spark, corpus):
         """Round-8: allBuckets on a node WITH stats gets the combined
