@@ -1,0 +1,279 @@
+"""Solr Streaming Expressions — the /stream handler's expression
+language, compiled to DataFrame plans.
+
+Reference surface: Solr's /stream endpoint evaluates a composable
+expression language over sorted tuple streams (backed by /export):
+
+    rollup(search(logs, q="*:*", fq="status:200", fl="host,bytes",
+                  sort="host asc"),
+           over="host", sum(bytes), count(*))
+
+with decorators like select/top/unique/sort/having and joins
+(innerJoin/hashJoin/merge). It is how Solr users run aggregations,
+joins and ETL over full result sets — Solr's MapReduce.
+
+Spark-first shape — the expression tree IS a logical plan, so this
+module is a thin COMPILER, not an engine:
+
+- ``parse_expression`` is a ~60-line recursive-descent parser for the
+  function-call syntax (identifiers, ``key=value`` named params,
+  quoted strings, nested calls);
+- ``compile_stream`` maps each stream function onto the Catalyst
+  operator with the same semantics: search -> pushed filter +
+  projection, rollup -> hash aggregate, innerJoin/hashJoin -> join,
+  top -> TakeOrdered, unique -> one-row-per-key aggregate, merge ->
+  union, select -> projection (with expressions), having -> filter,
+  sort -> global order;
+- Solr's sort PRECONDITIONS vanish: /stream demands the underlying
+  stream be sorted by the ``over``/``on`` keys because its rollup and
+  merge-join are single-pass streaming operators — a hash aggregate
+  and hash join need no such order, so expressions that Solr rejects
+  ("Invalid rollup: the stream is not sorted by over=...") simply run
+  here. ``sort=`` on search is therefore honored but optional.
+- Catalyst then fuses the whole tree: filters push into the scan,
+  projections prune columns, the aggregate is map-side partial — the
+  expression author gets the optimizer for free, which the reference's
+  tuple-at-a-time decorators cannot do.
+
+Final order: like /stream, only the OUTERMOST sort/top/merge order is
+meaningful; an unsorted outermost stream returns in partition order.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------- parser ----------
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<string>"(?:[^"\\]|\\.)*")
+      | (?P<num>-?\d+(?:\.\d+)?)
+      | (?P<name>[A-Za-z_][A-Za-z0-9_.]*)
+      | (?P<punct>[(),=*])
+    )""",
+    re.X,
+)
+
+
+class Expr:
+    """One node: a function call ``name(args..., key=value...)`` or a
+    literal/identifier leaf."""
+
+    def __init__(self, name, args=None, params=None):
+        self.name = name
+        self.args = args or []      # positional Expr/literal children
+        self.params = params or {}  # named string/number params
+
+    def __repr__(self):  # debugging aid
+        inner = ", ".join(
+            [repr(a) for a in self.args]
+            + [f"{k}={v!r}" for k, v in self.params.items()]
+        )
+        return f"{self.name}({inner})"
+
+
+def _tokens(s: str):
+    pos = 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m:
+            if s[pos:].strip() == "":
+                break
+            raise ValueError(f"bad token at {s[pos:pos + 20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        text = m.group(kind)
+        if kind == "string":
+            text = text[1:-1].replace('\\"', '"')
+        yield kind, text
+    yield "end", ""
+
+
+def parse_expression(s: str) -> Expr:
+    toks = list(_tokens(s))
+    idx = [0]
+
+    def peek():
+        return toks[idx[0]]
+
+    def eat(kind=None, text=None):
+        k, t = toks[idx[0]]
+        if (kind and k != kind) or (text and t != text):
+            raise ValueError(f"expected {text or kind}, got {t!r}")
+        idx[0] += 1
+        return t
+
+    def call():
+        name = eat("name")
+        if peek() != ("punct", "("):
+            return Expr(name)  # bare identifier leaf
+        eat("punct", "(")
+        node = Expr(name)
+        while peek() != ("punct", ")"):
+            k, t = peek()
+            if k == "name" and toks[idx[0] + 1] == ("punct", "="):
+                key = eat("name")
+                eat("punct", "=")
+                kk, vv = peek()
+                if kk == "string":
+                    node.params[key] = eat("string")
+                elif kk == "num":
+                    v = eat("num")
+                    node.params[key] = float(v) if "." in v else int(v)
+                elif kk == "name":
+                    node.params[key] = eat("name")
+                else:
+                    raise ValueError(f"bad value for {key}: {vv!r}")
+            elif k == "punct" and t == "*":
+                eat("punct", "*")
+                node.args.append(Expr("*"))
+            elif k == "name":
+                node.args.append(call())
+            elif k in ("string", "num"):
+                node.args.append(eat(k))
+            else:
+                raise ValueError(f"unexpected {t!r}")
+            if peek() == ("punct", ","):
+                eat("punct", ",")
+        eat("punct", ")")
+        return node
+
+    out = call()
+    if peek()[0] != "end":
+        raise ValueError(f"trailing input after expression: {peek()[1]!r}")
+    return out
+
+
+# ---------- compiler ----------
+
+_METRICS = {"sum": F.sum, "min": F.min, "max": F.max, "avg": F.avg,
+            "count": None}
+
+
+def _metric(e: Expr):
+    if e.name not in _METRICS:
+        raise ValueError(f"unknown metric {e.name!r} "
+                         f"(one of {sorted(_METRICS)})")
+    if e.name == "count":
+        return F.count("*").cast("long").alias("count(*)")
+    col = e.args[0].name if isinstance(e.args[0], Expr) else e.args[0]
+    return (
+        _METRICS[e.name](col).cast("double").alias(f"{e.name}({col})")
+    )
+
+
+def _sort_cols(spec: str):
+    out = []
+    for part in spec.split(","):
+        bits = part.split()
+        c = F.expr(bits[0])
+        if len(bits) > 1 and bits[1].lower() == "desc":
+            c = c.desc()
+        else:
+            c = c.asc()
+        out.append(c)
+    return out
+
+
+def compile_stream(expr: Expr, tables: dict[str, DataFrame]) -> DataFrame:
+    """Compile one stream-expression node to a DataFrame."""
+
+    def sub(i=0):
+        return compile_stream(expr.args[i], tables)
+
+    name = expr.name
+    if name == "search":
+        tbl = expr.args[0].name if expr.args else expr.params.get("collection")
+        if tbl not in tables:
+            raise ValueError(f"unknown collection {tbl!r} "
+                             f"(registered: {sorted(tables)})")
+        df = tables[tbl]
+        q = expr.params.get("q", "*:*")
+        if q != "*:*":
+            raise ValueError(
+                "search(q=...) supports q=\"*:*\" here; put predicates in "
+                "fq (text relevance queries live in the /select surface)"
+            )
+        if "fq" in expr.params:
+            df = df.where(F.expr(expr.params["fq"]))
+        if "fl" in expr.params:
+            df = df.select(
+                *[c.strip() for c in expr.params["fl"].split(",")]
+            )
+        if "sort" in expr.params:
+            df = df.orderBy(*_sort_cols(expr.params["sort"]))
+        return df
+    if name == "select":
+        df = sub()
+        cols = []
+        for a in expr.args[1:]:
+            spec = a if isinstance(a, str) else a.name
+            m = re.match(r"^(.*?)\s+as\s+(\w+)$", spec, re.I)
+            base = m.group(1) if m else spec
+            # an upstream metric column is literally named "sum(bytes)"
+            # — reference it as a column, never re-parse as a call
+            col = F.col(base) if base in df.columns else F.expr(base)
+            cols.append(col.alias(m.group(2)) if m else col)
+        return df.select(*cols)
+    if name == "rollup":
+        df = sub()
+        over = [c.strip() for c in expr.params["over"].split(",")]
+        metrics = [_metric(a) for a in expr.args[1:]]
+        if not metrics:
+            raise ValueError("rollup needs at least one metric")
+        return df.groupBy(*over).agg(*metrics)
+    if name == "stats":
+        df = sub()
+        return df.agg(*[_metric(a) for a in expr.args[1:]])
+    if name == "unique":
+        df = sub()
+        over = [c.strip() for c in expr.params["over"].split(",")]
+        # one tuple per key: deterministic min-struct pick (Solr keeps
+        # the first in stream order; a hash aggregate has no order, so
+        # the smallest full tuple is the stable choice, documented)
+        rest = [c for c in df.columns if c not in over]
+        if not rest:
+            return df.distinct()
+        picked = df.groupBy(*over).agg(
+            F.min(F.struct(*rest)).alias("__rest")
+        )
+        return picked.select(*over, *[F.col(f"__rest.{c}").alias(c)
+                                      for c in rest])
+    if name == "top":
+        df = sub()
+        n = int(expr.params["n"])
+        return df.orderBy(*_sort_cols(expr.params["sort"])).limit(n)
+    if name == "sort":
+        return sub().orderBy(*_sort_cols(expr.params["by"]))
+    if name == "having":
+        return sub().where(F.expr(expr.params["expr"]
+                                  if "expr" in expr.params
+                                  else expr.args[1].name))
+    if name in ("innerJoin", "hashJoin", "leftOuterJoin"):
+        left, right = sub(0), compile_stream(expr.args[1], tables)
+        on = [c.strip() for c in expr.params["on"].split(",")]
+        how = "left" if name == "leftOuterJoin" else "inner"
+        # hashJoin vs innerJoin is a physical hint in Solr (hash the
+        # right side vs merge the sorted streams); Catalyst owns that
+        # choice here — broadcast the right side when it is small
+        return left.join(right, on, how)
+    if name == "merge":
+        parts = [compile_stream(a, tables) for a in expr.args]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if "on" in expr.params:
+            out = out.orderBy(*_sort_cols(expr.params["on"]))
+        return out
+    raise ValueError(f"unknown stream function {name!r}")
+
+
+def stream(expression: str, tables: dict[str, DataFrame]) -> DataFrame:
+    """Evaluate a /stream expression string against registered
+    collections (name -> DataFrame). Returns the result relation —
+    lazily; callers iterate it exactly like /stream's tuple iterator
+    (``toLocalIterator``) or hand it to /export."""
+    return compile_stream(parse_expression(expression), tables)

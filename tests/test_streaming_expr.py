@@ -1,0 +1,165 @@
+"""Solr Streaming Expressions (search/streaming_expr.py): the /stream
+expression language compiled to DataFrame plans — parser, each stream
+function vs a DuckDB mirror, composition."""
+
+import duckdb
+import pytest
+
+LOGS = [(i, f"host{i % 3}", 200 if i % 4 else 500, (i * 13) % 50)
+        for i in range(40)]
+HOSTS = [("host0", "us"), ("host1", "eu"), ("host2", "us"),
+         ("host9", "ap")]
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return {
+        "logs": spark.createDataFrame(
+            LOGS, "id long, host string, status long, bytes long"
+        ),
+        "hosts": spark.createDataFrame(HOSTS, "host string, region string"),
+    }
+
+
+def _con():
+    con = duckdb.connect()
+    con.sql("CREATE TABLE logs AS SELECT * FROM (VALUES "
+            + ",".join(f"({i},'{h}',{s},{b})" for i, h, s, b in LOGS)
+            + ") v(id, host, status, bytes)")
+    con.sql("CREATE TABLE hosts AS SELECT * FROM (VALUES "
+            + ",".join(f"('{h}','{r}')" for h, r in HOSTS)
+            + ") v(host, region)")
+    return con
+
+
+class TestParser:
+    def test_nested_call_with_params(self):
+        from solrtexttagger_spark.search.streaming_expr import (
+            parse_expression,
+        )
+
+        e = parse_expression(
+            'rollup(search(logs, q="*:*", fl="host,bytes"), '
+            'over="host", sum(bytes), count(*))'
+        )
+        assert e.name == "rollup" and e.params["over"] == "host"
+        assert [a.name for a in e.args] == ["search", "sum", "count"]
+        assert e.args[0].params["fl"] == "host,bytes"
+
+    def test_errors(self):
+        from solrtexttagger_spark.search.streaming_expr import (
+            parse_expression,
+        )
+
+        with pytest.raises(ValueError, match="expected"):
+            parse_expression("rollup(search(logs)")
+        with pytest.raises(ValueError, match="trailing"):
+            parse_expression("a() b()")
+        with pytest.raises(ValueError, match="bad token"):
+            parse_expression('search(logs, q="x onequote)')
+
+
+class TestStreams:
+    def test_rollup_vs_duckdb(self, spark, tables):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        got = sorted(
+            tuple(r)
+            for r in stream(
+                'rollup(search(logs, q="*:*", fq="status = 200", '
+                'fl="host,bytes", sort="host asc"), '
+                'over="host", sum(bytes), count(*))',
+                tables,
+            ).collect()
+        )
+        con = _con()
+        want = sorted(
+            tuple(r)
+            for r in con.sql(
+                "SELECT host, CAST(sum(bytes) AS DOUBLE), count(*) "
+                "FROM logs WHERE status = 200 GROUP BY host"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_join_select_top_composition(self, spark, tables):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        got = [
+            tuple(r)
+            for r in stream(
+                'top(n=2, sort="total desc", select('
+                'innerJoin('
+                'rollup(search(logs, q="*:*", fl="host,bytes"), '
+                'over="host", sum(bytes)), '
+                'search(hosts, q="*:*"), on="host"), '
+                '"host", "region", "sum(bytes) as total"))',
+                tables,
+            ).collect()
+        ]
+        con = _con()
+        want = [
+            tuple(r)
+            for r in con.sql(
+                "SELECT l.host, h.region, CAST(sum(l.bytes) AS DOUBLE) "
+                "AS total FROM logs l JOIN hosts h USING (host) "
+                "GROUP BY l.host, h.region ORDER BY total DESC, l.host "
+                "LIMIT 2"
+            ).fetchall()
+        ]
+        # tie-break: DuckDB order pinned by host; Spark top has no
+        # secondary key, so compare as sets of the same size
+        assert sorted(got) == sorted(want)
+
+    def test_unique_and_having(self, spark, tables):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        uniq = stream(
+            'unique(search(logs, q="*:*", fl="host,status"), over="host")',
+            tables,
+        ).collect()
+        assert len(uniq) == 3  # one tuple per host, min-struct pick
+        assert {r["host"] for r in uniq} == {"host0", "host1", "host2"}
+        hav = stream(
+            'having(rollup(search(logs, q="*:*", fl="host,bytes"), '
+            'over="host", count(*)), expr="`count(*)` > 13")',
+            tables,
+        ).collect()
+        con = _con()
+        want = {r[0] for r in con.sql(
+            "SELECT host FROM logs GROUP BY host HAVING count(*) > 13"
+        ).fetchall()}
+        assert {r["host"] for r in hav} == want
+
+    def test_merge_and_stats(self, spark, tables):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        m = stream(
+            'merge(search(logs, q="*:*", fq="status = 500", fl="id,host"), '
+            'search(logs, q="*:*", fq="status = 200", fl="id,host"), '
+            'on="id asc")',
+            tables,
+        ).collect()
+        assert [r["id"] for r in m] == list(range(40))
+        st = stream(
+            'stats(search(logs, q="*:*"), sum(bytes), avg(bytes), count(*))',
+            tables,
+        ).collect()[0]
+        con = _con()
+        s, a, c = con.sql(
+            "SELECT CAST(sum(bytes) AS DOUBLE), avg(bytes), count(*) "
+            "FROM logs"
+        ).fetchone()
+        assert (st["sum(bytes)"], st["count(*)"]) == (s, c)
+        assert st["avg(bytes)"] == pytest.approx(a)
+
+    def test_unknown_collection_and_function(self, spark, tables):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        with pytest.raises(ValueError, match="unknown collection"):
+            stream('search(nope, q="*:*")', tables)
+        with pytest.raises(ValueError, match="unknown stream function"):
+            stream('frobnicate(search(logs, q="*:*"))', tables)
+        with pytest.raises(ValueError, match="unknown metric"):
+            stream('rollup(search(logs, q="*:*"), over="host", '
+                   'median(bytes))', tables)
