@@ -163,3 +163,25 @@ class TestStreams:
         with pytest.raises(ValueError, match="unknown metric"):
             stream('rollup(search(logs, q="*:*"), over="host", '
                    'median(bytes))', tables)
+
+class TestPlans:
+    def test_compiled_tree_is_fused(self, spark, tables):
+        """The point of compiling /stream to Catalyst: the fq pushes
+        into the scan as a data filter, the rollup aggregates with a
+        map-side partial, and the select's projection prunes columns —
+        none of which Solr's tuple-at-a-time decorators can do."""
+        from tests.test_plans import plan_str
+
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        df = stream(
+            'rollup(search(logs, q="*:*", fq="status = 200", '
+            'fl="host,bytes"), over="host", sum(bytes))',
+            tables,
+        )
+        plan = plan_str(df)
+        assert "partial_sum" in plan          # map-side combine
+        assert "status" in plan and "Filter" in plan
+        # the scan's output is pruned to the fl + filter columns — the
+        # unused id column never leaves the source
+        assert "id#" not in plan.split("Exchange")[-1]
