@@ -106,6 +106,11 @@ def join_topk(
 
     ``from_df``/``to_df`` may be the same relation (self-join on a
     shared key) or different collections (Solr ``fromIndex=``)."""
+    if score == "none" and k is not None:
+        raise ValueError(
+            "k is meaningless with score='none' (a filter join has no "
+            "ranking); drop k or pick a score mode"
+        )
     vals = join_values(
         inner_scores, from_df, from_col=from_col, from_id=from_id,
         score=score,

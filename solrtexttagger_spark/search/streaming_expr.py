@@ -249,9 +249,15 @@ def compile_stream(expr: Expr, tables: dict[str, DataFrame]) -> DataFrame:
     if name == "sort":
         return sub().orderBy(*_sort_cols(expr.params["by"]))
     if name == "having":
-        return sub().where(F.expr(expr.params["expr"]
-                                  if "expr" in expr.params
-                                  else expr.args[1].name))
+        if "expr" in expr.params:
+            cond = expr.params["expr"]
+        elif len(expr.args) > 1:
+            a = expr.args[1]
+            cond = a if isinstance(a, str) else a.name
+        else:
+            raise ValueError('having needs a condition: having(stream, '
+                             'expr="`count(*)` > 10")')
+        return sub().where(F.expr(cond))
     if name in ("innerJoin", "hashJoin", "leftOuterJoin"):
         left, right = sub(0), compile_stream(expr.args[1], tables)
         on = [c.strip() for c in expr.params["on"].split(",")]
