@@ -56,7 +56,9 @@ def graph_traverse(
     NOT to the roots); ``return_root=False`` drops depth-0 rows from
     the result, like Solr's returnRoot=false."""
     if max_depth == 0:
-        out = roots.select(F.col(id_col), F.lit(0).alias("depth"))
+        out = roots.select(F.col(id_col)).distinct().withColumn(
+            "depth", F.lit(0)
+        )
         return out if return_root else out.where(F.lit(False))
     from_edges = nodes.select(
         F.col(id_col), F.col(from_col).alias("__v")
@@ -65,7 +67,11 @@ def graph_traverse(
         F.col(id_col), F.col(to_col).alias("__v")
     ).where(F.col("__v").isNotNull())
 
-    visited = roots.select(F.col(id_col), F.lit(0).alias("depth"))
+    # distinct: a duplicated root row (a page with repeats) must not
+    # duplicate every reachable doc downstream
+    visited = roots.select(F.col(id_col)).distinct().withColumn(
+        "depth", F.lit(0)
+    )
     visited = visited.localCheckpoint(eager=True)
     frontier = visited
     depth = 0
