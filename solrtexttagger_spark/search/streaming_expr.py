@@ -266,6 +266,37 @@ def compile_stream(expr: Expr, tables: dict[str, DataFrame]) -> DataFrame:
         # right side vs merge the sorted streams); Catalyst owns that
         # choice here — broadcast the right side when it is small
         return left.join(right, on, how)
+    if name == "fetch":
+        # fetch(stream, collection, on="key", fl="a,b"): enrich each
+        # tuple with fields from another collection — Solr batches
+        # point lookups; here it is one left join, broadcast when the
+        # fetched side is small
+        df = sub()
+        tbl = expr.args[1].name
+        if tbl not in tables:
+            raise ValueError(f"unknown collection {tbl!r} "
+                             f"(registered: {sorted(tables)})")
+        on = [c.strip() for c in expr.params["on"].split(",")]
+        cols = on + [c.strip() for c in expr.params["fl"].split(",")]
+        return df.join(tables[tbl].select(*cols), on, "left")
+    if name == "facet":
+        # facet(collection, q="*:*", fq=..., buckets="a,b", metrics...):
+        # Solr's aggregation stream source — rollup straight off the
+        # collection (the JSON Facet API shape as a tuple stream)
+        tbl = expr.args[0].name
+        if tbl not in tables:
+            raise ValueError(f"unknown collection {tbl!r} "
+                             f"(registered: {sorted(tables)})")
+        df = tables[tbl]
+        if expr.params.get("q", "*:*") != "*:*":
+            raise ValueError('facet supports q="*:*"; use fq for predicates')
+        if "fq" in expr.params:
+            df = df.where(F.expr(expr.params["fq"]))
+        buckets = [c.strip() for c in expr.params["buckets"].split(",")]
+        metrics = [_metric(a) for a in expr.args[1:]]
+        if not metrics:
+            raise ValueError("facet needs at least one metric")
+        return df.groupBy(*buckets).agg(*metrics)
     if name == "merge":
         parts = [compile_stream(a, tables) for a in expr.args]
         out = parts[0]

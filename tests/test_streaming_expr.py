@@ -153,6 +153,47 @@ class TestStreams:
         assert (st["sum(bytes)"], st["count(*)"]) == (s, c)
         assert st["avg(bytes)"] == pytest.approx(a)
 
+    def test_fetch_and_facet(self, spark, tables):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        fetched = stream(
+            'fetch(rollup(search(logs, q="*:*", fl="host,bytes"), '
+            'over="host", sum(bytes)), hosts, on="host", fl="region")',
+            tables,
+        ).collect()
+        con = _con()
+        want = {
+            (h, r): s
+            for h, r, s in con.sql(
+                "SELECT l.host, h.region, CAST(sum(l.bytes) AS DOUBLE) "
+                "FROM logs l LEFT JOIN hosts h USING (host) "
+                "GROUP BY 1, 2"
+            ).fetchall()
+        }
+        assert {
+            (r["host"], r["region"]): r["sum(bytes)"] for r in fetched
+        } == want
+        fac = sorted(
+            tuple(r)
+            for r in stream(
+                'facet(logs, q="*:*", fq="status = 200", '
+                'buckets="host", count(*), avg(bytes))',
+                tables,
+            ).collect()
+        )
+        wantf = sorted(
+            (h, c, pytest.approx(a))
+            for h, c, a in con.sql(
+                "SELECT host, count(*), avg(bytes) FROM logs "
+                "WHERE status = 200 GROUP BY host"
+            ).fetchall()
+        )
+        assert [(h, c) for h, c, _a in fac] == [
+            (h, c) for h, c, _a in wantf
+        ]
+        for got_row, want_row in zip(fac, wantf):
+            assert got_row[2] == want_row[2]
+
     def test_unknown_collection_and_function(self, spark, tables):
         from solrtexttagger_spark.search.streaming_expr import stream
 
