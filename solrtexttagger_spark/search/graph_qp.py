@@ -46,6 +46,7 @@ def graph_traverse(
     max_depth: int = -1,
     traversal_filter: str | None = None,
     return_root: bool = True,
+    return_only_leaf: bool = False,
 ) -> DataFrame:
     """``{!graph}``: every doc reachable from ``roots`` (a relation
     carrying ``id_col``) by repeatedly following from-value -> to-value
@@ -54,18 +55,26 @@ def graph_traverse(
     ``traversal_filter`` is a Catalyst predicate applied to newly
     reached docs at every hop (Solr applies it to each traversal step,
     NOT to the roots); ``return_root=False`` drops depth-0 rows from
-    the result, like Solr's returnRoot=false."""
-    if max_depth == 0:
-        out = roots.select(F.col(id_col)).distinct().withColumn(
-            "depth", F.lit(0)
-        )
-        return out if return_root else out.where(F.lit(False))
+    the result, like Solr's returnRoot=false;
+    ``return_only_leaf=True`` is Solr's returnOnlyLeafNodes — keep
+    only reached docs with NO outgoing edge (a non-null from field
+    value), the "end of the chain" query (one anti-join after the
+    fixpoint, never per hop)."""
     from_edges = nodes.select(
         F.col(id_col), F.col(from_col).alias("__v")
     ).where(F.col("__v").isNotNull())
     to_edges = nodes.select(
         F.col(id_col), F.col(to_col).alias("__v")
     ).where(F.col("__v").isNotNull())
+    if max_depth == 0:
+        out = roots.select(F.col(id_col)).distinct().withColumn(
+            "depth", F.lit(0)
+        )
+        if not return_root:
+            out = out.where(F.lit(False))
+        if return_only_leaf:
+            out = out.join(from_edges.select(id_col), id_col, "left_anti")
+        return out
 
     # distinct: a duplicated root row (a page with repeats) must not
     # duplicate every reachable doc downstream
@@ -105,4 +114,7 @@ def graph_traverse(
             break
         visited = visited.unionByName(fresh).localCheckpoint(eager=True)
         frontier = fresh
-    return visited if return_root else visited.where(F.col("depth") > 0)
+    out = visited if return_root else visited.where(F.col("depth") > 0)
+    if return_only_leaf:
+        out = out.join(from_edges.select(id_col), id_col, "left_anti")
+    return out

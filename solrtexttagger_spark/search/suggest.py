@@ -58,24 +58,42 @@ def build_suggestions(
     *,
     text_col: str = "name",
     weight_col: str | None = None,
+    context_col: str | None = None,
 ) -> DataFrame:
     """Analyze the dictionary once (Solr suggester build): returns
-    (suggestion, weight, tokens). Without a weight column every
-    suggestion weighs 1 (ties break on the suggestion string).
+    (suggestion, weight, tokens[, contexts]). Without a weight column
+    every suggestion weighs 1 (ties break on the suggestion string).
     Duplicate suggestion strings keep their max weight — Solr
-    dictionaries are deduplicated at build."""
+    dictionaries are deduplicated at build. ``context_col`` is the
+    suggester's contextField: a string (or array<string>) column whose
+    values collect into the suggestion's ``contexts`` set for
+    request-time ``suggest.cfq`` filtering."""
     w = (
         F.col(weight_col).cast("double")
         if weight_col
         else F.lit(1.0)
     )
-    return (
-        dict_df.select(
-            F.col(text_col).alias("suggestion"), w.alias("weight")
+    cols = [F.col(text_col).alias("suggestion"), w.alias("weight")]
+    if context_col is not None:
+        ctx_in = dict_df.schema[context_col].dataType.typeName()
+        c = F.col(context_col)
+        cols.append(
+            (c if ctx_in == "array" else F.array(c)).alias("__ctx")
         )
-        .where(F.col("suggestion").isNotNull())
-        .groupBy("suggestion")
-        .agg(F.max("weight").alias("weight"))
+    base = dict_df.select(*cols).where(F.col("suggestion").isNotNull())
+    aggs = [F.max("weight").alias("weight")]
+    if context_col is not None:
+        aggs.append(
+            F.array_distinct(
+                F.filter(
+                    F.flatten(F.collect_list("__ctx")),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("contexts")
+        )
+    return (
+        base.groupBy("suggestion")
+        .agg(*aggs)
         .withColumn("tokens", _analyze_expr(F.col("suggestion")))
         .where(F.size("tokens") > 0)
     )
@@ -87,17 +105,28 @@ def suggest(
     *,
     count: int = 10,
     infix_prefix: bool = True,
+    contexts: list[str] | None = None,
 ) -> DataFrame:
     """Solr ``suggest.q=<q>&suggest.count=<count>``: top suggestions by
     weight. All query tokens but the last must match a suggestion
     token exactly; the last matches as a prefix (``infix_prefix=False``
     demands whole-token for it too — AnalyzingSuggester's exactness
-    knob). Returns (suggestion, weight) ordered (weight desc,
-    suggestion asc), LIMIT count."""
+    knob). ``contexts`` is ``suggest.cfq``: keep suggestions carrying
+    ANY of the given context values (needs a build with
+    ``context_col``). Returns (suggestion, weight) ordered (weight
+    desc, suggestion asc), LIMIT count."""
     toks = _analyze_query(q)
     if not toks:
         raise ValueError("suggest.q analyzed to zero tokens")
     cond = F.lit(True)
+    if contexts is not None:
+        if "contexts" not in suggestions.columns:
+            raise ValueError(
+                "contexts filtering needs build_suggestions(context_col=...)"
+            )
+        cond = cond & F.arrays_overlap(
+            "contexts", F.lit(list(contexts)).cast("array<string>")
+        )
     for t in toks[:-1]:
         cond = cond & F.array_contains("tokens", t)
     last = toks[-1]
@@ -186,15 +215,20 @@ class LocalSuggester:
     the suggester RAM-resident per node for the same reason."""
 
     def __init__(self, suggestions: DataFrame):
-        rows = suggestions.select(
-            "suggestion", "weight", "tokens"
-        ).collect()
+        has_ctx = "contexts" in suggestions.columns
+        cols = ["suggestion", "weight", "tokens"] + (
+            ["contexts"] if has_ctx else []
+        )
+        rows = suggestions.select(*cols).collect()
         self._weights: list[float] = []
         self._strings: list[str] = []
+        self._contexts: list[frozenset] | None = [] if has_ctx else None
         tok_map: dict[str, set[int]] = {}
         for i, r in enumerate(rows):
             self._strings.append(r["suggestion"])
             self._weights.append(float(r["weight"]))
+            if self._contexts is not None:
+                self._contexts.append(frozenset(r["contexts"] or ()))
             for t in set(r["tokens"]):
                 tok_map.setdefault(t, set()).add(i)
         self._tok_map = tok_map
@@ -211,11 +245,16 @@ class LocalSuggester:
         return out
 
     def suggest(
-        self, q: str, *, count: int = 10, infix_prefix: bool = True
+        self, q: str, *, count: int = 10, infix_prefix: bool = True,
+        contexts: list[str] | None = None,
     ) -> list[tuple[str, float]]:
         toks = _analyze_query(q)
         if not toks:
             raise ValueError("suggest.q analyzed to zero tokens")
+        if contexts is not None and self._contexts is None:
+            raise ValueError(
+                "contexts filtering needs build_suggestions(context_col=...)"
+            )
         ids: set[int] | None = None
         for t in toks[:-1]:
             hit = self._tok_map.get(t, set())
@@ -228,6 +267,9 @@ class LocalSuggester:
             else self._tok_map.get(toks[-1], set())
         )
         ids = last_ids if ids is None else ids & last_ids
+        if contexts is not None:
+            want = set(contexts)
+            ids = {i for i in ids if self._contexts[i] & want}
         return sorted(
             ((self._strings[i], self._weights[i]) for i in ids),
             key=lambda p: (-p[1], p[0]),

@@ -41,18 +41,32 @@ from solrtexttagger_spark.index.build import InvertedIndex
 
 
 def terms_component(
-    index: InvertedIndex, prefix: str, *, k: int = 10
+    index: InvertedIndex, prefix: str, *, k: int = 10,
+    regex: str | None = None, min_count: int | None = None,
+    max_count: int | None = None,
 ) -> DataFrame:
     """Solr /terms: the top ``k`` index terms starting with ``prefix``,
     ordered by global df desc (term asc tie-break, Solr's index-order
-    tie). Returns (rank, term, df, cf).
+    tie). Returns (rank, term, df, cf). ``regex`` is Solr's
+    ``terms.regex`` (full-match, like Lucene's RegexpQuery — anchored
+    here with rlike ^...$); ``min_count``/``max_count`` are
+    terms.mincount/maxcount df bounds. All filters compose with the
+    prefix and run BEFORE the top-k, so TakeOrdered sees only
+    survivors.
 
     Physical shape: orderBy+limit = TakeOrderedAndProject (per-partition
     top-k merged on the driver, NO global sort even for an empty prefix
     over a 1e8-term vocabulary); the rank window then runs over only the
     k survivors."""
+    base = index.term_stats.where(F.col("term").startswith(prefix))
+    if regex is not None:
+        base = base.where(F.col("term").rlike(f"^(?:{regex})$"))
+    if min_count is not None:
+        base = base.where(F.col("df") >= min_count)
+    if max_count is not None:
+        base = base.where(F.col("df") <= max_count)
     top = (
-        index.term_stats.where(F.col("term").startswith(prefix))
+        base
         .orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(k)
     )

@@ -146,3 +146,29 @@ def test_return_root_false_and_multi_roots(spark, nodes):
     # it even though root 4 also reaches it at depth 1 — Solr's bitset
     # result has no second copy either
     assert got == want and 0 not in got
+
+
+def test_return_only_leaf_nodes(spark, nodes):
+    """Solr returnOnlyLeafNodes: keep only reached docs with no
+    outgoing edge (NULL from field) — one anti-join after the
+    fixpoint."""
+    from solrtexttagger_spark.search.graph_qp import graph_traverse
+
+    got = {
+        r["doc_id"]: r["depth"]
+        for r in graph_traverse(
+            _roots(spark, 0), nodes, from_col="requires",
+            to_col="provides", return_only_leaf=True,
+        ).collect()
+    }
+    # closure of 0 = {0,1,2,7,3,8}; leaves (requires IS NULL) = {3,8}
+    assert got == {3: 3, 8: 3}
+    # maxDepth=0 composes: root 3 is itself a leaf, root 0 is not
+    got0 = {
+        r["doc_id"]
+        for r in graph_traverse(
+            _roots(spark, 0, 3), nodes, from_col="requires",
+            to_col="provides", max_depth=0, return_only_leaf=True,
+        ).collect()
+    }
+    assert got0 == {3}

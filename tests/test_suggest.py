@@ -130,3 +130,43 @@ def test_empty_query_raises(spark, sugg):
         suggest(sugg, "--")
     with pytest.raises(ValueError, match="zero tokens"):
         LocalSuggester(sugg).suggest("  ")
+
+
+def test_context_filtering(spark):
+    """Solr suggester contextField + suggest.cfq: suggestions collect
+    their context values at build; requests keep only suggestions
+    carrying ANY requested context — distributed and warm twins agree."""
+    from solrtexttagger_spark.search.suggest import (
+        LocalSuggester, build_suggestions, suggest,
+    )
+
+    df = spark.createDataFrame(
+        [("New York", 100, "us"), ("New York", 90, "travel"),
+         ("Newark", 40, "us"), ("Newcastle", 30, "uk"),
+         ("Newport", 20, None)],
+        "name string, pop long, cat string",
+    )
+    s = build_suggestions(df, text_col="name", weight_col="pop",
+                          context_col="cat")
+    got = {r["suggestion"]
+           for r in suggest(s, "new", contexts=["us"]).collect()}
+    assert got == {"New York", "Newark"}
+    # dedup keeps max weight and the UNION of contexts
+    ny = {r["suggestion"]: (r["weight"], sorted(r["contexts"]))
+          for r in s.collect()}["New York"]
+    assert ny == (100.0, ["travel", "us"])
+    # multi-context OR; NULL-context suggestion matches nothing
+    got2 = {r["suggestion"]
+            for r in suggest(s, "new", contexts=["uk", "travel"]).collect()}
+    assert got2 == {"New York", "Newcastle"}
+    local = LocalSuggester(s)
+    for ctx in (["us"], ["uk", "travel"], ["nope"]):
+        dist = [(r["suggestion"], r["weight"])
+                for r in suggest(s, "new", contexts=ctx).collect()]
+        assert local.suggest("new", contexts=ctx) == dist, ctx
+    with pytest.raises(ValueError, match="context_col"):
+        plain = build_suggestions(df, text_col="name")
+        suggest(plain, "new", contexts=["us"])
+    with pytest.raises(ValueError, match="context_col"):
+        LocalSuggester(build_suggestions(df, text_col="name")).suggest(
+            "new", contexts=["us"])

@@ -710,3 +710,29 @@ def test_boolean_should_multiword_gated(spark, graph_corpus):
         ).collect()
     }
     assert must == bag and set(must) == {1, 3}
+
+
+def test_terms_regex_and_count_bounds(spark, sf_dir):
+    """Solr terms.regex (anchored full-match) + terms.mincount/maxcount
+    compose with the prefix before the top-k."""
+    from solrtexttagger_spark.index.build import build_index
+    from solrtexttagger_spark.search.terms import terms_component
+
+    docs = spark.createDataFrame(
+        [(0, "scan sort scanner"), (1, "scan sort"), (2, "sort scala")],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs, num_segments=2)
+    got = [r["term"] for r in terms_component(idx, "s", k=10).collect()]
+    assert got == ["sort", "scan", "scala", "scanner"]
+    # regex full-match: 4-letter s-words only
+    rx = [r["term"]
+          for r in terms_component(idx, "s", k=10, regex="s[a-z]{3}").collect()]
+    assert rx == ["sort", "scan"]
+    # df bounds
+    mc = [r["term"]
+          for r in terms_component(idx, "s", k=10, min_count=2).collect()]
+    assert mc == ["sort", "scan"]
+    xc = [r["term"]
+          for r in terms_component(idx, "s", k=10, max_count=1).collect()]
+    assert xc == ["scala", "scanner"]
