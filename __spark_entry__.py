@@ -1139,9 +1139,12 @@ def q_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner = boolean_matched_scores(
         _index(spark, sf_dir), [(0, JOIN_INNER_Q)], spark=spark
     )
+    # round_to=4 pre-rank: the total fold is a float SUM — unrounded it
+    # is a latent cross-engine tie-flip (round-8 ADVICE), same
+    # discipline as grouped_topk
     return join_topk(
         inner, docs, docs, from_col="source", to_col="source",
-        score="total", k=50,
+        score="total", k=50, round_to=4,
     )
 
 
@@ -3323,7 +3326,7 @@ jv AS (
   GROUP BY 1, 2
 ),
 joined AS (
-  SELECT jv.query_id, dd.doc_id, jv.jscore AS score
+  SELECT jv.query_id, dd.doc_id, round(jv.jscore, 4) AS score
   FROM documents dd JOIN jv ON dd.source = jv.v
 ),
 ranked AS (

@@ -62,8 +62,10 @@ def child_corpus(
     child_idx overflows the block — widen block_bits, exactly like
     re-indexing a Lucene block that outgrew its layout."""
     idx = F.col(child_idx).cast("long")
+    # guard BOTH bounds: a negative child_idx would silently corrupt
+    # the block key (wrong parent on the shiftright decode)
     guarded = F.when(
-        idx < F.lit(1 << block_bits), idx
+        (idx >= F.lit(0)) & (idx < F.lit(1 << block_bits)), idx
     ).otherwise(
         F.raise_error(
             F.format_string(

@@ -94,6 +94,7 @@ from solrtexttagger_spark.analysis.core import tokenize
 from solrtexttagger_spark.index.build import InvertedIndex
 from solrtexttagger_spark.search.bm25 import B, K1
 from solrtexttagger_spark.search.phrase import (
+    MAX_SLOP as _MAX_SLOP,
     multi_phrase_match,
     multi_phrase_match_scored,
     phrase_terms,
@@ -160,7 +161,19 @@ def parse_boolean_query(q: str, lowercase: bool = True, field: str | None = None
             toks = tuple(phrase_terms(phrase, lowercase))
             if not toks:
                 continue
-            entry = (toks, int(slop or 0))
+            # parse-time slop guard (round-9): a serving front end wants
+            # the 400-equivalent HERE, not after shipping a doomed plan
+            # to the executors. phrase._slop_map re-checks at execution
+            # (callers can construct phrase lists without this parser).
+            parsed_slop = int(slop or 0)
+            if parsed_slop > _MAX_SLOP:
+                raise ValueError(
+                    f'slop {parsed_slop} outside [0, {_MAX_SLOP}] in '
+                    f'"{phrase}"~{parsed_slop}: each position expands to '
+                    "slop+1 window anchors, so unbounded slop is an OOM "
+                    "vector"
+                )
+            entry = (toks, parsed_slop)
             if role == "not":
                 not_phrases.append(entry)  # boost ignored: never scored
             else:  # bare phrases promote to MUST (module docstring)

@@ -58,10 +58,6 @@ def export_matches(
         out = out.where(F.expr(fq))
     if allowed_docs is not None:
         out = out.join(allowed_docs.select(id_col), id_col, "left_semi")
-    cols = list(fl)
-    if id_col not in cols:
-        cols = cols + [id_col]
-    out = out.select(*[F.col(c) for c in cols])
     order = []
     for expr, direction in sort:
         c = F.expr(expr)
@@ -71,7 +67,16 @@ def export_matches(
     # deterministic tie-break on the unique key, like a trailing
     # sort=id asc in the request
     order.append(F.col(id_col).asc())
-    return out.orderBy(*order)
+    # sort BEFORE the fl projection: Solr /export sorts by docValues
+    # fields that need not be exported, so a sort expr over a non-fl
+    # column must still resolve. Catalyst pushes the narrower Project
+    # under the Sort when the sort only uses fl columns — same single
+    # range exchange either way (plan-pinned in test_export.py).
+    out = out.orderBy(*order)
+    cols = list(fl)
+    if id_col not in cols:
+        cols = cols + [id_col]
+    return out.select(*[F.col(c) for c in cols])
 
 
 def export_to_parquet(exported: DataFrame, path: str) -> int:

@@ -17,9 +17,15 @@ dedup module's connected components (ops/dedup.py):
   ``__to_value`` per doc on the to side) projects to two columns each
   before any join — the corpus never widens a shuffle;
 - each hop is ONE hash join: frontier values -> to-side docs; the
-  frontier is values-DISTINCT and BROADCAST when small (the common
-  case: a query page's out-edges), falling back to a shuffle join
-  automatically via AQE when it is not;
+  frontier is values-DISTINCT, and with the default
+  ``broadcast_frontier=True`` it is HINTED to broadcast (the common
+  case: a query page's out-edges). The hint is a hard commitment —
+  AQE never demotes an explicit broadcast hint — so for a viral/
+  hub-heavy graph whose frontier can reach 10⁸ values, pass
+  ``broadcast_frontier=False``: Catalyst/AQE then pick the strategy,
+  still PROMOTING a measured-small frontier to broadcast while a huge
+  one runs as a shuffle hash join instead of hitting the 8 GB
+  broadcast limit;
 - visited-set semantics run per hop (`left_anti` against the
   accumulated result) so a cyclic graph terminates: the frontier
   strictly shrinks to empty, exactly Solr's bitset fixpoint;
@@ -36,6 +42,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def hop_reached(
+    to_edges: DataFrame,
+    vals: DataFrame,
+    *,
+    id_col: str,
+    broadcast_frontier: bool,
+) -> DataFrame:
+    """ONE BFS hop: frontier out-values -> to-side docs. Split out so
+    the broadcast decision is plan-pinnable (test_graph_query.py pins
+    that broadcast_frontier=False yields NO BroadcastExchange when the
+    session threshold is disabled — the hint is a hard commitment, the
+    opt-out genuinely releases it)."""
+    build = F.broadcast(vals) if broadcast_frontier else vals
+    return to_edges.join(build, "__v").select(F.col(id_col)).distinct()
+
+
 def graph_traverse(
     roots: DataFrame,
     nodes: DataFrame,
@@ -47,6 +69,7 @@ def graph_traverse(
     traversal_filter: str | None = None,
     return_root: bool = True,
     return_only_leaf: bool = False,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """``{!graph}``: every doc reachable from ``roots`` (a relation
     carrying ``id_col``) by repeatedly following from-value -> to-value
@@ -86,19 +109,19 @@ def graph_traverse(
     depth = 0
     while max_depth < 0 or depth < max_depth:
         depth += 1
-        # the frontier's OUT values, distinct — |values|, not |docs|;
-        # broadcast onto the to-side edge scan (AQE demotes to a
-        # shuffle join if the value set outgrows the threshold)
+        # the frontier's OUT values, distinct — |values|, not |docs|.
+        # broadcast_frontier hints them onto the to-side edge scan; the
+        # hint is binding (AQE never demotes it), so the opt-out exists
+        # for frontiers that can outgrow the broadcast limit.
         vals = (
             frontier.select(F.col(id_col))
             .join(from_edges, id_col)
             .select("__v")
             .distinct()
         )
-        reached = (
-            to_edges.join(F.broadcast(vals), "__v")
-            .select(F.col(id_col))
-            .distinct()
+        reached = hop_reached(
+            to_edges, vals, id_col=id_col,
+            broadcast_frontier=broadcast_frontier,
         )
         if traversal_filter is not None:
             reached = reached.join(

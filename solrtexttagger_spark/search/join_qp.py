@@ -30,10 +30,16 @@ Spark-first shape (the point of this module):
    the ScoreMode fold (max/min/avg/total — map-side combine, skew-safe
    on a dominant join value because the fold is associative);
 3. the aggregated VALUE SET — |distinct join values|, typically orders
-   of magnitude smaller than either relation — broadcasts onto the TO
+   of magnitude smaller than either relation — joins onto the TO
    relation (semi-join for score=none, inner hash join for score
-   modes). At 100 TB the TO side streams map-only past a broadcast
-   hash; nothing all-pairs, no shuffle of the big side.
+   modes). When the value set is known-small the caller keeps the
+   default ``broadcast_values=True`` and the TO side streams map-only
+   past a broadcast hash; for a near-unique join key (|vals| ≈
+   |matched from-docs| — Solr's JoinUtil id→ref shape) pass
+   ``broadcast_values=False``: an EXPLICIT broadcast hint is never
+   demoted by AQE, so a 10⁸-value set would hit Spark's 8 GB broadcast
+   hard limit — the opt-out leaves the strategy to Catalyst/AQE, which
+   still PROMOTES to broadcast when the measured build side is small.
 
 ``score=none`` returns to-side docs unranked (Solr scores them
 constant 1.0); score modes rank by the aggregated value score with the
@@ -93,6 +99,8 @@ def join_topk(
     to_id: str = "doc_id",
     score: str = "none",
     k: int | None = None,
+    broadcast_values: bool = True,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Solr ``{!join from=<from_col> to=<to_col> score=<mode>}`` over
     already-computed inner match scores. Returns, per query:
@@ -105,7 +113,16 @@ def join_topk(
       ``k`` is given.
 
     ``from_df``/``to_df`` may be the same relation (self-join on a
-    shared key) or different collections (Solr ``fromIndex=``)."""
+    shared key) or different collections (Solr ``fromIndex=``).
+
+    ``broadcast_values`` (default True) hints the aggregated value set
+    to the build side of a broadcast hash join — right when |distinct
+    join values| is small (category keys, manufacturer ids). Pass
+    False for an unbounded/near-unique join key: the hint is a hard
+    commitment (AQE never demotes it), and without it Catalyst/AQE
+    still promote a measured-small build side to broadcast while a
+    genuinely large one falls back to a shuffle hash join instead of
+    dying at the 8 GB broadcast limit."""
     if score == "none" and k is not None:
         raise ValueError(
             "k is meaningless with score='none' (a filter join has no "
@@ -119,15 +136,23 @@ def join_topk(
         F.col(to_id), F.col(to_col).alias("__join_value")
     ).where(F.col("__join_value").isNotNull())
     if score == "none":
+        build = vals.select("query_id", "__join_value")
+        if broadcast_values:
+            build = F.broadcast(build)
         # distinct to-ids: several inner queries may share a value row
-        out = to_keyed.join(
-            F.broadcast(vals.select("query_id", "__join_value")),
-            "__join_value",
-        ).select("query_id", to_id).distinct()
+        out = to_keyed.join(build, "__join_value").select(
+            "query_id", to_id
+        ).distinct()
         return out
-    joined = to_keyed.join(F.broadcast(vals), "__join_value").select(
+    build = F.broadcast(vals) if broadcast_values else vals
+    joined = to_keyed.join(build, "__join_value").select(
         "query_id", F.col(to_id), F.col("__join_score").alias("score")
     )
+    if round_to is not None:
+        # pre-rank rounding (grouping.grouped_topk discipline): a SUM
+        # fold's last-ulp divergence across engines must not flip
+        # near-equal ranks
+        joined = joined.withColumn("score", F.round("score", round_to))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(to_id).asc()
     )

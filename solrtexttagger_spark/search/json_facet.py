@@ -349,479 +349,483 @@ def json_facet(
         qm_base = boolean_matched_scores(
             index, qlist, field=field, spark=spark
         ).select("query_id", F.col("doc_id").alias(id_col)).persist()
-    qidx_of = {id(n): i for i, n in enumerate(query_nodes)}
-
-    # --- domain: bag match of the base query, fq-restricted ---
-    terms = sorted(analyze_query_terms(query))
-    if not terms:
-        raise ValueError("json_facet needs a non-empty base query")
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    matched = (
-        index.postings.join(F.broadcast(tdf), "term")
-        .select(F.explode("postings.doc_id").alias(id_col))
-        .distinct()
-    )
-    if allowed_docs is not None:
-        matched = matched.join(
-            allowed_docs.select(F.col("doc_id").alias(id_col)).distinct(),
-            id_col, "left_semi",
-        )
-
-    # Per-node EFFECTIVE domain: own change merged with the ancestors'
-    # (a child operates on its parent's bucket domain — Solr's model).
-    # Unknown excludeTags are ignored like Solr ignores unknown tags.
-    node_key: dict[int, tuple] = {}
-    by_name = {n.path + (n.name,): n for n in _walk(roots)}
-    for n in tree_nodes:
-        excl: frozenset = frozenset()
-        filts: tuple = ()
-        qchain: tuple = ()
-        chain = [by_name[n.path[:i]] for i in range(1, len(n.path) + 1)
-                 if n.path[:i] in by_name] + [n]
-        for a in chain:
-            e, f = _domain_change(a)
-            excl, filts = excl | e, filts + f
-            if a.type == "query":
-                # a query-facet ancestor narrows the domain to its
-                # match set (its "bucket" IS the domain)
-                qchain = qchain + (qidx_of[id(a)],)
-        node_key[n.idx] = (excl & set(tagged_filters), filts, qchain)
-
-    base_key = (frozenset(), (), ())
-    keys = [base_key] + sorted(
-        {k for k in node_key.values() if k != base_key},
-        key=lambda k: (sorted(k[0]), k[1], k[2]),
-    )
-
-    def _dom_for(key) -> DataFrame:
-        excl, filts, qchain = key
-        m = matched
-        for tag in sorted(tagged_filters):
-            if tag in excl:
-                continue
-            m = m.join(
-                tagged_filters[tag]
-                .select(F.col("doc_id").alias(id_col)).distinct(),
-                id_col, "left_semi",
-            )
-        for qi in qchain:
-            m = m.join(
-                qm_base.where(F.col("query_id") == qi).select(id_col),
-                id_col, "left_semi",
-            )
-        d = docs_df.join(m, id_col)
-        for f in filts:
-            d = d.where(F.expr(f))
-        return d
-
-    # --- grouping columns: field per terms node, bucket arithmetic per
-    # range node (computed BEFORE the aggregate so it can be grouped) ---
-    def _project(dom: DataFrame) -> DataFrame:
-        proj = dom
-        for n in tree_nodes:
-            if n.type == "terms":
-                proj = proj.withColumn(n.gcol, F.col(n.spec["field"]))
-            else:  # range
-                c = F.col(n.spec["field"])
-                lo, hi, gap = n.spec["start"], n.spec["end"], n.spec["gap"]
-                if gap <= 0 or hi <= lo:
-                    raise ValueError(f"range facet {n.name!r}: need gap > 0 "
-                                     "and end > start")
-                # float start/end/gap keep a DOUBLE bucket key (Solr range
-                # facets take float gaps); the driver-side zero-fill spine
-                # mirrors the same lo + k*gap arithmetic bit-for-bit
-                key = F.floor((c - lo) / gap) * gap + lo
-                key = (
-                    key.cast("double")
-                    if any(isinstance(x, float) for x in (lo, hi, gap))
-                    else key.cast("long")
-                )
-                proj = proj.withColumn(
-                    n.gcol, F.when((c >= lo) & (c < hi), key)
-                )
-        for n in ab_nodes:
-            # allBuckets-with-stats grouping column: the combined bucket
-            # is "field present" (prefix restricts the term domain first,
-            # like Solr) — one extra grouping set in the SAME aggregate
-            cond = F.col(n.gcol).isNotNull()
-            if n.spec.get("prefix") is not None:
-                cond = cond & F.col(n.gcol).cast("string").startswith(
-                    n.spec["prefix"]
-                )
-            proj = proj.withColumn(n.abcol, cond)
-        for n in o_nodes:
-            # Solr range "other": before/after/between land in one extra
-            # grouping set of the same aggregate — stats ride along free
-            c = F.col(n.spec["field"])
-            lo, hi = n.spec["start"], n.spec["end"]
-            proj = proj.withColumn(
-                n.ocol,
-                F.when(c < lo, F.lit("before"))
-                .when(c >= hi, F.lit("after"))
-                .when(c.isNotNull(), F.lit("between")),
-            )
-        return proj
-
-    ab_nodes = [
-        n for n in tree_nodes
-        if n.type == "terms" and n.spec.get("allBuckets") and n.stats
-    ]
-    o_nodes = [n for n in tree_nodes if n.type == "range" and n.other]
-    gcols = (
-        [n.gcol for n in tree_nodes]
-        + [n.abcol for n in ab_nodes]
-        + [n.ocol for n in o_nodes]
-    )
-    # stats: every node's stats plus root stats, all in the per-domain
-    # aggregates (identical agg lists keep the union schema-aligned;
-    # each node's stat is only ever READ from its own domain's rows)
-    stat_cols: dict[tuple[int, str], str] = {}
-    aggs = [F.count("*").alias("__cnt")]
-    for n in tree_nodes:
-        for sname, (fn, col) in n.stats.items():
-            alias = f"__s{n.idx}_{sname}"
-            stat_cols[(n.idx, sname)] = alias
-            aggs.append(_stat_expr(fn, col).alias(alias))
-    for sname, (fn, col) in root_stats.items():
-        alias = f"__sroot_{sname}"
-        stat_cols[(-1, sname)] = alias
-        aggs.append(_stat_expr(fn, col).alias(alias))
-
-    # ONE groupingSets aggregate per distinct domain: the base domain's
-    # carries the root set () (root count/stats always use the
-    # unmodified domain) plus the sets of base-domain nodes; each
-    # changed domain's carries only its own nodes' sets. grouping_id is
-    # computed over the SAME global gcols everywhere, so node masks stay
-    # comparable across aggregates.
-    agg_by_key: dict[tuple, DataFrame] = {}
-    for key in keys:
-        proj = _project(_dom_for(key))
-        key_sets = ([tuple()] if key == base_key else []) + [
-            tuple(a.gcol for a in _ancestors(n, tree_nodes)) + (n.gcol,)
-            for n in tree_nodes
-            if node_key[n.idx] == key
-        ] + [
-            tuple(a.gcol for a in _ancestors(n, tree_nodes)) + (n.abcol,)
-            for n in ab_nodes
-            if node_key[n.idx] == key
-        ] + [
-            tuple(a.gcol for a in _ancestors(n, tree_nodes)) + (n.ocol,)
-            for n in o_nodes
-            if node_key[n.idx] == key
-        ]
-        if not key_sets:
-            continue  # base key with every node re-domained: root only
-        if gcols:
-            a = proj.groupingSets(
-                [tuple(s) for s in key_sets], *[F.col(c) for c in gcols]
-            ).agg(
-                *aggs,
-                F.grouping_id(*[F.col(c) for c in gcols]).alias("__gid"),
-            )
-        else:
-            a = proj.agg(*aggs, F.lit(0).alias("__gid"))
-        # PERSIST the aggregated relation (rows = buckets, tiny) before
-        # the per-node slices: each node's filter+window+union branch
-        # would otherwise re-execute the whole corpus-join + Expand +
-        # aggregate subtree — the union's N branches all read this one
-        # cached computation instead (verified in the executed plan: one
-        # Expand under InMemoryRelation vs one per branch uncached)
-        agg_by_key[key] = a.persist()
-    agg = agg_by_key[base_key]
-
-    # gid for a node: bits of the EXCLUDED grouping columns set to 1
-    def _mask(included: set[str]) -> int:
-        m = 0
-        for i, c in enumerate(gcols):
-            if c not in included:
-                m |= 1 << (len(gcols) - 1 - i)
-        return m
-
-    pieces = []
-    root_mask = _mask(set())
-    pieces.append(agg.where(F.col("__gid") == F.lit(root_mask)))
-    for n in tree_nodes:
-        anc = [a.gcol for a in _ancestors(n, tree_nodes)]
-        mask = _mask(set(anc) | {n.gcol})
-        rows = agg_by_key[node_key[n.idx]].where(
-            F.col("__gid") == F.lit(mask)
-        )
-        # drop buckets under a NULL ancestor (sub-facets under missing
-        # buckets are out of scope, documented)
-        for a in anc:
-            rows = rows.where(F.col(a).isNotNull())
-        keep_null = bool(n.spec.get("missing")) if n.type == "terms" else False
-        nn = rows.where(F.col(n.gcol).isNotNull())
-        if n.type == "terms":
-            if n.spec.get("prefix") is not None:
-                nn = nn.where(
-                    F.col(n.gcol).cast("string").startswith(n.spec["prefix"])
-                )
-            # window over the AGGREGATED relation: rows are buckets, so a
-            # top-level node's empty partitionBy single-partitions its
-            # bucket list (field cardinality), never the documents —
-            # same bounded shape as terms_component's rank window
-            w = Window.partitionBy(*[F.col(a) for a in anc]) if anc else (
-                Window.partitionBy()
-            )
-            # Solr allBuckets: docs across all buckets PRE-limit and
-            # PRE-mincount (NULL-field docs excluded — this window sees
-            # only the isNotNull rows; prefix restricts the term domain
-            # first, both like Solr), one aggregate in the same window
-            nn = nn.withColumn("__ab", F.sum("__cnt").over(w))
-            if n.mincount > 0:
-                nn = nn.where(F.col("__cnt") >= n.mincount)
-            order = _sort_exprs(n, "__cnt", stat_cols)
-            wo = w.orderBy(*order)
-            nn = nn.withColumn("__rn", F.row_number().over(wo)).withColumn(
-                "__nb", F.count("*").over(w)
-            )
-            off = n.spec.get("offset", 0)
-            if n.limit is not None and n.limit >= 0:
-                nn = nn.where(
-                    (F.col("__rn") > off) & (F.col("__rn") <= off + n.limit)
-                )
-            elif off:
-                nn = nn.where(F.col("__rn") > off)
-            nn = nn.drop("__rn")
-        else:  # range: mincount filter only; zero-fill happens driver-side
-            if n.mincount > 0:
-                nn = nn.where(F.col("__cnt") >= n.mincount)
-            nn = nn.withColumn("__nb", F.lit(None).cast("long")).withColumn(
-                "__ab", F.lit(None).cast("long")
-            )
-        if keep_null:
-            miss = rows.where(F.col(n.gcol).isNull()).withColumn(
-                "__nb", F.lit(None).cast("long")
-            ).withColumn("__ab", F.lit(None).cast("long"))
-            nn = nn.unionByName(miss)
-        pieces.append(nn)
-    for n, col, keep in [(n, n.abcol, F.col(n.abcol)) for n in ab_nodes] + [
-        (n, n.ocol, F.col(n.ocol).isNotNull()) for n in o_nodes
-    ]:
-        # the allBuckets / range-"other" rows: their grouping set
-        # aggregated the node's whole combined domain (field present /
-        # before-after-between respectively), so every stat is exact
-        anc = [a.gcol for a in _ancestors(n, tree_nodes)]
-        mask = _mask(set(anc) | {col})
-        rows = agg_by_key[node_key[n.idx]].where(
-            F.col("__gid") == F.lit(mask)
-        ).where(keep)
-        for a in anc:
-            rows = rows.where(F.col(a).isNotNull())
-        pieces.append(
-            rows.withColumn("__nb", F.lit(None).cast("long")).withColumn(
-                "__ab", F.lit(None).cast("long")
-            )
-        )
-
-    uni = pieces[0].withColumn("__nb", F.lit(None).cast("long")).withColumn(
-        "__ab", F.lit(None).cast("long")
-    )
-    for p in pieces[1:]:
-        uni = uni.unionByName(p)
+    # persist-leak guard (round 9): qm_base must unpersist even if
+    # a tree aggregate / collect raises mid-flight
     try:
-        collected = uni.collect()  # ONE action for the whole tree
-    finally:
-        for a in agg_by_key.values():
-            a.unpersist()
+        qidx_of = {id(n): i for i, n in enumerate(query_nodes)}
 
-    by_mask: dict[int, list] = {}
-    for r in collected:
-        by_mask.setdefault(r["__gid"], []).append(r)
-
-    # --- query facets: the hoisted boolean pass + one stats agg ---
-    query_results: dict[str, dict] = {}
-    if query_nodes:
-        qm = qm_base
-        # per-node domain (round 8): excludeTags/filter re-derive the
-        # domain each query facet's match set intersects with — nodes
-        # sharing a domain (the common case: all base) share one
-        # semi-join; everything still lands in ONE aggregate + collect
-        qkey = {
-            i: (lambda e_f: (e_f[0] & set(tagged_filters), e_f[1], ()))(
-                _domain_change(n)
-            )
-            for i, n in enumerate(query_nodes)
-        }
-        parts = []
-        for key in sorted(
-            set(qkey.values()), key=lambda k: (sorted(k[0]), k[1], k[2])
-        ):
-            ids = [i for i, k in qkey.items() if k == key]
-            part = qm if len(qkey) == len(ids) else qm.where(
-                F.col("query_id").isin(ids)
-            )
-            parts.append(
-                part.join(_dom_for(key).select(id_col), id_col, "left_semi")
-            )
-        qm = parts[0]
-        for p in parts[1:]:
-            qm = qm.unionByName(p)
-        q_aggs = [F.count("*").alias("__cnt")]
-        for i, n in enumerate(query_nodes):
-            for sname, (fn, col) in n.stats.items():
-                q_aggs.append(_stat_expr(fn, col).alias(f"__q{i}_{sname}"))
-        q_rows = (
-            qm.join(docs_df, id_col)
-            .groupBy("query_id")
-            .agg(*q_aggs)
-            .collect()
+        # --- domain: bag match of the base query, fq-restricted ---
+        terms = sorted(analyze_query_terms(query))
+        if not terms:
+            raise ValueError("json_facet needs a non-empty base query")
+        tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+        matched = (
+            index.postings.join(F.broadcast(tdf), "term")
+            .select(F.explode("postings.doc_id").alias(id_col))
+            .distinct()
         )
-        got = {int(r["query_id"]): r for r in q_rows}
-        for i, n in enumerate(query_nodes):
-            r = got.get(i)
-            res = {"count": int(r["__cnt"]) if r else 0}
-            for sname, (fn, _c) in n.stats.items():
-                res[sname] = (
-                    _stat_value(fn, r[f"__q{i}_{sname}"]) if r else None
+        if allowed_docs is not None:
+            matched = matched.join(
+                allowed_docs.select(F.col("doc_id").alias(id_col)).distinct(),
+                id_col, "left_semi",
+            )
+
+        # Per-node EFFECTIVE domain: own change merged with the ancestors'
+        # (a child operates on its parent's bucket domain — Solr's model).
+        # Unknown excludeTags are ignored like Solr ignores unknown tags.
+        node_key: dict[int, tuple] = {}
+        by_name = {n.path + (n.name,): n for n in _walk(roots)}
+        for n in tree_nodes:
+            excl: frozenset = frozenset()
+            filts: tuple = ()
+            qchain: tuple = ()
+            chain = [by_name[n.path[:i]] for i in range(1, len(n.path) + 1)
+                     if n.path[:i] in by_name] + [n]
+            for a in chain:
+                e, f = _domain_change(a)
+                excl, filts = excl | e, filts + f
+                if a.type == "query":
+                    # a query-facet ancestor narrows the domain to its
+                    # match set (its "bucket" IS the domain)
+                    qchain = qchain + (qidx_of[id(a)],)
+            node_key[n.idx] = (excl & set(tagged_filters), filts, qchain)
+
+        base_key = (frozenset(), (), ())
+        keys = [base_key] + sorted(
+            {k for k in node_key.values() if k != base_key},
+            key=lambda k: (sorted(k[0]), k[1], k[2]),
+        )
+
+        def _dom_for(key) -> DataFrame:
+            excl, filts, qchain = key
+            m = matched
+            for tag in sorted(tagged_filters):
+                if tag in excl:
+                    continue
+                m = m.join(
+                    tagged_filters[tag]
+                    .select(F.col("doc_id").alias(id_col)).distinct(),
+                    id_col, "left_semi",
                 )
-            query_results[n.name] = res
+            for qi in qchain:
+                m = m.join(
+                    qm_base.where(F.col("query_id") == qi).select(id_col),
+                    id_col, "left_semi",
+                )
+            d = docs_df.join(m, id_col)
+            for f in filts:
+                d = d.where(F.expr(f))
+            return d
 
-    # --- assemble the nested response ---
-    def _assemble(node, parent_filter):
-        mask = _mask(
-            {a.gcol for a in _ancestors(node, tree_nodes)} | {node.gcol}
-        )
-        rows = [
-            r for r in by_mask.get(mask, [])
-            if all(r[a] == v for a, v in parent_filter.items())
+        # --- grouping columns: field per terms node, bucket arithmetic per
+        # range node (computed BEFORE the aggregate so it can be grouped) ---
+        def _project(dom: DataFrame) -> DataFrame:
+            proj = dom
+            for n in tree_nodes:
+                if n.type == "terms":
+                    proj = proj.withColumn(n.gcol, F.col(n.spec["field"]))
+                else:  # range
+                    c = F.col(n.spec["field"])
+                    lo, hi, gap = n.spec["start"], n.spec["end"], n.spec["gap"]
+                    if gap <= 0 or hi <= lo:
+                        raise ValueError(f"range facet {n.name!r}: need gap > 0 "
+                                         "and end > start")
+                    # float start/end/gap keep a DOUBLE bucket key (Solr range
+                    # facets take float gaps); the driver-side zero-fill spine
+                    # mirrors the same lo + k*gap arithmetic bit-for-bit
+                    key = F.floor((c - lo) / gap) * gap + lo
+                    key = (
+                        key.cast("double")
+                        if any(isinstance(x, float) for x in (lo, hi, gap))
+                        else key.cast("long")
+                    )
+                    proj = proj.withColumn(
+                        n.gcol, F.when((c >= lo) & (c < hi), key)
+                    )
+            for n in ab_nodes:
+                # allBuckets-with-stats grouping column: the combined bucket
+                # is "field present" (prefix restricts the term domain first,
+                # like Solr) — one extra grouping set in the SAME aggregate
+                cond = F.col(n.gcol).isNotNull()
+                if n.spec.get("prefix") is not None:
+                    cond = cond & F.col(n.gcol).cast("string").startswith(
+                        n.spec["prefix"]
+                    )
+                proj = proj.withColumn(n.abcol, cond)
+            for n in o_nodes:
+                # Solr range "other": before/after/between land in one extra
+                # grouping set of the same aggregate — stats ride along free
+                c = F.col(n.spec["field"])
+                lo, hi = n.spec["start"], n.spec["end"]
+                proj = proj.withColumn(
+                    n.ocol,
+                    F.when(c < lo, F.lit("before"))
+                    .when(c >= hi, F.lit("after"))
+                    .when(c.isNotNull(), F.lit("between")),
+                )
+            return proj
+
+        ab_nodes = [
+            n for n in tree_nodes
+            if n.type == "terms" and n.spec.get("allBuckets") and n.stats
         ]
-        regular = [r for r in rows if r[node.gcol] is not None]
-        if node.type == "terms":
-            # window already ordered/limited; re-sort locally for output
-            # order by re-deriving the sort key from the row
-            regular = _resort(node, regular)
-        buckets = []
-        for r in regular:
-            b = {"val": r[node.gcol], "count": int(r["__cnt"])}
-            for sname, (fn, _c) in node.stats.items():
-                b[sname] = _stat_value(fn, r[stat_cols[(node.idx, sname)]])
-            for ch in node.children:
-                b[ch.name] = _assemble(
-                    ch, {**parent_filter, node.gcol: r[node.gcol]}
-                )
-            buckets.append(b)
-        if node.type == "range":
-            lo, hi, gap = (
-                node.spec["start"], node.spec["end"], node.spec["gap"]
-            )
-            have = {b["val"]: b for b in buckets}
-            if node.mincount <= 0:
-                # arithmetic spine (not range(): float gaps are legal) —
-                # lo + i*gap is the SAME expression the bucket-key column
-                # computes (floor * gap + lo), so float vals line up
-                spine, i = [], 0
-                while lo + i * gap < hi:
-                    spine.append(lo + i * gap)
-                    i += 1
-                buckets = [
-                    have.get(v, _empty_bucket(node, v)) for v in spine
-                ]
-            else:
-                buckets = [b for _, b in sorted(have.items())]
-        out = {"buckets": buckets}
-        if node.type == "range" and node.other:
-            omask = _mask(
-                {a.gcol for a in _ancestors(node, tree_nodes)} | {node.ocol}
-            )
-            orows = {
-                r[node.ocol]: r
-                for r in by_mask.get(omask, [])
-                if r[node.ocol] is not None
-                and all(r[a] == v for a, v in parent_filter.items())
-            }
-            for kind in node.other:
-                r = orows.get(kind)
-                d = {"count": int(r["__cnt"]) if r else 0}
-                for sname, (fn, _c) in node.stats.items():
-                    d[sname] = (
-                        _stat_value(fn, r[stat_cols[(node.idx, sname)]])
-                        if r
-                        else (0 if fn in ("sum", "unique", "hll") else None)
-                    )
-                out[kind] = d
-        if node.type == "terms" and node.spec.get("numBuckets"):
-            out["numBuckets"] = int(regular[0]["__nb"]) if regular else 0
-        if node.type == "terms" and node.spec.get("allBuckets"):
-            if node.stats:
-                amask = _mask(
-                    {a.gcol for a in _ancestors(node, tree_nodes)}
-                    | {node.abcol}
-                )
-                arows = [
-                    r for r in by_mask.get(amask, [])
-                    if r[node.abcol]
-                    and all(r[a] == v for a, v in parent_filter.items())
-                ]
-                ab = {"count": int(arows[0]["__cnt"]) if arows else 0}
-                for sname, (fn, _c) in node.stats.items():
-                    ab[sname] = (
-                        _stat_value(fn, arows[0][stat_cols[(node.idx, sname)]])
-                        if arows
-                        else (0 if fn in ("sum", "unique", "hll") else None)
-                    )
-                out["allBuckets"] = ab
-            else:
-                out["allBuckets"] = {
-                    "count": int(regular[0]["__ab"]) if regular else 0
-                }
-        if node.type == "terms" and node.spec.get("missing"):
-            miss = [r for r in rows if r[node.gcol] is None]
-            m = {"count": int(miss[0]["__cnt"]) if miss else 0}
-            out["missing"] = m
-        return out
-
-    def _resort(node, rows):
-        srt = node.spec.get("sort", "count")
-        if isinstance(srt, dict):
-            (key, direction), = srt.items()
-        else:
-            parts = str(srt).split()
-            key = parts[0]
-            direction = parts[1] if len(parts) > 1 else (
-                "asc" if key == "index" else "desc"
-            )
-        rev = direction == "desc"
-
-        def kf(r):
-            if key == "count":
-                lead = r["__cnt"]
-            elif key == "index":
-                lead = r[node.gcol]
-            else:
-                lead = r[stat_cols[(node.idx, key)]]
-                if lead is None:  # all-NULL stat bucket: sorts last
-                    lead = float("-inf") if rev else float("inf")
-            return lead
-
-        # two-pass stable sort: value asc tie-break, then lead key
-        rows = sorted(rows, key=lambda r: (r[node.gcol] is None, r[node.gcol]))
-        return sorted(rows, key=kf, reverse=rev)
-
-    root_rows = by_mask.get(root_mask, [])
-    out: dict = {"count": int(root_rows[0]["__cnt"]) if root_rows else 0}
-    for sname, (fn, _c) in root_stats.items():
-        out[sname] = (
-            _stat_value(fn, root_rows[0][stat_cols[(-1, sname)]])
-            if root_rows
-            else None
+        o_nodes = [n for n in tree_nodes if n.type == "range" and n.other]
+        gcols = (
+            [n.gcol for n in tree_nodes]
+            + [n.abcol for n in ab_nodes]
+            + [n.ocol for n in o_nodes]
         )
-    for n in roots:
-        if n.type == "query":
-            res = query_results[n.name]
-            # round 8: terms/range sub-facets under a query facet rode
-            # the per-domain aggregates (domain = base ∩ query match);
-            # the query node contributes no grouping column, so its
-            # children assemble with an empty parent filter
-            for ch in n.children:
-                res[ch.name] = _assemble(ch, {})
-            out[n.name] = res
-        else:
-            out[n.name] = _assemble(n, {})
-    if qm_base is not None:
-        qm_base.unpersist()
-    return out
+        # stats: every node's stats plus root stats, all in the per-domain
+        # aggregates (identical agg lists keep the union schema-aligned;
+        # each node's stat is only ever READ from its own domain's rows)
+        stat_cols: dict[tuple[int, str], str] = {}
+        aggs = [F.count("*").alias("__cnt")]
+        for n in tree_nodes:
+            for sname, (fn, col) in n.stats.items():
+                alias = f"__s{n.idx}_{sname}"
+                stat_cols[(n.idx, sname)] = alias
+                aggs.append(_stat_expr(fn, col).alias(alias))
+        for sname, (fn, col) in root_stats.items():
+            alias = f"__sroot_{sname}"
+            stat_cols[(-1, sname)] = alias
+            aggs.append(_stat_expr(fn, col).alias(alias))
+
+        # ONE groupingSets aggregate per distinct domain: the base domain's
+        # carries the root set () (root count/stats always use the
+        # unmodified domain) plus the sets of base-domain nodes; each
+        # changed domain's carries only its own nodes' sets. grouping_id is
+        # computed over the SAME global gcols everywhere, so node masks stay
+        # comparable across aggregates.
+        agg_by_key: dict[tuple, DataFrame] = {}
+        for key in keys:
+            proj = _project(_dom_for(key))
+            key_sets = ([tuple()] if key == base_key else []) + [
+                tuple(a.gcol for a in _ancestors(n, tree_nodes)) + (n.gcol,)
+                for n in tree_nodes
+                if node_key[n.idx] == key
+            ] + [
+                tuple(a.gcol for a in _ancestors(n, tree_nodes)) + (n.abcol,)
+                for n in ab_nodes
+                if node_key[n.idx] == key
+            ] + [
+                tuple(a.gcol for a in _ancestors(n, tree_nodes)) + (n.ocol,)
+                for n in o_nodes
+                if node_key[n.idx] == key
+            ]
+            if not key_sets:
+                continue  # base key with every node re-domained: root only
+            if gcols:
+                a = proj.groupingSets(
+                    [tuple(s) for s in key_sets], *[F.col(c) for c in gcols]
+                ).agg(
+                    *aggs,
+                    F.grouping_id(*[F.col(c) for c in gcols]).alias("__gid"),
+                )
+            else:
+                a = proj.agg(*aggs, F.lit(0).alias("__gid"))
+            # PERSIST the aggregated relation (rows = buckets, tiny) before
+            # the per-node slices: each node's filter+window+union branch
+            # would otherwise re-execute the whole corpus-join + Expand +
+            # aggregate subtree — the union's N branches all read this one
+            # cached computation instead (verified in the executed plan: one
+            # Expand under InMemoryRelation vs one per branch uncached)
+            agg_by_key[key] = a.persist()
+        agg = agg_by_key[base_key]
+
+        # gid for a node: bits of the EXCLUDED grouping columns set to 1
+        def _mask(included: set[str]) -> int:
+            m = 0
+            for i, c in enumerate(gcols):
+                if c not in included:
+                    m |= 1 << (len(gcols) - 1 - i)
+            return m
+
+        pieces = []
+        root_mask = _mask(set())
+        pieces.append(agg.where(F.col("__gid") == F.lit(root_mask)))
+        for n in tree_nodes:
+            anc = [a.gcol for a in _ancestors(n, tree_nodes)]
+            mask = _mask(set(anc) | {n.gcol})
+            rows = agg_by_key[node_key[n.idx]].where(
+                F.col("__gid") == F.lit(mask)
+            )
+            # drop buckets under a NULL ancestor (sub-facets under missing
+            # buckets are out of scope, documented)
+            for a in anc:
+                rows = rows.where(F.col(a).isNotNull())
+            keep_null = bool(n.spec.get("missing")) if n.type == "terms" else False
+            nn = rows.where(F.col(n.gcol).isNotNull())
+            if n.type == "terms":
+                if n.spec.get("prefix") is not None:
+                    nn = nn.where(
+                        F.col(n.gcol).cast("string").startswith(n.spec["prefix"])
+                    )
+                # window over the AGGREGATED relation: rows are buckets, so a
+                # top-level node's empty partitionBy single-partitions its
+                # bucket list (field cardinality), never the documents —
+                # same bounded shape as terms_component's rank window
+                w = Window.partitionBy(*[F.col(a) for a in anc]) if anc else (
+                    Window.partitionBy()
+                )
+                # Solr allBuckets: docs across all buckets PRE-limit and
+                # PRE-mincount (NULL-field docs excluded — this window sees
+                # only the isNotNull rows; prefix restricts the term domain
+                # first, both like Solr), one aggregate in the same window
+                nn = nn.withColumn("__ab", F.sum("__cnt").over(w))
+                if n.mincount > 0:
+                    nn = nn.where(F.col("__cnt") >= n.mincount)
+                order = _sort_exprs(n, "__cnt", stat_cols)
+                wo = w.orderBy(*order)
+                nn = nn.withColumn("__rn", F.row_number().over(wo)).withColumn(
+                    "__nb", F.count("*").over(w)
+                )
+                off = n.spec.get("offset", 0)
+                if n.limit is not None and n.limit >= 0:
+                    nn = nn.where(
+                        (F.col("__rn") > off) & (F.col("__rn") <= off + n.limit)
+                    )
+                elif off:
+                    nn = nn.where(F.col("__rn") > off)
+                nn = nn.drop("__rn")
+            else:  # range: mincount filter only; zero-fill happens driver-side
+                if n.mincount > 0:
+                    nn = nn.where(F.col("__cnt") >= n.mincount)
+                nn = nn.withColumn("__nb", F.lit(None).cast("long")).withColumn(
+                    "__ab", F.lit(None).cast("long")
+                )
+            if keep_null:
+                miss = rows.where(F.col(n.gcol).isNull()).withColumn(
+                    "__nb", F.lit(None).cast("long")
+                ).withColumn("__ab", F.lit(None).cast("long"))
+                nn = nn.unionByName(miss)
+            pieces.append(nn)
+        for n, col, keep in [(n, n.abcol, F.col(n.abcol)) for n in ab_nodes] + [
+            (n, n.ocol, F.col(n.ocol).isNotNull()) for n in o_nodes
+        ]:
+            # the allBuckets / range-"other" rows: their grouping set
+            # aggregated the node's whole combined domain (field present /
+            # before-after-between respectively), so every stat is exact
+            anc = [a.gcol for a in _ancestors(n, tree_nodes)]
+            mask = _mask(set(anc) | {col})
+            rows = agg_by_key[node_key[n.idx]].where(
+                F.col("__gid") == F.lit(mask)
+            ).where(keep)
+            for a in anc:
+                rows = rows.where(F.col(a).isNotNull())
+            pieces.append(
+                rows.withColumn("__nb", F.lit(None).cast("long")).withColumn(
+                    "__ab", F.lit(None).cast("long")
+                )
+            )
+
+        uni = pieces[0].withColumn("__nb", F.lit(None).cast("long")).withColumn(
+            "__ab", F.lit(None).cast("long")
+        )
+        for p in pieces[1:]:
+            uni = uni.unionByName(p)
+        try:
+            collected = uni.collect()  # ONE action for the whole tree
+        finally:
+            for a in agg_by_key.values():
+                a.unpersist()
+
+        by_mask: dict[int, list] = {}
+        for r in collected:
+            by_mask.setdefault(r["__gid"], []).append(r)
+
+        # --- query facets: the hoisted boolean pass + one stats agg ---
+        query_results: dict[str, dict] = {}
+        if query_nodes:
+            qm = qm_base
+            # per-node domain (round 8): excludeTags/filter re-derive the
+            # domain each query facet's match set intersects with — nodes
+            # sharing a domain (the common case: all base) share one
+            # semi-join; everything still lands in ONE aggregate + collect
+            qkey = {
+                i: (lambda e_f: (e_f[0] & set(tagged_filters), e_f[1], ()))(
+                    _domain_change(n)
+                )
+                for i, n in enumerate(query_nodes)
+            }
+            parts = []
+            for key in sorted(
+                set(qkey.values()), key=lambda k: (sorted(k[0]), k[1], k[2])
+            ):
+                ids = [i for i, k in qkey.items() if k == key]
+                part = qm if len(qkey) == len(ids) else qm.where(
+                    F.col("query_id").isin(ids)
+                )
+                parts.append(
+                    part.join(_dom_for(key).select(id_col), id_col, "left_semi")
+                )
+            qm = parts[0]
+            for p in parts[1:]:
+                qm = qm.unionByName(p)
+            q_aggs = [F.count("*").alias("__cnt")]
+            for i, n in enumerate(query_nodes):
+                for sname, (fn, col) in n.stats.items():
+                    q_aggs.append(_stat_expr(fn, col).alias(f"__q{i}_{sname}"))
+            q_rows = (
+                qm.join(docs_df, id_col)
+                .groupBy("query_id")
+                .agg(*q_aggs)
+                .collect()
+            )
+            got = {int(r["query_id"]): r for r in q_rows}
+            for i, n in enumerate(query_nodes):
+                r = got.get(i)
+                res = {"count": int(r["__cnt"]) if r else 0}
+                for sname, (fn, _c) in n.stats.items():
+                    res[sname] = (
+                        _stat_value(fn, r[f"__q{i}_{sname}"]) if r else None
+                    )
+                query_results[n.name] = res
+
+        # --- assemble the nested response ---
+        def _assemble(node, parent_filter):
+            mask = _mask(
+                {a.gcol for a in _ancestors(node, tree_nodes)} | {node.gcol}
+            )
+            rows = [
+                r for r in by_mask.get(mask, [])
+                if all(r[a] == v for a, v in parent_filter.items())
+            ]
+            regular = [r for r in rows if r[node.gcol] is not None]
+            if node.type == "terms":
+                # window already ordered/limited; re-sort locally for output
+                # order by re-deriving the sort key from the row
+                regular = _resort(node, regular)
+            buckets = []
+            for r in regular:
+                b = {"val": r[node.gcol], "count": int(r["__cnt"])}
+                for sname, (fn, _c) in node.stats.items():
+                    b[sname] = _stat_value(fn, r[stat_cols[(node.idx, sname)]])
+                for ch in node.children:
+                    b[ch.name] = _assemble(
+                        ch, {**parent_filter, node.gcol: r[node.gcol]}
+                    )
+                buckets.append(b)
+            if node.type == "range":
+                lo, hi, gap = (
+                    node.spec["start"], node.spec["end"], node.spec["gap"]
+                )
+                have = {b["val"]: b for b in buckets}
+                if node.mincount <= 0:
+                    # arithmetic spine (not range(): float gaps are legal) —
+                    # lo + i*gap is the SAME expression the bucket-key column
+                    # computes (floor * gap + lo), so float vals line up
+                    spine, i = [], 0
+                    while lo + i * gap < hi:
+                        spine.append(lo + i * gap)
+                        i += 1
+                    buckets = [
+                        have.get(v, _empty_bucket(node, v)) for v in spine
+                    ]
+                else:
+                    buckets = [b for _, b in sorted(have.items())]
+            out = {"buckets": buckets}
+            if node.type == "range" and node.other:
+                omask = _mask(
+                    {a.gcol for a in _ancestors(node, tree_nodes)} | {node.ocol}
+                )
+                orows = {
+                    r[node.ocol]: r
+                    for r in by_mask.get(omask, [])
+                    if r[node.ocol] is not None
+                    and all(r[a] == v for a, v in parent_filter.items())
+                }
+                for kind in node.other:
+                    r = orows.get(kind)
+                    d = {"count": int(r["__cnt"]) if r else 0}
+                    for sname, (fn, _c) in node.stats.items():
+                        d[sname] = (
+                            _stat_value(fn, r[stat_cols[(node.idx, sname)]])
+                            if r
+                            else (0 if fn in ("sum", "unique", "hll") else None)
+                        )
+                    out[kind] = d
+            if node.type == "terms" and node.spec.get("numBuckets"):
+                out["numBuckets"] = int(regular[0]["__nb"]) if regular else 0
+            if node.type == "terms" and node.spec.get("allBuckets"):
+                if node.stats:
+                    amask = _mask(
+                        {a.gcol for a in _ancestors(node, tree_nodes)}
+                        | {node.abcol}
+                    )
+                    arows = [
+                        r for r in by_mask.get(amask, [])
+                        if r[node.abcol]
+                        and all(r[a] == v for a, v in parent_filter.items())
+                    ]
+                    ab = {"count": int(arows[0]["__cnt"]) if arows else 0}
+                    for sname, (fn, _c) in node.stats.items():
+                        ab[sname] = (
+                            _stat_value(fn, arows[0][stat_cols[(node.idx, sname)]])
+                            if arows
+                            else (0 if fn in ("sum", "unique", "hll") else None)
+                        )
+                    out["allBuckets"] = ab
+                else:
+                    out["allBuckets"] = {
+                        "count": int(regular[0]["__ab"]) if regular else 0
+                    }
+            if node.type == "terms" and node.spec.get("missing"):
+                miss = [r for r in rows if r[node.gcol] is None]
+                m = {"count": int(miss[0]["__cnt"]) if miss else 0}
+                out["missing"] = m
+            return out
+
+        def _resort(node, rows):
+            srt = node.spec.get("sort", "count")
+            if isinstance(srt, dict):
+                (key, direction), = srt.items()
+            else:
+                parts = str(srt).split()
+                key = parts[0]
+                direction = parts[1] if len(parts) > 1 else (
+                    "asc" if key == "index" else "desc"
+                )
+            rev = direction == "desc"
+
+            def kf(r):
+                if key == "count":
+                    lead = r["__cnt"]
+                elif key == "index":
+                    lead = r[node.gcol]
+                else:
+                    lead = r[stat_cols[(node.idx, key)]]
+                    if lead is None:  # all-NULL stat bucket: sorts last
+                        lead = float("-inf") if rev else float("inf")
+                return lead
+
+            # two-pass stable sort: value asc tie-break, then lead key
+            rows = sorted(rows, key=lambda r: (r[node.gcol] is None, r[node.gcol]))
+            return sorted(rows, key=kf, reverse=rev)
+
+        root_rows = by_mask.get(root_mask, [])
+        out: dict = {"count": int(root_rows[0]["__cnt"]) if root_rows else 0}
+        for sname, (fn, _c) in root_stats.items():
+            out[sname] = (
+                _stat_value(fn, root_rows[0][stat_cols[(-1, sname)]])
+                if root_rows
+                else None
+            )
+        for n in roots:
+            if n.type == "query":
+                res = query_results[n.name]
+                # round 8: terms/range sub-facets under a query facet rode
+                # the per-domain aggregates (domain = base ∩ query match);
+                # the query node contributes no grouping column, so its
+                # children assemble with an empty parent filter
+                for ch in n.children:
+                    res[ch.name] = _assemble(ch, {})
+                out[n.name] = res
+            else:
+                out[n.name] = _assemble(n, {})
+        return out
+    finally:
+        if qm_base is not None:
+            qm_base.unpersist()
 
 
 def _ancestors(node, tree_nodes):

