@@ -387,14 +387,22 @@ BM25_FL = ["lang", "source", "n_chars"]
 
 
 def q_bm25_fl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """/select with stored-field retrieval: top-k hits carry the fl
-    projection (lang, source, n_chars) joined from the corpus — Solr
-    returns stored fields with each hit, not bare ids."""
+    """/select with stored-field retrieval UNDER a filter query: top-k
+    hits carry the fl projection (lang, source, n_chars) joined from
+    the corpus — Solr returns stored fields with each hit, not bare
+    ids — while fq restricts the RESULT set (idf/avgdl stay
+    corpus-wide, Solr fq semantics). Round 9 folds the former bm25_fq
+    entry in here (one dressed request exercising both, the realistic
+    /select shape); the standalone fq arm stays pinned by
+    test_entry.py against its retained oracle SQL, and WAND-under-fq
+    rank-identity by test_compression_wand.py."""
     from solrtexttagger_spark.search.select import select_topk
 
+    docs = _docs(spark, sf_dir)
     out = select_topk(
-        _index(spark, sf_dir), _docs(spark, sf_dir), BM25_QUERIES,
+        _index(spark, sf_dir), docs, BM25_QUERIES,
         fl=BM25_FL, k=BM25_K, spark=spark,
+        allowed_docs=docs.where(BM25_FQ).select("doc_id"),
     )
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -1148,6 +1156,100 @@ def q_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GRAPH_LEAF_MOD = 7     # doc_id % 7 == 0 -> no outgoing edge (leaf)
+GRAPH_N_ROOTS = 5      # the 5 largest doc_ids start the walk
+EXPORT_Q = "window sort"       # /export text query (OR bag match)
+EXPORT_FQ = "n_chars >= 120"   # /export fq, pushed to the scan
+STREAM_EXPR = (
+    'select('
+    'rollup(search(documents, q="window merge", fl="doc_id,lang,n_chars"), '
+    'over="lang", sum(n_chars), count(*)), '
+    '"lang", "sum(n_chars) as sum_chars", "count(*) as n_docs")'
+)
+
+
+def q_graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``{!graph from=requires to=provides}`` (round 9, r8 verdict
+    #3): BFS closure with min-hop depths over a deterministic halving
+    graph derived from the documents table — every doc "provides" its
+    own id and "requires" floor(id/2), except multiples of
+    GRAPH_LEAF_MOD which are leaves (NULL requires). The 5 largest
+    doc_ids root the walk, so the ITERATION COUNT grows with scale
+    (~log2(n) hops: the per-hop driver loop is exactly what the
+    3-scale gate exists to pin). Acyclic by construction (ids strictly
+    halve), so the fixpoint terminates naturally and the DuckDB
+    recursive-CTE mirror needs only a constant 64-hop cap (ids are
+    int64: depth can never exceed 63 halvings)."""
+    from solrtexttagger_spark.search.graph_qp import graph_traverse
+
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(
+        "doc_id",
+        F.col("doc_id").alias("provides"),
+        F.when(
+            F.col("doc_id") % GRAPH_LEAF_MOD == 0,
+            F.lit(None).cast("long"),
+        ).otherwise(F.floor(F.col("doc_id") / 2).cast("long"))
+        .alias("requires"),
+    )
+    roots = docs.select("doc_id").orderBy(F.col("doc_id").desc()).limit(
+        GRAPH_N_ROOTS
+    )
+    out = graph_traverse(
+        roots, nodes, from_col="requires", to_col="provides"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("depth").cast("long").alias("depth"),
+    )
+
+
+def q_export_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /export (round 9, r8 verdict #4): the FULL sorted match set
+    — text query 'window sort' (OR bag match) restricted by an fq
+    pushed to the scan, fl-projected, globally ordered by a docValues
+    field NOT in fl (n_chars — the round-9 sort-before-projection fix).
+    The driver's hash is row-order-insensitive, so the global-order
+    property itself stays plan+order-pinned by test_export.py; this
+    entry gates the match set, fq, and projection at 3 scales."""
+    from solrtexttagger_spark.search.export import export_matches
+
+    docs = _docs(spark, sf_dir)
+    idx = _index(spark, sf_dir)
+    terms = spark.createDataFrame(
+        [(t,) for t in sorted(set(EXPORT_Q.split()))], "term string"
+    )
+    matched = (
+        idx.postings.join(F.broadcast(terms), "term")
+        .select(F.explode("postings.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return export_matches(
+        docs, fl=["doc_id", "lang", "source"],
+        sort=[("n_chars", "desc")], fq=EXPORT_FQ, allowed_docs=matched,
+    )
+
+
+def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Expressions /stream (round 9, r8 verdict #4+#7): the
+    expression compiler end-to-end — select(rollup(search(q=TEXT)))
+    with a text query compiled through the boolean match machinery
+    (the round-9 search(q=) extension), rolled up per lang in one
+    partial-aggregating groupBy."""
+    from solrtexttagger_spark.search.streaming_expr import stream
+
+    docs = _docs(spark, sf_dir)
+    out = stream(
+        STREAM_EXPR, {"documents": docs},
+        indexes={"documents": _index(spark, sf_dir)},
+    )
+    return out.select(
+        "lang",
+        F.round("sum_chars", 4).alias("sum_chars"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
 def q_blockjoin_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene block join ``{!parent}`` (round 8): chunk the corpus
     (same windows as chunk_docs), index the chunks as a CHILD corpus
@@ -1429,6 +1531,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     SQL recomputes them); freed slots carry join_docs
     #     ({!join score=total}) and blockjoin_parents ({!parent}
     #     ScoreMode.Max over the chunk child corpus)
+    #   - round-9 swaps (r8 verdict #3/#4: the new Solr surfaces need
+    #     3-scale gates more than near-duplicate arms need two slots):
+    #     bm25_fq folded INTO bm25_fl (one dressed fq+fl request; the
+    #     standalone arm stays pinned by test_entry.py against its
+    #     retained sql["bm25_fq"], WAND parity by
+    #     test_compression_wand.py); spellcheck (plain) -> test_entry.py
+    #     pin (collate still drives the SymSpell path here);
+    #     phrase_match -> test_entry.py pin (bool_phrase drives
+    #     phrase+slop through the full boolean path). Freed slots carry
+    #     graph_closure ({!graph} BFS), export_sorted (/export), and
+    #     stream_rollup (/stream compiler with a text q).
     return {
         "bm25_topk": q_bm25_topk,
         "wand_topk": q_wand_topk,
@@ -1447,7 +1560,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_search": q_bool_search,
         "bool_phrase": q_bool_phrase,
         "bool_fuzzy": q_bool_fuzzy,
-        "bm25_fq": q_bm25_fq,
         "bm25_fl": q_bm25_fl,
         "snippets": q_snippets,
         "facet_sections": q_facet_sections,
@@ -1469,17 +1581,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": q_doc_split,
         "bm25_after_delete": q_bm25_after_delete,
         "terms_prefix": q_terms_prefix,
-        "spellcheck": q_spellcheck,
         "spellcheck_collate": q_spellcheck_collate,
         "bm25_synonyms": q_bm25_synonyms,
         "stats_field": q_stats_field,
         "elevated": q_elevated,
         "join_docs": q_join_docs,
         "blockjoin_parents": q_blockjoin_parents,
+        "graph_closure": q_graph_closure,
+        "export_sorted": q_export_sorted,
+        "stream_rollup": q_stream_rollup,
         "pack_sequences": q_pack_sequences,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
-        "phrase_match": q_phrase_match,
     }
 
 
@@ -2071,7 +2184,7 @@ SELECT doc_id, ({combine}) AS simhash FROM sums
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_full() -> dict[str, str]:
     probe_list = ", ".join(str(p) for p in COSINE_PROBES)
     band_r = MINHASH_H // MINHASH_BANDS
     sql = {}
@@ -2250,9 +2363,11 @@ SELECT row_number() OVER (ORDER BY srank)::BIGINT AS rank,
 FROM hits h WHERE hits > 0
 """
     _fl_cols = ", ".join(f"d.{c}" for c in BM25_FL)
+    # round 9: the former bm25_fq entry folded in — fq filters the
+    # result set (post-aggregation), stats stay corpus-wide
     sql["bm25_fl"] = (
         f"SELECT r.query_id, r.rank, r.doc_id, r.score, {_fl_cols}\n"
-        f"FROM ({_bm25_oracle()}) r JOIN documents d USING (doc_id)"
+        f"FROM ({sql['bm25_fq']}) r JOIN documents d USING (doc_id)"
     )
     sql["snippets"] = _snippets_oracle()
     sql["more_like_this"] = _mlt_oracle()
@@ -3405,6 +3520,54 @@ FROM ranked WHERE rank <= 50
     sql["doc_split"] = f"""
 SELECT doc_id, lang, {_split_case} AS split FROM documents
 """
+    # {!graph} closure: recursive CTE over the deterministic halving
+    # graph; UNION dedups (doc_id, depth) pairs and min(depth) collapses
+    # to the BFS depth. The graph is acyclic (ids strictly halve), so a
+    # constant 64-hop cap is exact at EVERY scale (int64 halves to 0 in
+    # <= 63 steps) — no data-dependent cap needed.
+    sql["graph_closure"] = f"""
+WITH RECURSIVE nodes AS (
+  SELECT doc_id, doc_id AS provides,
+         CASE WHEN doc_id % {GRAPH_LEAF_MOD} = 0 THEN NULL
+              ELSE doc_id // 2 END AS requires
+  FROM documents
+),
+roots AS (SELECT doc_id FROM documents ORDER BY doc_id DESC LIMIT {GRAPH_N_ROOTS}),
+walk(doc_id, depth) AS (
+  SELECT doc_id, 0 FROM roots
+  UNION
+  SELECT n2.doc_id, w.depth + 1
+  FROM walk w
+  JOIN nodes n1 ON n1.doc_id = w.doc_id
+  JOIN nodes n2 ON n2.provides = n1.requires
+  WHERE n1.requires IS NOT NULL AND w.depth < 64
+)
+SELECT doc_id, min(depth)::BIGINT AS depth FROM walk GROUP BY 1
+"""
+    _exp_terms = ", ".join(f"'{t}'" for t in sorted(set(EXPORT_Q.split())))
+    sql["export_sorted"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w IN ({_exp_terms})
+)
+SELECT doc_id, lang, source
+FROM documents JOIN matched USING (doc_id)
+WHERE {EXPORT_FQ}
+ORDER BY n_chars DESC, doc_id ASC
+"""
+    _stream_terms = ", ".join(f"'{t}'" for t in sorted({"window", "merge"}))
+    sql["stream_rollup"] = f"""
+WITH matched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w IN ({_stream_terms})
+)
+SELECT lang, round(sum(n_chars), 4) AS sum_chars,
+       count(*)::BIGINT AS n_docs
+FROM documents JOIN matched USING (doc_id)
+GROUP BY lang
+"""
     # strategy twins dropped from the driver surface (pytest parity pins
     # them: test_tag_join.py, test_index_bm25.py, test_compression_wand.py);
     # minhash_signatures moved to a pytest pin (test_dedup_buckets.py runs
@@ -3414,3 +3577,26 @@ SELECT doc_id, lang, {_split_case} AS split FROM documents
     del sql["tag_join_nosub"], sql["bm25_exploded"], sql["wand_fq"]
     del sql["minhash_signatures"]
     return sql
+
+
+def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_full()
+    # round-9 demotions (freed slots for graph_closure/export_sorted/
+    # stream_rollup): the exact oracle SQL stays in _oracle_sql_full,
+    # exercised by test_entry.py::test_demoted_entry_pins
+    for k in ("bm25_fq", "spellcheck", "phrase_match"):
+        del sql[k]
+    return sql
+
+
+def pytest_pinned() -> dict:
+    """Entries demoted from the 50-slot driver surface but still FULLY
+    oracle-pinned: name -> (queries-style callable, DuckDB SQL). Run by
+    test_entry.py::test_demoted_entry_pins with the driver's exact
+    compare."""
+    full = _oracle_sql_full()
+    return {
+        "bm25_fq": (q_bm25_fq, full["bm25_fq"]),
+        "spellcheck": (q_spellcheck, full["spellcheck"]),
+        "phrase_match": (q_phrase_match, full["phrase_match"]),
+    }

@@ -178,11 +178,17 @@ def _sort_cols(spec: str):
     return out
 
 
-def compile_stream(expr: Expr, tables: dict[str, DataFrame]) -> DataFrame:
-    """Compile one stream-expression node to a DataFrame."""
+def compile_stream(
+    expr: Expr,
+    tables: dict[str, DataFrame],
+    indexes: dict | None = None,
+) -> DataFrame:
+    """Compile one stream-expression node to a DataFrame. ``indexes``
+    maps collection name -> InvertedIndex for collections that accept
+    TEXT queries in ``search(q=...)``."""
 
     def sub(i=0):
-        return compile_stream(expr.args[i], tables)
+        return compile_stream(expr.args[i], tables, indexes)
 
     name = expr.name
     if name == "search":
@@ -193,10 +199,32 @@ def compile_stream(expr: Expr, tables: dict[str, DataFrame]) -> DataFrame:
         df = tables[tbl]
         q = expr.params.get("q", "*:*")
         if q != "*:*":
-            raise ValueError(
-                "search(q=...) supports q=\"*:*\" here; put predicates in "
-                "fq (text relevance queries live in the /select surface)"
+            # round 9 (r8 verdict #7): a text q compiles through the
+            # boolean/BM25 machinery — the match set semi-joins the
+            # collection (or inner-joins when fl asks for score), the
+            # same /export-backed shape Solr's search stream uses
+            idx = (indexes or {}).get(tbl)
+            if idx is None:
+                raise ValueError(
+                    f'search({tbl}, q={q!r}): text queries need an '
+                    f"InvertedIndex registered for {tbl!r} (pass "
+                    "indexes={name: index}); only q=\"*:*\" runs "
+                    "index-free"
+                )
+            from solrtexttagger_spark.search.boolean import (
+                boolean_matched_scores,
             )
+
+            matched = boolean_matched_scores(
+                idx, [(0, q)], spark=df.sparkSession
+            ).select("doc_id", F.round("score", 4).alias("score"))
+            fl_cols = [
+                c.strip() for c in expr.params.get("fl", "").split(",") if c.strip()
+            ]
+            if "score" in fl_cols:
+                df = df.join(matched, "doc_id")
+            else:
+                df = df.join(matched.select("doc_id"), "doc_id", "left_semi")
         if "fq" in expr.params:
             df = df.where(F.expr(expr.params["fq"]))
         if "fl" in expr.params:
@@ -259,7 +287,7 @@ def compile_stream(expr: Expr, tables: dict[str, DataFrame]) -> DataFrame:
                              'expr="`count(*)` > 10")')
         return sub().where(F.expr(cond))
     if name in ("innerJoin", "hashJoin", "leftOuterJoin"):
-        left, right = sub(0), compile_stream(expr.args[1], tables)
+        left, right = sub(0), compile_stream(expr.args[1], tables, indexes)
         on = [c.strip() for c in expr.params["on"].split(",")]
         how = "left" if name == "leftOuterJoin" else "inner"
         # hashJoin vs innerJoin is a physical hint in Solr (hash the
@@ -298,7 +326,7 @@ def compile_stream(expr: Expr, tables: dict[str, DataFrame]) -> DataFrame:
             raise ValueError("facet needs at least one metric")
         return df.groupBy(*buckets).agg(*metrics)
     if name == "merge":
-        parts = [compile_stream(a, tables) for a in expr.args]
+        parts = [compile_stream(a, tables, indexes) for a in expr.args]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -308,9 +336,13 @@ def compile_stream(expr: Expr, tables: dict[str, DataFrame]) -> DataFrame:
     raise ValueError(f"unknown stream function {name!r}")
 
 
-def stream(expression: str, tables: dict[str, DataFrame]) -> DataFrame:
+def stream(
+    expression: str,
+    tables: dict[str, DataFrame],
+    indexes: dict | None = None,
+) -> DataFrame:
     """Evaluate a /stream expression string against registered
     collections (name -> DataFrame). Returns the result relation —
     lazily; callers iterate it exactly like /stream's tuple iterator
     (``toLocalIterator``) or hand it to /export."""
-    return compile_stream(parse_expression(expression), tables)
+    return compile_stream(parse_expression(expression), tables, indexes)

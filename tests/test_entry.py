@@ -93,3 +93,22 @@ def test_entry_smoke(spark):
 
 def test_oracle_keys_subset():
     assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
+
+
+PINNED = sorted(entry_mod.pytest_pinned())
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_demoted_entry_pins(spark, sf_dir, con, name):
+    """Entries demoted from the 50-slot driver surface (round 9) keep
+    their full oracle here, with the driver's exact compare."""
+    fn, oracle = entry_mod.pytest_pinned()[name]
+    sdf = fn(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = [c.lower() for c in sdf.columns]
+    rel = con.sql(oracle)
+    duck_cols = [c.lower() for c in rel.columns]
+    duck_rows = rel.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), name
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count"
+    assert normalize(spark_rows, spark_cols) == normalize(duck_rows, duck_cols)

@@ -226,3 +226,80 @@ class TestPlans:
         # the scan's output is pruned to the fl + filter columns — the
         # unused id column never leaves the source
         assert "id#" not in plan.split("Exchange")[-1]
+
+
+class TestTextQuery:
+    """Round 9 (r8 verdict #7): search(q=<text>) compiles through the
+    boolean match machinery — semi-join without score in fl, inner
+    join carrying the rounded BM25 score with it."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        from solrtexttagger_spark.index.build import build_index
+
+        rows = [
+            (0, "spark join merge", "en"),
+            (1, "merge sort stream", "en"),
+            (2, "window scan", "de"),
+            (3, "join join join", "de"),
+            (4, "nothing relevant", "en"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        idx = build_index(docs, num_segments=2)
+        idx.postings.persist().count()
+        yield docs, idx, rows
+        idx.postings.unpersist()
+
+    def test_text_q_semijoin_vs_duckdb(self, spark, corpus):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        docs, idx, rows = corpus
+        out = stream(
+            'rollup(search(docs, q="join merge", fl="doc_id,lang"), '
+            'over="lang", count(*))',
+            {"docs": docs}, indexes={"docs": idx},
+        ).collect()
+        got = {r["lang"]: r["count(*)"] for r in out}
+        con = duckdb.connect()
+        con.sql("CREATE TABLE d AS SELECT * FROM (VALUES "
+                + ",".join(f"({i},'{t}','{lg}')" for i, t, lg in rows)
+                + ") v(doc_id, text, lang)")
+        want = dict(con.sql("""
+            SELECT lang, count(*) FROM d
+            WHERE doc_id IN (
+              SELECT doc_id FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM d
+              ) WHERE w IN ('join', 'merge'))
+            GROUP BY lang""").fetchall())
+        assert got == want
+
+    def test_text_q_score_in_fl_matches_select(self, spark, corpus):
+        """fl="...,score" inner-joins the match scores; ranks agree with
+        the /select scorer on the same query."""
+        from solrtexttagger_spark.search.boolean import (
+            boolean_matched_scores,
+        )
+        from solrtexttagger_spark.search.streaming_expr import stream
+        from pyspark.sql import functions as F
+
+        docs, idx, _rows = corpus
+        out = stream(
+            'top(search(docs, q="join merge", fl="doc_id,score"), '
+            'n=3, sort="score desc, doc_id asc")',
+            {"docs": docs}, indexes={"docs": idx},
+        ).select("doc_id", "score").collect()
+        want = (
+            boolean_matched_scores(idx, [(0, "join merge")], spark=spark)
+            .select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(3)
+            .collect()
+        )
+        assert [tuple(r) for r in out] == [tuple(r) for r in want]
+
+    def test_text_q_without_index_raises(self, spark, corpus):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        docs, _idx, _rows = corpus
+        with pytest.raises(ValueError, match="need an InvertedIndex"):
+            stream('search(docs, q="join")', {"docs": docs})
