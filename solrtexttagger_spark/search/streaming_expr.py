@@ -20,10 +20,19 @@ module is a thin COMPILER, not an engine:
   quoted strings, nested calls);
 - ``compile_stream`` maps each stream function onto the Catalyst
   operator with the same semantics: search -> pushed filter +
-  projection, rollup -> hash aggregate, innerJoin/hashJoin -> join,
-  top -> TakeOrdered, unique -> one-row-per-key aggregate, merge ->
-  union, select -> projection (with expressions), having -> filter,
-  sort -> global order;
+  projection (round 9: text ``q=`` compiles through the boolean match
+  machinery when an index is registered), rollup/facet -> hash
+  aggregate, timeseries -> windowed aggregate, innerJoin/hashJoin ->
+  join, intersect/complement -> semi/anti join, cartesianProduct ->
+  explode, top -> TakeOrdered, unique -> one-row-per-key aggregate,
+  merge -> union, select -> projection (with Solr EVALUATOR operands:
+  if/eq/gt/lt/and/or/not/add/sub/mult/div/replace compile to Catalyst
+  expressions), having -> filter, sort -> global order, parallel -> a
+  repartition hint (a Spark plan is already parallel);
+- still absent, documented: daemon/topic (service-lifecycle
+  schedulers — their Spark analogue is Structured Streaming, see
+  solrtexttagger_spark/streaming/), update (an indexing sink, see
+  index/maintenance.upsert paths), jdbc (env-blocked: no driver jars);
 - Solr's sort PRECONDITIONS vanish: /stream demands the underlying
   stream be sorted by the ``over``/``on`` keys because its rollup and
   merge-join are single-pass streaming operators — a hash aggregate
@@ -165,6 +174,94 @@ def _metric(e: Expr):
     )
 
 
+# Solr stream EVALUATORS (the operand language inside select/having):
+# boolean/comparison/arithmetic/conditional functions over tuple
+# fields. Each compiles to the Catalyst expression with identical
+# semantics; ``replace`` is Solr's EXACT-VALUE replacement (a CASE
+# WHEN field = value), not a substring op.
+_EVAL_BINOPS = {
+    "eq": "=", "noteq": "<>", "gt": ">", "gteq": ">=",
+    "lt": "<", "lteq": "<=",
+    "add": "+", "sub": "-", "mult": "*", "div": "/", "mod": "%",
+}
+
+
+def _eval_sql(e) -> str:
+    """Compile one evaluator node (Expr or literal) to a Spark SQL
+    fragment."""
+    if isinstance(e, str):
+        # the parser yields both num and string tokens as plain str:
+        # numeric text stays a numeric literal, anything else quotes
+        if re.match(r"^-?\d+(\.\d+)?$", e):
+            return e
+        return "'" + e.replace("'", "''") + "'"
+    if not isinstance(e, Expr):
+        return repr(e)
+    if not e.args and not e.params:
+        return e.name  # bare field reference or number token
+    if e.name in _EVAL_BINOPS:
+        if len(e.args) < 2:
+            raise ValueError(f"{e.name} needs two operands")
+        op = _EVAL_BINOPS[e.name]
+        out = _eval_sql(e.args[0])
+        for a in e.args[1:]:
+            out = f"({out} {op} {_eval_sql(a)})"
+        return out
+    if e.name in ("and", "or"):
+        return "(" + f" {e.name.upper()} ".join(
+            _eval_sql(a) for a in e.args
+        ) + ")"
+    if e.name == "not":
+        return f"(NOT {_eval_sql(e.args[0])})"
+    if e.name == "if":
+        if len(e.args) != 3:
+            raise ValueError("if(condition, then, else) needs 3 operands")
+        c, t, f_ = (_eval_sql(a) for a in e.args)
+        return f"(CASE WHEN {c} THEN {t} ELSE {f_} END)"
+    if e.name == "replace":
+        # replace(field, value, withValue=v) / (field, value, withField=f)
+        if len(e.args) != 2 or not (
+            "withValue" in e.params or "withField" in e.params
+        ):
+            raise ValueError(
+                "replace needs (field, value, withValue=|withField=)"
+            )
+        fld, val = _eval_sql(e.args[0]), _eval_sql(e.args[1])
+        repl = (
+            _eval_sql_param(e.params["withValue"])
+            if "withValue" in e.params
+            else str(e.params["withField"])
+        )
+        return f"(CASE WHEN {fld} = {val} THEN {repl} ELSE {fld} END)"
+    if e.name in ("abs", "ceil", "floor", "round", "sqrt", "log", "exp"):
+        return f"{e.name}({', '.join(_eval_sql(a) for a in e.args)})"
+    raise ValueError(f"unknown evaluator {e.name!r}")
+
+
+def _eval_sql_param(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+def _select_col(df: DataFrame, spec: str):
+    """One select operand: ``field``, ``expr as alias``, or an
+    evaluator call like ``if(gt(bytes, 100), 1, 0) as big``."""
+    m = re.match(r"^(.*?)\s+as\s+(\w+)$", spec, re.I)
+    base = m.group(1) if m else spec
+    if base in df.columns:
+        # an upstream metric column is literally named "sum(bytes)"
+        # — reference it as a column, never re-parse as a call
+        col = F.col(base)
+    elif re.match(r"^[A-Za-z_][A-Za-z0-9_]*\(", base):
+        # evaluator syntax: parse with the expression parser, compile
+        # to SQL (Solr's select operands are evaluator calls)
+        col = F.expr(_eval_sql(parse_expression(base)))
+    else:
+        col = F.expr(base)
+    return col.alias(m.group(2)) if m else col
+
+
 def _sort_cols(spec: str):
     out = []
     for part in spec.split(","):
@@ -239,12 +336,7 @@ def compile_stream(
         cols = []
         for a in expr.args[1:]:
             spec = a if isinstance(a, str) else a.name
-            m = re.match(r"^(.*?)\s+as\s+(\w+)$", spec, re.I)
-            base = m.group(1) if m else spec
-            # an upstream metric column is literally named "sum(bytes)"
-            # — reference it as a column, never re-parse as a call
-            col = F.col(base) if base in df.columns else F.expr(base)
-            cols.append(col.alias(m.group(2)) if m else col)
+            cols.append(_select_col(df, spec))
         return df.select(*cols)
     if name == "rollup":
         df = sub()
@@ -325,6 +417,63 @@ def compile_stream(
         if not metrics:
             raise ValueError("facet needs at least one metric")
         return df.groupBy(*buckets).agg(*metrics)
+    if name in ("intersect", "complement"):
+        # Solr intersect(left, right, on=): left tuples whose key
+        # appears in right (complement: does NOT appear) — left
+        # semi/anti hash joins; Solr's sorted-stream precondition
+        # vanishes like rollup's
+        left, right = sub(0), compile_stream(expr.args[1], tables, indexes)
+        on = [c.strip() for c in expr.params["on"].split(",")]
+        how = "left_semi" if name == "intersect" else "left_anti"
+        return left.join(right.select(*on), on, how)
+    if name == "cartesianProduct":
+        # cartesianProduct(stream, field): one tuple per element of a
+        # multivalued (array) field — exactly explode; the field name
+        # keeps carrying the element, like Solr
+        df = sub()
+        fld = expr.args[1].name if isinstance(expr.args[1], Expr) else expr.args[1]
+        rest = [c for c in df.columns if c != fld]
+        return df.select(*rest, F.explode(F.col(fld)).alias(fld))
+    if name == "timeseries":
+        # timeseries(collection, field=ts, gap="+1HOUR", metrics...):
+        # bucketed time rollup — F.window is the Catalyst twin; the
+        # bucket column carries the window START like Solr's bucket
+        # label. Empty gap buckets are absent (zero-fill is a response
+        # format concern, documented).
+        tbl = expr.args[0].name
+        if tbl not in tables:
+            raise ValueError(f"unknown collection {tbl!r} "
+                             f"(registered: {sorted(tables)})")
+        df = tables[tbl]
+        if "fq" in expr.params:
+            df = df.where(F.expr(expr.params["fq"]))
+        fld = expr.params["field"]
+        gap = str(expr.params.get("gap", "+1HOUR"))
+        mg = re.match(r"^\+?(\d+)(SECOND|MINUTE|HOUR|DAY)S?$", gap, re.I)
+        if not mg:
+            raise ValueError(
+                f"unsupported gap {gap!r} (+N SECOND/MINUTE/HOUR/DAY)"
+            )
+        dur = f"{mg.group(1)} {mg.group(2).lower()}s"
+        metrics = [_metric(a) for a in expr.args[1:]]
+        if not metrics:
+            raise ValueError("timeseries needs at least one metric")
+        win = F.window(F.col(fld).cast("timestamp"), dur)
+        out = df.groupBy(win.alias("__w")).agg(*metrics)
+        return out.select(
+            F.col("__w.start").alias(fld),
+            *[F.col(c) for c in out.columns if c != "__w"],
+        )
+    if name == "parallel":
+        # parallel(workers=N, stream) is Solr's "ship the expression to
+        # N workers" decorator; a Spark plan is already distributed, so
+        # the honest mapping is a partitioning hint on the inner stream
+        # (workers -> repartition), never a semantics change
+        inner_arg = next(a for a in expr.args if isinstance(a, Expr)
+                         and (a.args or a.params))
+        inner = compile_stream(inner_arg, tables, indexes)
+        workers = int(expr.params.get("workers", 0))
+        return inner.repartition(workers) if workers > 0 else inner
     if name == "merge":
         parts = [compile_stream(a, tables, indexes) for a in expr.args]
         out = parts[0]

@@ -303,3 +303,100 @@ class TestTextQuery:
         docs, _idx, _rows = corpus
         with pytest.raises(ValueError, match="need an InvertedIndex"):
             stream('search(docs, q="join")', {"docs": docs})
+
+
+class TestRound9Functions:
+    """intersect/complement/cartesianProduct/timeseries/parallel and
+    evaluator operands in select — each vs its DuckDB mirror."""
+
+    def test_intersect_and_complement(self, spark, tables):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        both = stream(
+            'intersect(search(logs, q="*:*", fl="id,host"), '
+            'search(hosts, q="*:*", fl="host"), on="host")',
+            tables,
+        ).collect()
+        neither = stream(
+            'complement(search(hosts, q="*:*", fl="host"), '
+            'search(logs, q="*:*", fl="host"), on="host")',
+            tables,
+        ).collect()
+        con = _con()
+        want_both = con.sql(
+            "SELECT id, host FROM logs WHERE host IN (SELECT host FROM hosts)"
+        ).fetchall()
+        want_neither = con.sql(
+            "SELECT host FROM hosts WHERE host NOT IN (SELECT host FROM logs)"
+        ).fetchall()
+        # Spark's join puts the on-keys first; compare by field name
+        assert sorted((r["id"], r["host"]) for r in both) == sorted(want_both)
+        assert sorted(tuple(r) for r in neither) == sorted(want_neither)
+
+    def test_select_evaluators(self, spark, tables):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        out = stream(
+            'select(search(logs, q="*:*", fl="id,status,bytes"), '
+            '"id", '
+            '"if(eq(status, 500), 1, 0) as err", '
+            '"replace(status, 500, withValue=0) as ok_status", '
+            '"add(bytes, 10) as bumped")',
+            tables,
+        ).collect()
+        con = _con()
+        want = con.sql("""
+            SELECT id, CASE WHEN status = 500 THEN 1 ELSE 0 END AS err,
+                   CASE WHEN status = 500 THEN 0 ELSE status END AS ok_status,
+                   bytes + 10 AS bumped
+            FROM logs""").fetchall()
+        assert sorted(tuple(r) for r in out) == sorted(want)
+
+    def test_cartesian_product_explodes(self, spark):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        df = spark.createDataFrame(
+            [(1, ["a", "b"]), (2, ["c"])], "id long, tags array<string>"
+        )
+        out = stream(
+            "cartesianProduct(search(t), tags)", {"t": df}
+        ).collect()
+        assert sorted((r["id"], r["tags"]) for r in out) == [
+            (1, "a"), (1, "b"), (2, "c")
+        ]
+
+    def test_timeseries_window_rollup(self, spark):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        rows = [(i, f"2024-01-01 0{i % 3}:15:00", float(i)) for i in range(9)]
+        df = spark.createDataFrame(rows, "id long, ts string, v double")
+        out = stream(
+            'timeseries(t, field=ts, gap="+1HOUR", sum(v), count(*))',
+            {"t": df},
+        ).collect()
+        got = {str(r["ts"]): (r["sum(v)"], r["count(*)"]) for r in out}
+        con = duckdb.connect()
+        con.sql("CREATE TABLE t AS SELECT * FROM (VALUES "
+                + ",".join(f"({i},'{ts}',{v})" for i, ts, v in rows)
+                + ") x(id, ts, v)")
+        want = {
+            str(a): (b, c) for a, b, c in con.sql("""
+                SELECT time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP),
+                       sum(v), count(*) FROM t GROUP BY 1""").fetchall()
+        }
+        assert got == want
+
+    def test_parallel_is_a_partitioning_hint(self, spark, tables):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        out = stream(
+            'parallel(workers=4, rollup(search(logs, q="*:*", '
+            'fl="host,bytes"), over="host", sum(bytes)))',
+            tables,
+        )
+        assert out.rdd.getNumPartitions() == 4
+        base = stream(
+            'rollup(search(logs, q="*:*", fl="host,bytes"), '
+            'over="host", sum(bytes))', tables,
+        ).collect()
+        assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base))
