@@ -28,11 +28,29 @@ module is a thin COMPILER, not an engine:
   merge -> union, select -> projection (with Solr EVALUATOR operands:
   if/eq/gt/lt/and/or/not/add/sub/mult/div/replace compile to Catalyst
   expressions), having -> filter, sort -> global order, parallel -> a
-  repartition hint (a Spark plan is already parallel);
-- still absent, documented: daemon/topic (service-lifecycle
-  schedulers — their Spark analogue is Structured Streaming, see
-  solrtexttagger_spark/streaming/), update (an indexing sink, see
-  index/maintenance.upsert paths), jdbc (env-blocked: no driver jars);
+  repartition hint (a Spark plan is already parallel),
+  significantTerms -> foreground-vs-background term lift over the
+  collection's index (search/terms.significant_terms), nodes
+  (gatherNodes) -> one breadth hop per call (frontier values join the
+  collection, no broadcast hint — nest calls to walk further, exactly
+  Solr's shape), shortestPath -> level-synchronous BFS returning all
+  shortest ``path`` arrays, knnSearch -> the MLT pipeline
+  (search/mlt.more_like_this), random -> a seeded-md5 deterministic
+  sample (Solr's random sort is unseedable; the hash twin is
+  reproducible cross-engine), update -> an EAGER upsert sink over
+  index/maintenance.upsert_docs (replaces the registered index +
+  collection, yields the summary tuple), let/get -> scoped collection
+  bindings, topic -> checkpointed incremental pull (version-above-
+  checkpoint filter, pinned delta, checkpoint advance), daemon -> a
+  registered re-runner (Daemon.run_once / interval thread) so
+  daemon(update(d, topic(ck, src))) is Solr's continuous-ingest idiom
+  verbatim, scoreNodes -> tf*idf node relevance over a named
+  collection/field (collection= and field= are explicit params — the
+  per-tuple stream context they ride in Solr is a serving-protocol
+  artifact);
+- still absent, documented: jdbc (env-blocked: no driver jars); for
+  production-grade continuous ingest prefer Structured Streaming
+  (solrtexttagger_spark/streaming/) over daemon threads;
 - Solr's sort PRECONDITIONS vanish: /stream demands the underlying
   stream be sorted by the ``over``/``on`` keys because its rollup and
   merge-join are single-pass streaming operators — a hash aggregate
@@ -133,7 +151,12 @@ def parse_expression(s: str) -> Expr:
                     v = eat("num")
                     node.params[key] = float(v) if "." in v else int(v)
                 elif kk == "name":
-                    node.params[key] = eat("name")
+                    # a named param may bind a nested STREAM (Solr's
+                    # let(a=search(...), ...)) — lookahead for "("
+                    if toks[idx[0] + 1] == ("punct", "("):
+                        node.params[key] = call()
+                    else:
+                        node.params[key] = eat("name")
                 else:
                     raise ValueError(f"bad value for {key}: {vv!r}")
             elif k == "punct" and t == "*":
@@ -233,7 +256,9 @@ def _eval_sql(e) -> str:
             else str(e.params["withField"])
         )
         return f"(CASE WHEN {fld} = {val} THEN {repl} ELSE {fld} END)"
-    if e.name in ("abs", "ceil", "floor", "round", "sqrt", "log", "exp"):
+    if e.name in ("abs", "ceil", "floor", "round", "sqrt", "log", "exp",
+                  "pow", "concat", "lower", "upper", "length", "trim"):
+        # identical names + semantics in Spark SQL — pass through
         return f"{e.name}({', '.join(_eval_sql(a) for a in e.args)})"
     raise ValueError(f"unknown evaluator {e.name!r}")
 
@@ -474,6 +499,362 @@ def compile_stream(
         inner = compile_stream(inner_arg, tables, indexes)
         workers = int(expr.params.get("workers", 0))
         return inner.repartition(workers) if workers > 0 else inner
+    if name == "significantTerms":
+        # significantTerms(collection, q=..., minDocFreq=, maxDocFreq=,
+        # limit=): foreground-vs-background term significance — needs
+        # the collection's index (the terms live there, not in the
+        # tuple stream)
+        tbl = expr.args[0].name
+        idx = (indexes or {}).get(tbl)
+        if idx is None:
+            raise ValueError(
+                f"significantTerms({tbl}): needs an InvertedIndex "
+                "registered (pass indexes={name: index})"
+            )
+        from solrtexttagger_spark.search.terms import significant_terms
+
+        kw = {}
+        if "minDocFreq" in expr.params:
+            kw["min_doc_freq"] = float(expr.params["minDocFreq"])
+        if "maxDocFreq" in expr.params:
+            kw["max_doc_freq"] = float(expr.params["maxDocFreq"])
+        if "limit" in expr.params:
+            kw["limit"] = int(expr.params["limit"])
+        return significant_terms(
+            idx, str(expr.params.get("q", "*:*")),
+            spark=tables[tbl].sparkSession if tbl in tables else None, **kw
+        )
+    if name == "nodes":
+        # nodes(collection, <inner stream>, walk="src->dst",
+        # gather="field"): Solr's gatherNodes — ONE breadth hop per
+        # call (nesting nodes(...) walks further, like Solr). The inner
+        # stream's src values join the collection's dst column; the
+        # gathered field comes back DISTINCT as column "node".
+        tbl = expr.args[0].name
+        if tbl not in tables:
+            raise ValueError(f"unknown collection {tbl!r} "
+                             f"(registered: {sorted(tables)})")
+        inner = compile_stream(expr.args[1], tables, indexes)
+        walk = expr.params["walk"]
+        mw = re.match(r"^\s*([\w.]+)\s*->\s*([\w.]+)\s*$", walk)
+        if not mw:
+            raise ValueError(f'walk must be "srcField->dstField", got {walk!r}')
+        src, dst = mw.group(1), mw.group(2)
+        gather = expr.params.get("gather", dst)
+        vals = inner.select(F.col(src).alias(dst)).where(
+            F.col(dst).isNotNull()
+        ).distinct()
+        # no broadcast hint: the frontier value set is query-dependent
+        # and unbounded (graph_qp round-9 discipline) — AQE promotes
+        # small builds on its own
+        gathered = (
+            tables[tbl].join(vals, dst)
+            .select(F.col(gather).alias("node"))
+            .where(F.col("node").isNotNull())
+        )
+        # Solr gatherNodes aggregation: a trailing count(*) arg returns
+        # per-node gather counts (feeds scoreNodes); bare nodes() stays
+        # the distinct node set
+        if any(isinstance(a, Expr) and a.name == "count"
+               for a in expr.args[2:]):
+            return gathered.groupBy("node").agg(
+                F.count("*").cast("long").alias("count(*)")
+            )
+        return gathered.distinct()
+    if name == "let":
+        # let(a=<stream>, b=<stream>, <body stream>): Solr's variable
+        # binding — each binding compiles IN ORDER into a scoped copy
+        # of the collection namespace (later bindings and the body see
+        # earlier ones as collections), then the body (the last
+        # positional arg, Solr's get(a)/streaming cell) compiles
+        # against that scope. Lazy like everything here: binding a
+        # stream binds its PLAN, not a materialization.
+        scope = dict(tables)
+        for key, val in expr.params.items():
+            if not isinstance(val, Expr):
+                raise ValueError(f"let binding {key}= must be a stream "
+                                 f"expression, got {val!r}")
+            scope[key] = compile_stream(val, scope, indexes)
+        if not expr.args:
+            raise ValueError("let needs a body stream after the bindings")
+        return compile_stream(expr.args[-1], scope, indexes)
+    if name == "get":
+        tbl = expr.args[0].name if expr.args else None
+        if tbl not in tables:
+            raise ValueError(f"get({tbl!r}): not bound "
+                             f"(in scope: {sorted(tables)})")
+        return tables[tbl]
+    if name == "random":
+        # random(collection, q="*:*", fq=, rows=N, fl=, seed=): Solr's
+        # pseudo-random sample stream source. Deterministic twin: order
+        # by md5(seed || fl-tuple) — a seeded hash shuffle, reproducible
+        # across engines (the oracle runs the identical md5 in DuckDB),
+        # where Solr uses an unseedable random sort. Plan: pushed
+        # filter -> projection -> TakeOrdered(rows) on the hash.
+        tbl = expr.args[0].name
+        if tbl not in tables:
+            raise ValueError(f"unknown collection {tbl!r} "
+                             f"(registered: {sorted(tables)})")
+        df = tables[tbl]
+        if expr.params.get("q", "*:*") != "*:*":
+            raise ValueError('random supports q="*:*"; use fq for '
+                             "predicates")
+        if "fq" in expr.params:
+            df = df.where(F.expr(expr.params["fq"]))
+        fl = [c.strip() for c in expr.params["fl"].split(",")]
+        rows = int(expr.params["rows"])
+        seed = str(expr.params.get("seed", "0"))
+        key = F.md5(F.concat_ws(
+            "\x1f", F.lit(seed), *[F.col(c).cast("string") for c in fl]
+        ))
+        return df.select(*fl).orderBy(key.asc()).limit(rows)
+    if name == "knnSearch":
+        # knnSearch(collection, id=, qf=, rows=, mintf/mindf ignored):
+        # Solr's text-similarity nearest neighbors — a More-Like-This
+        # over the probe doc's top TF-IDF terms. Compiles to the
+        # existing MLT pipeline (search/mlt.more_like_this): probe
+        # keywords -> BM25 top-k excluding self. fl= columns come from
+        # the collection; score always rides along.
+        tbl = expr.args[0].name
+        idx = (indexes or {}).get(tbl)
+        if tbl not in tables or idx is None:
+            raise ValueError(
+                f"knnSearch({tbl}): needs the collection AND an "
+                "InvertedIndex registered (pass indexes={name: index})"
+            )
+        from solrtexttagger_spark.search.mlt import more_like_this
+
+        docs = tables[tbl]
+        res = more_like_this(
+            idx, docs, [int(expr.params["id"])],
+            text_col=str(expr.params.get("qf", "text")),
+            k=int(expr.params.get("rows", 10)),
+            n_terms=int(expr.params.get("n_terms", 5)),
+        ).select("doc_id", "rank", F.round("score", 4).alias("score"))
+        fl_cols = [
+            c.strip()
+            for c in str(expr.params.get("fl", "")).split(",")
+            if c.strip() and c.strip() not in ("score", "doc_id")
+        ]
+        if fl_cols:
+            res = res.join(docs.select("doc_id", *fl_cols), "doc_id")
+        return res.orderBy("rank").select(
+            "doc_id", *fl_cols, "score"
+        )
+    if name == "shortestPath":
+        # shortestPath(collection, from=, to=, edge="srcField=dstField",
+        # maxDepth=): Solr's breadth-first shortest-path stream source —
+        # returns ALL shortest paths as tuples with a ``path`` array.
+        # Level-synchronous BFS with the graph_qp discipline: per-hop
+        # localCheckpoint keeps lineage O(1); nodes reached at an
+        # earlier level are anti-joined away (they cannot lie on a
+        # shortest path through this level); NO broadcast hint on the
+        # frontier — it is query-dependent and unbounded, AQE promotes
+        # small builds on its own. threads=/partitionSize= are accepted
+        # and ignored: Spark owns physical parallelism.
+        tbl = expr.args[0].name
+        if tbl not in tables:
+            raise ValueError(f"unknown collection {tbl!r} "
+                             f"(registered: {sorted(tables)})")
+        me = re.match(r"^\s*([\w.]+)\s*=\s*([\w.]+)\s*$",
+                      str(expr.params["edge"]))
+        if not me:
+            raise ValueError('edge must be "srcField=dstField", got '
+                             f"{expr.params['edge']!r}")
+        src, dst = me.group(1), me.group(2)
+        start, goal = str(expr.params["from"]), str(expr.params["to"])
+        max_depth = int(expr.params.get("maxDepth", 6))
+        spark = tables[tbl].sparkSession
+        edges = (
+            tables[tbl]
+            .select(F.col(src).cast("string").alias("__s"),
+                    F.col(dst).cast("string").alias("__d"))
+            .where(F.col("__s").isNotNull() & F.col("__d").isNotNull())
+            .distinct()
+        )
+        empty = spark.createDataFrame([], "path array<string>")
+        if start == goal:
+            return spark.createDataFrame([([start],)],
+                                         "path array<string>")
+        frontier = spark.createDataFrame(
+            [(start, [start])], "node string, path array<string>"
+        )
+        visited = frontier.select("node")
+        for _depth in range(max_depth):
+            nxt = (
+                frontier.join(edges, frontier["node"] == edges["__s"])
+                .select(
+                    F.col("__d").alias("node"),
+                    F.concat(F.col("path"),
+                             F.array(F.col("__d"))).alias("path"),
+                )
+                .join(visited, "node", "left_anti")
+                .localCheckpoint()
+            )
+            hits = nxt.where(F.col("node") == goal).select("path")
+            if hits.limit(1).count() > 0:
+                return hits
+            if nxt.limit(1).count() == 0:
+                return empty
+            visited = visited.union(
+                nxt.select("node").distinct()
+            ).localCheckpoint()
+            frontier = nxt
+        return empty
+    if name == "update":
+        # update(destCollection, <batch stream>): Solr's indexing sink —
+        # the batch upserts into the destination (Lucene
+        # delete-then-add, index/maintenance.upsert_docs) and the
+        # stream yields the summary tuple. EAGER on purpose (the one
+        # side-effecting stream function, like Solr's): the registered
+        # index AND stored-field collection are replaced in the
+        # caller's dicts so later expressions see the new docs.
+        # batchSize= is accepted and ignored (a set-oriented upsert has
+        # no client-side batching).
+        tbl = expr.args[0].name
+        idx = (indexes or {}).get(tbl)
+        if tbl not in tables or idx is None:
+            raise ValueError(
+                f"update({tbl}): needs the collection AND an "
+                "InvertedIndex registered (pass indexes={name: index})"
+            )
+        from solrtexttagger_spark.index.maintenance import upsert_docs
+
+        batch = compile_stream(expr.args[1], tables, indexes)
+        n = batch.count()
+        spark = tables[tbl].sparkSession
+        if n > 0:  # an empty pull (e.g. a drained topic) is a no-op
+            indexes[tbl] = upsert_docs(indexes[tbl], batch)
+            old = tables[tbl]
+            tables[tbl] = (
+                old.join(batch.select("doc_id"), "doc_id", "left_anti")
+                .unionByName(batch, allowMissingColumns=True)
+            )
+        return spark.createDataFrame(
+            [(int(n), int(indexes[tbl].doc_count))],
+            "batchIndexed long, totalIndexed long",
+        )
+    if name == "scoreNodes":
+        # scoreNodes(<nodes stream with count(*)>, collection=, field=):
+        # Solr's node-relevance scorer — nodeScore = tf * idf where tf
+        # is the gather count and idf = log((numDocs+1)/(docFreq+1))
+        # over the named collection/field. Solr reads collection+field
+        # from per-tuple stream context; this compiler takes them as
+        # explicit params (documented deviation — the tuple context is
+        # a serving-protocol artifact). All-lazy: numDocs rides in as a
+        # scalar crossJoin, docFreq as one aggregate join; no broadcast
+        # hint (the node set is query-dependent, AQE decides).
+        inner = sub()
+        if "count(*)" not in inner.columns:
+            raise ValueError(
+                "scoreNodes needs a nodes(..., count(*)) input "
+                f"(got columns {inner.columns})"
+            )
+        tbl = expr.params["collection"]
+        if tbl not in tables:
+            raise ValueError(f"unknown collection {tbl!r} "
+                             f"(registered: {sorted(tables)})")
+        fld = str(expr.params["field"])
+        coll = tables[tbl]
+        dfreq = (
+            coll.where(F.col(fld).isNotNull())
+            .groupBy(F.col(fld).cast("string").alias("node"))
+            .agg(F.count("*").cast("long").alias("__df"))
+        )
+        ndocs = coll.agg(F.count("*").cast("long").alias("__n"))
+        return (
+            inner.join(dfreq, "node", "left")
+            .crossJoin(ndocs)
+            .select(
+                "node",
+                F.col("count(*)"),
+                F.coalesce(F.col("__df"), F.lit(0)).alias("docFreq"),
+                F.round(
+                    F.col("count(*)")
+                    * F.log((F.col("__n") + F.lit(1.0))
+                            / (F.coalesce(F.col("__df"), F.lit(0))
+                               + F.lit(1.0))),
+                    4,
+                ).alias("nodeScore"),
+            )
+        )
+    if name == "topic":
+        # topic(checkpointCollection, collection, id=, version_field=,
+        # fl=, fq=): Solr's one-time pub-sub pull — return the rows
+        # whose version is ABOVE the stored checkpoint, then advance
+        # it. The checkpoint collection is a registered table name
+        # (created on first pull, like Solr creates checkpoint docs);
+        # EAGER like update: the returned delta is pinned
+        # (localCheckpoint) so the advancing write cannot change it.
+        # daemon(update(d, topic(...))) is Solr's continuous-ingest
+        # idiom and works here unchanged.
+        ckpt_tbl = expr.args[0].name
+        tbl = expr.args[1].name
+        if tbl not in tables:
+            raise ValueError(f"unknown collection {tbl!r} "
+                             f"(registered: {sorted(tables)})")
+        topic_id = str(expr.params.get("id", "topic"))
+        vfld = str(expr.params.get("version_field", "version"))
+        spark = tables[tbl].sparkSession
+        prev = -(1 << 62)
+        if ckpt_tbl in tables:
+            row = (
+                tables[ckpt_tbl]
+                .where(F.col("topic_id") == topic_id)
+                .agg(F.max("checkpoint").alias("c"))
+                .collect()
+            )
+            if row and row[0]["c"] is not None:
+                prev = int(row[0]["c"])
+        df = tables[tbl].where(F.col(vfld).cast("long") > F.lit(prev))
+        if "fq" in expr.params:
+            df = df.where(F.expr(expr.params["fq"]))
+        # pin the delta BEFORE the fl projection: the checkpoint
+        # advance needs the version column even when fl drops it
+        full = df.localCheckpoint()
+        delta = full
+        if "fl" in expr.params:
+            delta = full.select(
+                *[c.strip() for c in expr.params["fl"].split(",")]
+            )
+        mx = full.agg(F.max(F.col(vfld).cast("long")).alias("m")).collect()
+        new_ckpt = int(mx[0]["m"]) if mx and mx[0]["m"] is not None else prev
+        ck_row = spark.createDataFrame(
+            [(topic_id, new_ckpt)], "topic_id string, checkpoint long"
+        )
+        if ckpt_tbl in tables:
+            tables[ckpt_tbl] = (
+                tables[ckpt_tbl]
+                .where(F.col("topic_id") != topic_id)
+                .unionByName(ck_row)
+                .localCheckpoint()
+            )
+        else:
+            tables[ckpt_tbl] = ck_row.localCheckpoint()
+        return delta
+    if name == "daemon":
+        # daemon(<inner stream>, id=, runInterval=): Solr's resident
+        # re-runner — registers a Daemon that re-compiles + iterates
+        # the INNER expression each run (so daemon(update(d,
+        # topic(ck, src, ...))) ingests each run's new rows, Solr's
+        # continuous-ingest idiom). Like Solr, the call itself returns
+        # the daemon's status tuple; the registry (DAEMONS) is the
+        # /stream admin surface (action=list/stop). run_once() is the
+        # deterministic unit tests drive; start() spins the interval
+        # thread for parity.
+        inner_arg = next(
+            a for a in expr.args
+            if isinstance(a, Expr) and (a.args or a.params)
+        )
+        did = str(expr.params.get("id", "daemon"))
+        interval_ms = int(expr.params.get("runInterval", 1000))
+        d = Daemon(inner_arg, tables, indexes, did, interval_ms)
+        DAEMONS[did] = d
+        spark = next(iter(tables.values())).sparkSession
+        return spark.createDataFrame(
+            [(did, "STOPPED", interval_ms, 0)],
+            "id string, state string, runInterval long, iterations long",
+        )
     if name == "merge":
         parts = [compile_stream(a, tables, indexes) for a in expr.args]
         out = parts[0]
@@ -483,6 +864,66 @@ def compile_stream(
             out = out.orderBy(*_sort_cols(expr.params["on"]))
         return out
     raise ValueError(f"unknown stream function {name!r}")
+
+
+class Daemon:
+    """One registered ``daemon(...)``: re-compiles and iterates its
+    inner stream expression on demand (``run_once``) or on an interval
+    thread (``start``/``stop``). Holds the SAME tables/indexes dicts
+    the expression was compiled against, so side-effecting inners
+    (update's index rebinding, topic's checkpoint advance) carry state
+    between runs exactly like Solr's daemon wrapping update(topic(...)).
+    """
+
+    def __init__(self, expr: Expr, tables, indexes, daemon_id: str,
+                 run_interval_ms: int):
+        self._expr = expr
+        self._tables = tables
+        self._indexes = indexes
+        self.id = daemon_id
+        self.run_interval_ms = run_interval_ms
+        self.iterations = 0
+        self.state = "STOPPED"
+        self.last_result = None
+        self._stop_evt = None
+        self._thread = None
+
+    def run_once(self):
+        """One daemon iteration: compile + fully iterate the inner
+        stream (Solr's daemon drains its inner tuple stream each run).
+        Returns the collected rows."""
+        out = compile_stream(self._expr, self._tables, self._indexes)
+        rows = out.collect()
+        self.iterations += 1
+        self.last_result = rows
+        return rows
+
+    def start(self):
+        import threading
+
+        if self._thread is not None:
+            return
+        self.state = "RUNNING"
+        self._stop_evt = threading.Event()
+
+        def loop():
+            while not self._stop_evt.wait(self.run_interval_ms / 1000.0):
+                self.run_once()
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        if self._stop_evt is not None:
+            self._stop_evt.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        self._thread = None
+        self.state = "STOPPED"
+
+
+#: /stream admin surface: id -> Daemon (action=list/start/stop twin)
+DAEMONS: dict[str, Daemon] = {}
 
 
 def stream(

@@ -631,3 +631,69 @@ def _marker_members_local(
         )
     members.sort(key=lambda x: (-x[0], x[1]))
     return [t for _df, t in members]
+
+
+def significant_terms(
+    index: InvertedIndex,
+    q: str,
+    *,
+    spark=None,
+    min_doc_freq: float = 5,
+    max_doc_freq: float = 0.3,
+    limit: int = 20,
+    round_to: int = 4,
+) -> DataFrame:
+    """Solr ``significantTerms`` stream source: terms over-represented
+    in the FOREGROUND (docs matching ``q``) relative to the corpus
+    BACKGROUND. Returns (term, foreground, background, score) — Solr's
+    tuple shape — top ``limit`` by (score desc, term asc).
+
+    ``min_doc_freq``/``max_doc_freq`` bound the BACKGROUND df like
+    Solr's knobs: values < 1.0 are corpus fractions, >= 1.0 absolute
+    counts. The score is the documented lift
+    ``(fg/n_fg) * ln(1 + (fg/n_fg)/(bg/n_bg))`` — foreground rate
+    weighted by log-lift over the background rate (Solr's exact
+    significance formula is an implementation detail of its plugin;
+    this one is monotone in the same fg-up/bg-down sense and is pinned
+    cross-engine by the DuckDB mirror).
+
+    Plan shape: the foreground match set semi-joins ONE postings
+    explode restricted to df-bounded terms (the bounds prune BEFORE the
+    explode — background df lives in the tiny term_stats relation), one
+    partial-agg groupBy, TakeOrdered limit. Nothing corpus-wide except
+    the term_stats scan."""
+    from solrtexttagger_spark.search.boolean import boolean_matched_scores
+
+    spark = spark or index.postings.sparkSession
+    n_bg = index.doc_count
+    min_df = int(min_doc_freq * n_bg) if min_doc_freq < 1 else int(min_doc_freq)
+    max_df = int(max_doc_freq * n_bg) if max_doc_freq <= 1 else int(max_doc_freq)
+    fg_docs = boolean_matched_scores(index, [(0, q)], spark=spark).select(
+        "doc_id"
+    )
+    n_fg = fg_docs.count()
+    if n_fg == 0:
+        schema = "term string, foreground long, background long, score double"
+        return spark.createDataFrame([], schema)
+    eligible = index.term_stats.where(
+        (F.col("df") >= min_df) & (F.col("df") <= max_df)
+    ).select("term", F.col("df").alias("background"))
+    # no broadcast HINT on eligible: it is vocabulary-sized (unbounded
+    # at 100 TB) — Catalyst/AQE promote it to broadcast when measured
+    # small, exactly the round-9 join_qp/graph_qp discipline
+    fg = (
+        index.postings.join(eligible.select("term"), "term")
+        .select("term", F.explode("postings.doc_id").alias("doc_id"))
+        .join(fg_docs, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("foreground"))
+    )
+    fg_rate = F.col("foreground") / F.lit(float(n_fg))
+    bg_rate = F.col("background") / F.lit(float(n_bg))
+    scored = fg.join(eligible, "term").withColumn(
+        "score", F.round(fg_rate * F.log(F.lit(1.0) + fg_rate / bg_rate),
+                         round_to)
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    ).limit(limit).select("term", "foreground", "background", "score")

@@ -400,3 +400,386 @@ class TestRound9Functions:
             'over="host", sum(bytes))', tables,
         ).collect()
         assert sorted(map(tuple, out.collect())) == sorted(map(tuple, base))
+
+
+class TestGraphAndSignificance:
+    """significantTerms (fg-vs-bg lift over the index) and nodes
+    (gatherNodes one-hop walks), each vs a DuckDB mirror."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        from solrtexttagger_spark.index.build import build_index
+
+        rows = [
+            (0, "spark join merge plan", "alice", "bob"),
+            (1, "merge sort stream plan", "bob", "carol"),
+            (2, "window scan plan", "carol", "dave"),
+            (3, "join merge window", "dave", None),
+            (4, "scan scan scan", "erin", "alice"),
+            (5, "plan plan join", "alice", "carol"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, author string, reviewer string"
+        )
+        idx = build_index(docs.select("doc_id", "text"), num_segments=2)
+        idx.postings.persist().count()
+        yield docs, idx, rows
+        idx.postings.unpersist()
+
+    def test_significant_terms_vs_duckdb(self, spark, corpus):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        docs, idx, rows = corpus
+        out = stream(
+            'significantTerms(d, q="merge", minDocFreq=1, maxDocFreq=1.0, '
+            'limit=5)',
+            {"d": docs}, indexes={"d": idx},
+        ).collect()
+        got = [(r["term"], r["foreground"], r["background"],
+                r["score"]) for r in out]
+        con = duckdb.connect()
+        con.sql("CREATE TABLE d AS SELECT * FROM (VALUES "
+                + ",".join(f"({i},'{t}')" for i, t, _a, _r in rows)
+                + ") v(doc_id, text)")
+        want = con.sql("""
+WITH tok AS (
+  SELECT DISTINCT doc_id, w AS term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM d)
+),
+bg AS (SELECT term, count(*)::BIGINT AS background FROM tok GROUP BY 1),
+fgd AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'),
+fg AS (SELECT term, count(*)::BIGINT AS foreground
+       FROM tok JOIN fgd USING (doc_id) GROUP BY 1),
+n AS (SELECT (SELECT count(*) FROM d)::DOUBLE AS nbg,
+             (SELECT count(*) FROM fgd)::DOUBLE AS nfg)
+SELECT term, foreground, background,
+       round((foreground / nfg) * ln(1 + (foreground / nfg) /
+             (background / nbg)), 4) AS score
+FROM fg JOIN bg USING (term), n
+ORDER BY score DESC, term ASC LIMIT 5
+""").fetchall()
+        assert got == [tuple(r) for r in want]
+
+    def test_nodes_one_hop_and_nested(self, spark, corpus):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        docs, idx, rows = corpus
+        # 1 hop: reviewers of alice's docs
+        one = stream(
+            'nodes(d, search(d, q="*:*", fq="author = \'alice\'", '
+            'fl="doc_id,author,reviewer"), '
+            'walk="reviewer->author", gather="author")',
+            {"d": docs},
+        ).collect()
+        # alice reviews to bob (doc0), carol (doc5) -> docs authored by
+        # bob/carol -> authors {bob, carol}
+        assert sorted(r["node"] for r in one) == ["bob", "carol"]
+        # nested: a second hop from those authors' reviewers
+        two = stream(
+            'nodes(d, nodes(d, search(d, q="*:*", fq="author = \'alice\'", '
+            'fl="doc_id,author,reviewer"), '
+            'walk="reviewer->author", gather="reviewer"), '
+            'walk="node->author", gather="author")',
+            {"d": docs},
+        ).collect()
+        # hop1 gathers reviewers of bob/carol docs: carol (doc1), dave
+        # (doc2); hop2 walks node->author: docs authored by carol/dave
+        # -> {carol, dave}
+        assert sorted(r["node"] for r in two) == ["carol", "dave"]
+
+
+EDGES = [("a", "b"), ("b", "c"), ("a", "d"), ("d", "c"), ("c", "e"),
+         ("e", "a"), ("b", "e"), ("x", "y")]
+
+
+class TestRound9Sources:
+    """random / shortestPath / let-get / knnSearch / update — the
+    round-9 second wave of stream sources, DuckDB-mirrored where the
+    semantics are SQL-expressible."""
+
+    @pytest.fixture(scope="class")
+    def graph_tables(self, spark):
+        return {
+            "edges": spark.createDataFrame(EDGES, "src string, dst string"),
+        }
+
+    def test_random_deterministic_sample_vs_duckdb(self, spark, tables):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        got = [
+            tuple(r)
+            for r in stream(
+                'random(logs, q="*:*", fq="status = 200", rows=7, '
+                'fl="id,host", seed="42")',
+                tables,
+            ).collect()
+        ]
+        con = _con()
+        want = [
+            tuple(r)
+            for r in con.sql(
+                "SELECT id, host FROM logs WHERE status = 200 "
+                "ORDER BY md5(concat_ws(chr(31), '42', "
+                "id::VARCHAR, host)) ASC LIMIT 7"
+            ).fetchall()
+        ]
+        assert got == want
+        # a different seed draws a different (still deterministic) set
+        again = [
+            tuple(r)
+            for r in stream(
+                'random(logs, q="*:*", fq="status = 200", rows=7, '
+                'fl="id,host", seed="7")',
+                tables,
+            ).collect()
+        ]
+        assert again != got and len(again) == 7
+
+    def test_shortest_path_all_paths_vs_duckdb_cte(self, spark,
+                                                   graph_tables):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        got = sorted(
+            tuple(r["path"])
+            for r in stream(
+                'shortestPath(edges, from="a", to="c", edge="src=dst", '
+                "maxDepth=4)",
+                graph_tables,
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.sql(
+            "CREATE TABLE edges AS SELECT * FROM (VALUES "
+            + ",".join(f"('{s}','{d}')" for s, d in EDGES)
+            + ") v(src, dst)"
+        )
+        want = sorted(
+            tuple(r[0])
+            for r in con.sql("""
+WITH RECURSIVE walk AS (
+  SELECT 'a' AS node, ['a'] AS path, 0 AS depth
+  UNION ALL
+  SELECT e.dst, list_append(w.path, e.dst), w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.depth < 4 AND NOT list_contains(w.path, e.dst)
+),
+hits AS (SELECT path, depth FROM walk WHERE node = 'c')
+SELECT path FROM hits WHERE depth = (SELECT min(depth) FROM hits)
+""").fetchall()
+        )
+        # BOTH depth-2 paths survive: a->b->c and a->d->c (the
+        # all-shortest-paths property — same-level frontier rows are
+        # never pruned against each other)
+        assert got == want == [("a", "b", "c"), ("a", "d", "c")]
+        # unreachable and self cases
+        assert stream(
+            'shortestPath(edges, from="a", to="y", edge="src=dst", '
+            "maxDepth=4)",
+            graph_tables,
+        ).count() == 0
+        self_p = stream(
+            'shortestPath(edges, from="c", to="c", edge="src=dst", '
+            "maxDepth=4)",
+            graph_tables,
+        ).collect()
+        assert [tuple(r["path"]) for r in self_p] == [("c",)]
+
+    def test_let_get_scoped_bindings_vs_duckdb(self, spark, tables):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        got = sorted(
+            tuple(r)
+            for r in stream(
+                'let(a=search(logs, q="*:*", fq="status = 200", '
+                'fl="host,bytes"), '
+                'rollup(get(a), over="host", sum(bytes)))',
+                tables,
+            ).collect()
+        )
+        con = _con()
+        want = sorted(
+            tuple(r)
+            for r in con.sql(
+                "SELECT host, CAST(sum(bytes) AS DOUBLE) FROM logs "
+                "WHERE status = 200 GROUP BY host"
+            ).fetchall()
+        )
+        assert got == want
+        # bindings are scoped: "a" is NOT registered after the call
+        with pytest.raises(ValueError, match="unknown collection"):
+            stream('search(a, q="*:*")', tables).collect()
+
+    def test_evaluator_passthrough_functions(self, spark, tables):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        out = stream(
+            'select(search(logs, q="*:*", fq="id = 3", '
+            'fl="id,host,bytes"), '
+            '"pow(id, 2) as sq", "concat(host, upper(host)) as hh", '
+            '"length(host) as lh")',
+            tables,
+        ).collect()
+        assert [tuple(r) for r in out] == [(9.0, "host0HOST0", 5)]
+
+
+class TestKnnAndUpdate:
+    @pytest.fixture()
+    def corpus(self, spark):
+        from solrtexttagger_spark.index.build import build_index
+
+        rows = [
+            (0, "spark join merge plan"),
+            (1, "merge sort stream plan"),
+            (2, "window scan plan"),
+            (3, "join merge window"),
+            (4, "scan scan scan"),
+            (5, "plan plan join"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        idx = build_index(docs, num_segments=2)
+        return docs, idx
+
+    def test_knn_search_matches_mlt(self, spark, corpus):
+        from solrtexttagger_spark.search.mlt import more_like_this
+        from solrtexttagger_spark.search.streaming_expr import stream
+        from pyspark.sql import functions as F
+
+        docs, idx = corpus
+        got = [
+            tuple(r)
+            for r in stream(
+                'knnSearch(d, id=0, qf="text", rows=3, fl="text")',
+                {"d": docs}, indexes={"d": idx},
+            ).collect()
+        ]
+        want = (
+            more_like_this(idx, docs, [0], k=3)
+            .join(docs, "doc_id")
+            .orderBy("rank")
+            .select("doc_id", "text", F.round("score", 4).alias("score"))
+            .collect()
+        )
+        assert got == [tuple(r) for r in want]
+        assert all(r[0] != 0 for r in got)  # self excluded
+        assert len(got) == 3
+
+    def test_update_sink_upserts_and_rebinds(self, spark, corpus):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        docs, idx = corpus
+        tables = {"d": docs,
+                  "batch": spark.createDataFrame(
+                      [(5, "tungsten codegen"), (6, "arrow batch")],
+                      "doc_id long, text string")}
+        indexes = {"d": idx}
+        out = stream("update(d, search(batch, q=\"*:*\"))",
+                     tables, indexes=indexes).collect()
+        assert [tuple(r) for r in out] == [(2, 7)]  # 1 replace + 1 add
+        # the registered collection and index both see the new state
+        assert tables["d"].count() == 7
+        assert tables["d"].where("doc_id = 5").collect()[0]["text"] == \
+            "tungsten codegen"
+        hits = stream('search(d, q="arrow", fl="doc_id")',
+                      tables, indexes=indexes).collect()
+        assert [r["doc_id"] for r in hits] == [6]
+
+
+class TestLifecycleStreams:
+    """topic (checkpointed pull), daemon (re-runner), nodes count(*) +
+    scoreNodes — the Solr continuous-ingest and graph-relevance
+    surface."""
+
+    def test_nodes_count_and_score_nodes_vs_duckdb(self, spark):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        rows = [(0, "alice", "bob"), (1, "alice", "carol"),
+                (2, "bob", "carol"), (3, "carol", "bob"),
+                (4, "alice", "bob"), (5, "dave", "erin")]
+        tables = {"d": spark.createDataFrame(
+            rows, "doc_id long, author string, reviewer string")}
+        expr = ('scoreNodes(nodes(d, search(d, q="*:*", '
+                'fq="author = \'alice\'", fl="doc_id,author,reviewer"), '
+                'walk="reviewer->author", gather="author", count(*)), '
+                'collection="d", field="author")')
+        got = sorted(tuple(r) for r in stream(expr, tables).collect())
+        con = duckdb.connect()
+        con.sql("CREATE TABLE d AS SELECT * FROM (VALUES "
+                + ",".join(f"({i},'{a}','{r}')" for i, a, r in rows)
+                + ") v(doc_id, author, reviewer)")
+        want = sorted(tuple(r) for r in con.sql("""
+WITH fr AS (SELECT DISTINCT reviewer AS author FROM d
+            WHERE author = 'alice'),
+g AS (SELECT d.author AS node, count(*)::BIGINT AS cnt
+      FROM d JOIN fr USING (author) GROUP BY 1),
+df AS (SELECT author AS node, count(*)::BIGINT AS docFreq
+       FROM d GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS nd FROM d)
+SELECT g.node, g.cnt, df.docFreq,
+       round(g.cnt * ln((n.nd + 1) / (df.docFreq + 1)), 4) AS score
+FROM g JOIN df USING (node), n
+""").fetchall())
+        assert got == want and len(got) == 2  # bob, carol
+
+    def test_topic_checkpointed_pull(self, spark):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        tables = {"src": spark.createDataFrame(
+            [(0, 10, "a"), (1, 20, "b"), (2, 30, "c")],
+            "doc_id long, version long, text string")}
+        first = stream('topic(ck, src, id="t1", version_field="version", '
+                       'fl="doc_id,text")', tables).collect()
+        assert sorted(r["doc_id"] for r in first) == [0, 1, 2]
+        # drained: nothing above the advanced checkpoint
+        assert stream('topic(ck, src, id="t1", '
+                      'version_field="version")', tables).count() == 0
+        # new rows arrive; only they come back
+        tables["src"] = tables["src"].unionByName(
+            spark.createDataFrame([(3, 40, "d")],
+                                  "doc_id long, version long, text string"))
+        third = stream('topic(ck, src, id="t1", version_field="version", '
+                       'fl="doc_id,text")', tables).collect()
+        assert [r["doc_id"] for r in third] == [3]
+        # independent topic ids keep independent checkpoints
+        other = stream('topic(ck, src, id="t2", '
+                       'version_field="version")', tables)
+        assert other.count() == 4
+
+    def test_daemon_update_topic_ingest_loop(self, spark):
+        from solrtexttagger_spark.index.build import build_index
+        from solrtexttagger_spark.search.streaming_expr import (
+            DAEMONS, stream,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "spark join plan"), (1, "merge sort plan")],
+            "doc_id long, text string")
+        tables = {
+            "d": docs,
+            "src": spark.createDataFrame(
+                [(2, 1, "tungsten codegen")],
+                "doc_id long, version long, text string"),
+        }
+        indexes = {"d": build_index(docs, num_segments=2)}
+        status = stream(
+            'daemon(update(d, select(topic(ck, src, id="ing", '
+            'version_field="version"), "doc_id", "text")), '
+            'id="ing", runInterval=50)',
+            tables, indexes=indexes,
+        ).collect()
+        assert [tuple(r) for r in status] == [("ing", "STOPPED", 50, 0)]
+        d = DAEMONS["ing"]
+        out1 = d.run_once()
+        assert [tuple(r) for r in out1] == [(1, 3)]
+        # drained second run: no-op upsert, totals unchanged
+        out2 = d.run_once()
+        assert [tuple(r) for r in out2] == [(0, 3)] and d.iterations == 2
+        # feed one more row; the third run ingests exactly it
+        tables["src"] = tables["src"].unionByName(
+            spark.createDataFrame([(3, 2, "arrow batch")],
+                                  "doc_id long, version long, text string"))
+        out3 = d.run_once()
+        assert [tuple(r) for r in out3] == [(1, 4)]
+        hits = stream('search(d, q="arrow", fl="doc_id")',
+                      tables, indexes=indexes).collect()
+        assert [r["doc_id"] for r in hits] == [3]
+        del DAEMONS["ing"]
