@@ -472,6 +472,21 @@ def main() -> None:
 
     timed("q2o_join_blockjoin_suggest", join_surfaces)
 
+    # q2p: the round-9 driver-entried surfaces — {!graph} BFS closure
+    # (per-hop driver loop: the iteration count grows ~log2(n) with the
+    # corpus), /export (full sorted match set through one range
+    # exchange, materialized via count), and the /stream compiler with
+    # a TEXT query (select(rollup(search(q=...)))). Each runs exactly
+    # the driver-entry shape so the metric tracks what the 3-scale
+    # correctness gate pins.
+    def graph_export_stream():
+        n = em.q_graph_closure(spark, sf_dir).count()
+        n += em.q_export_sorted(spark, sf_dir).count()
+        n += em.q_stream_rollup(spark, sf_dir).count()
+        return n
+
+    timed("q2p_graph_export_stream", graph_export_stream)
+
     # q2c: single-query p50/p95 latency, split COLD (caches reset — every
     # query pays its term-metadata job) vs WARM (identical second pass
     # over populated caches). BASELINE.md target metric: top-k query p95.
