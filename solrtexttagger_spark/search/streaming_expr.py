@@ -863,6 +863,26 @@ def compile_stream(
         if "on" in expr.params:
             out = out.orderBy(*_sort_cols(expr.params["on"]))
         return out
+    if name in ("list", "plist"):
+        # Solr list(a, b, ...) iterates its streams sequentially and
+        # concatenates the tuples; plist opens them in parallel. A
+        # Spark union IS the parallel open (stages of independent
+        # children run concurrently), so both compile to one
+        # unionByName — missing columns null-fill, like Solr's
+        # heterogeneous tuple lists.
+        parts = [compile_stream(a, tables, indexes) for a in expr.args]
+        if not parts:
+            raise ValueError(f"{name} needs at least one stream")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+    if name == "echo":
+        # echo("text"): Solr's diagnostic one-tuple source
+        spark = next(iter(tables.values())).sparkSession
+        return spark.createDataFrame(
+            [(str(expr.args[0] if expr.args else ""),)], "echo string"
+        )
     raise ValueError(f"unknown stream function {name!r}")
 
 

@@ -783,3 +783,116 @@ FROM g JOIN df USING (node), n
                       tables, indexes=indexes).collect()
         assert [r["doc_id"] for r in hits] == [3]
         del DAEMONS["ing"]
+
+
+class TestListPlistEcho:
+    def test_list_plist_union_heterogeneous(self, spark, tables):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        for fn in ("list", "plist"):
+            out = stream(
+                f'{fn}(search(logs, q="*:*", fq="id < 2", fl="id,host"), '
+                f'search(hosts, q="*:*", fq="region = \'ap\'"))',
+                tables,
+            ).collect()
+            # 2 log rows (null region) + 1 host row (null id)
+            assert len(out) == 3
+            assert {
+                (r["id"], r["host"], r["region"]) for r in out
+            } == {(0, "host0", None), (1, "host1", None),
+                  (None, "host9", "ap")}
+
+    def test_echo(self, spark, tables):
+        from solrtexttagger_spark.search.streaming_expr import stream
+
+        out = stream('echo("hello world")', tables).collect()
+        assert [tuple(r) for r in out] == [("hello world",)]
+
+
+class TestDaemonLifecycle:
+    def test_start_stop_interval_thread(self, spark, tables):
+        import time
+
+        from solrtexttagger_spark.search.streaming_expr import (
+            DAEMONS, stream,
+        )
+
+        stream(
+            'daemon(stats(search(logs, q="*:*"), count(*)), '
+            'id="ticker", runInterval=100)',
+            tables,
+        ).collect()
+        d = DAEMONS["ticker"]
+        assert d.state == "STOPPED" and d.iterations == 0
+        d.start()
+        assert d.state == "RUNNING"
+        deadline = time.time() + 15
+        while d.iterations < 1 and time.time() < deadline:
+            time.sleep(0.1)
+        d.stop()
+        assert d.state == "STOPPED"
+        assert d.iterations >= 1
+        assert [tuple(r) for r in d.last_result] == [(40,)]
+        ran = d.iterations
+        time.sleep(0.3)  # no further runs after stop
+        assert d.iterations == ran
+        del DAEMONS["ticker"]
+
+
+class TestParserProperty:
+    def test_parse_repr_roundtrip(self):
+        """Property: parse(expr) -> repr-ish serialization -> parse
+        yields the identical tree, over generated nested expressions."""
+        from solrtexttagger_spark.search.streaming_expr import (
+            Expr, parse_expression,
+        )
+
+        def ser(e):
+            if isinstance(e, str):
+                return '"' + e.replace('"', '\\"') + '"'
+            if not isinstance(e, Expr):
+                return repr(e)
+            inner = [ser(a) for a in e.args] + [
+                f"{k}={ser(v)}" if isinstance(v, (Expr, str))
+                else f"{k}={v}"
+                for k, v in e.params.items()
+            ]
+            return f"{e.name}({', '.join(inner)})"
+
+        def eq(a, b):
+            if isinstance(a, Expr) and isinstance(b, Expr):
+                return (a.name == b.name
+                        and len(a.args) == len(b.args)
+                        and all(eq(x, y) for x, y in zip(a.args, b.args))
+                        and set(a.params) == set(b.params)
+                        and all(eq(a.params[k], b.params[k])
+                                for k in a.params))
+            return a == b and type(a) is type(b)
+
+        import random as _rnd
+        rnd = _rnd.Random(9)
+        names = ["search", "rollup", "top", "sel", "f1", "f2"]
+        keys = ["q", "fq", "on", "over", "n", "walk"]
+
+        def gen(depth):
+            e = Expr(rnd.choice(names))
+            for _ in range(rnd.randint(0, 2)):
+                if depth > 0 and rnd.random() < 0.5:
+                    e.args.append(gen(depth - 1))
+                else:
+                    e.args.append(rnd.choice(
+                        ['a b"c', "plain", "x,y desc", "50"]))
+            for _ in range(rnd.randint(0, 2)):
+                k = rnd.choice(keys)
+                if depth > 0 and rnd.random() < 0.3:
+                    e.params[k] = gen(depth - 1)
+                elif rnd.random() < 0.5:
+                    e.params[k] = rnd.choice(["v 1", 'quo"te', "field asc"])
+                else:
+                    e.params[k] = rnd.choice([7, -3, 2.5])
+            return e
+
+        for _ in range(200):
+            t = gen(3)
+            s = ser(t)
+            assert eq(parse_expression(s), t), s
