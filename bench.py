@@ -487,6 +487,38 @@ def main() -> None:
 
     timed("q2p_graph_export_stream", graph_export_stream)
 
+    # q2q: the round-9 /select request router — three Solr param dicts
+    # through solr_select: a pure filter request ({!frange} q + fq +
+    # function sort + pseudo-field fl: one pushed-down scan, one rank
+    # window), a scored request (text q + fq + Solr-dialect bf fold),
+    # and a {!join score=max} request. Routing itself adds no jobs —
+    # this tracks that the front door stays as cheap as the operators
+    # it dispatches to.
+    def request_router():
+        from solrtexttagger_spark.search.request import solr_select
+
+        n = solr_select(None, docs, {
+            "q": "{!frange l=2}log(n_chars)",
+            "fq": "lang:(en fr)",
+            "q.op": "OR",
+            "sort": "div(n_chars, sum(doc_id, 1)) desc",
+            "fl": "ratio:div(n_chars, 100),lang",
+            "rows": "20",
+        }).count()
+        n += solr_select(idx, docs, {
+            "q": "merge scan",
+            "fq": "lang:en",
+            "bf": "log(sum(n_chars, 1))",
+            "rows": "20",
+        }, spark=spark).count()
+        n += solr_select(idx, docs, {
+            "q": "{!join from=source to=source score=max}merge",
+            "rows": "20",
+        }, spark=spark).count()
+        return n
+
+    timed("q2q_select_router", request_router)
+
     # q2c: single-query p50/p95 latency, split COLD (caches reset — every
     # query pays its term-metadata job) vs WARM (identical second pass
     # over populated caches). BASELINE.md target metric: top-k query p95.

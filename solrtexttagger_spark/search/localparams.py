@@ -381,6 +381,9 @@ def _parse_lucene(s: str, dtypes: dict, q_op: str) -> Column:
             f = eat()[1]
             eat()  # colon
             vkind, vtext = peek()
+            if f == "*" and vkind == "atom" and vtext == "*":
+                eat()  # Solr match-all *:*
+                return F.lit(True)
             if vkind == "lparen":
                 # field:(v1 v2 ...) value list under one field
                 eat()

@@ -1,0 +1,445 @@
+"""The /select request router — one Solr-shaped front door.
+
+Reference surface: Solr's SearchHandler receives ONE parameter map per
+request (``q fq fl sort start rows bf boost rq q.op defType`` ...) and
+wires the component chain from it; the reference repo's own handler is
+driven the same way (TaggerRequestHandler.java reads every knob from
+``req.getParams()``). Until now this engine exposed each component as a
+separate Python function — complete, but a Solr user migrating a client
+would have to re-plumb every request by hand. :func:`solr_select` takes
+the same parameter dict a Solr client sends and routes it across the
+existing operators:
+
+- ``q`` dispatches on local params (search/localparams.py): no local
+  params / ``{!lucene}`` -> the scored boolean path
+  (boolean.boolean_matched_scores — full Lucene clause family);
+  the filter-parser family (``{!term} {!terms} {!prefix} {!frange}
+  {!bool}``) -> a constant-score match set (Solr's non-scoring parsers
+  yield score 1.0); ``{!join}`` -> join_qp (inner query scored, score
+  modes folded); ``{!graph}`` -> graph_qp BFS (constant-score).
+  ``{!parent}``/``{!child}`` are NOT routable here: they need a
+  block-indexed child corpus (search/blockjoin.child_corpus), which a
+  flat ``docs_df`` cannot supply — the raise names the module.
+- ``fq`` (one string or a list) compiles through
+  localparams.solr_fq_column; on scored paths it becomes the
+  ``allowed_docs`` semi-join (restricts results, never scoring stats —
+  Lucene filter semantics), on filter paths a plain Catalyst predicate.
+- ``bf``/``boost`` accept the SOLR function-query dialect
+  (``recip(...)``, ``log(...)`` base-10, ...) translated by
+  localparams.solr_func_to_sql and folded ``(score + bf) * boost``
+  BEFORE the rank window, exactly like functions.boosted_topk.
+- ``sort`` is the full Solr grammar: comma-separated
+  ``<score|field|function()> asc|desc`` keys, functions in the Solr
+  dialect; ``doc_id`` ascending is the engine's stable final tie-break
+  (Solr's uniqueKey secondary).
+- ``fl`` supports ``*``, stored fields, ``score``, and PSEUDO-FIELDS
+  ``alias:function(...)`` (Solr's function projections) — computed
+  Catalyst-side on the page join, so the corpus scan still prunes to
+  exactly the referenced columns.
+- ``rq={!rerank reRankQuery=$rqq reRankDocs=N reRankWeight=w}`` routes
+  to functions.rerank_topk (reRankQuery: a ``{!func}`` local-params
+  query or bare function query, Solr dialect).
+- ``$name`` references anywhere in local params resolve against the
+  request map itself — Solr's parameter dereferencing.
+
+Spark-first shape: ONE postings pass builds the match set, ONE rank
+window orders it (the same partitionBy("query_id") exchange every
+scorer path uses), and the page — k rows — broadcasts into the corpus
+join for fl retrieval, so Catalyst prunes the docs scan to the
+referenced columns (select.py's discipline). Nothing here adds a
+shuffle the standalone operators didn't already have; the router is
+pure plan assembly, no driver materialization.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from solrtexttagger_spark.index.build import InvertedIndex
+from solrtexttagger_spark.search.bm25 import B, K1
+from solrtexttagger_spark.search.boolean import boolean_matched_scores
+from solrtexttagger_spark.search.localparams import (
+    parse_local_params,
+    solr_fq_column,
+    solr_func_to_sql,
+)
+
+_IDENT = re.compile(r"[A-Za-z_][\w.]*$")
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parentheses and quotes (sort/fl params
+    carry function calls whose argument commas must not split)."""
+    out, buf, depth, quote = [], [], 0, None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf))
+    return [p.strip() for p in out if p.strip()]
+
+
+def parse_sort(sort: str) -> list[tuple[str, bool]]:
+    """Parse Solr's ``sort`` param into [(sql_expr, ascending)].
+
+    Keys are ``score``, a stored-field name, or a Solr function query;
+    each key REQUIRES an ``asc``/``desc`` direction (Solr 400s without
+    one). ``score`` maps to the ranking column; functions translate via
+    solr_func_to_sql."""
+    keys = []
+    for part in _split_top(sort):
+        m = re.match(r"^(.*?)\s+(asc|desc)$", part, re.I)
+        if not m:
+            raise ValueError(
+                f"sort key {part!r} needs an explicit asc|desc direction"
+            )
+        expr, direction = m.group(1).strip(), m.group(2).lower()
+        if expr != "score" and not _IDENT.match(expr):
+            expr = solr_func_to_sql(expr)
+        keys.append((expr, direction == "asc"))
+    if not keys:
+        raise ValueError("empty sort param")
+    return keys
+
+
+def parse_fl(fl) -> list[tuple[str, str]]:
+    """Parse Solr's ``fl`` param into [(alias, kind_or_expr)].
+
+    Entries: ``*`` (all stored fields), a field name, ``score``, an
+    ``alias:field`` rename, or a pseudo-field ``alias:function(...)``
+    in the Solr function dialect. Returns (alias, payload) pairs where
+    payload is ``"*"``, ``"score"``, a bare column name, or a SQL
+    expression string (distinguished by the caller via _IDENT)."""
+    if fl is None:
+        fl = "*"
+    parts = _split_top(fl) if isinstance(fl, str) else [
+        p for entry in fl for p in _split_top(entry)
+    ]
+    out = []
+    for part in parts:
+        if part in ("*", "score"):
+            out.append((part, part))
+            continue
+        m = re.match(r"^([A-Za-z_][\w.]*)\s*:\s*(.+)$", part)
+        if m:
+            alias, payload = m.group(1), m.group(2).strip()
+            if not _IDENT.match(payload):
+                payload = solr_func_to_sql(payload)
+            out.append((alias, payload))
+        else:
+            if not _IDENT.match(part):
+                raise ValueError(
+                    f"fl entry {part!r}: pseudo-fields need an alias "
+                    "(alias:function(...))"
+                )
+            out.append((part, part))
+    return out
+
+
+def _matched_relation(
+    index: InvertedIndex | None,
+    docs_df: DataFrame,
+    q: str,
+    params: dict,
+    *,
+    allowed_docs: DataFrame | None,
+    fq_pred,
+    q_op: str,
+    synonyms,
+    k1: float,
+    b: float,
+    id_col: str,
+    spark: SparkSession,
+) -> DataFrame:
+    """Dispatch ``q`` to its parser; return the FULL (query_id, doc_id,
+    score) match set, fq already applied, no rank window yet."""
+    qtype, lp, rest = parse_local_params(q, refs=params)
+
+    def _scored(text_q: str) -> DataFrame:
+        if index is None:
+            raise ValueError(
+                "a scored text query needs an InvertedIndex (index=None "
+                "routes only the filter-parser family)"
+            )
+        return boolean_matched_scores(
+            index, [(0, text_q)], k1=k1, b=b, allowed_docs=allowed_docs,
+            synonyms=synonyms, spark=spark,
+        )
+
+    if qtype in (None, "lucene", "edismax", "dismax"):
+        if rest.strip() == "*:*":
+            # Solr match-all: every (fq-surviving) doc at score 1.0
+            pred = fq_pred if fq_pred is not None else F.lit(True)
+            return docs_df.where(pred).select(
+                F.lit(0).alias("query_id"),
+                F.col(id_col).alias("doc_id"),
+                F.lit(1.0).alias("score"),
+            )
+        # edismax/dismax accepted: the clause subset this engine parses
+        # is shared; their extra params (qf/pf) are not routed yet
+        return _scored(rest)
+
+    if qtype in ("term", "terms", "prefix", "frange", "bool", "query"):
+        pred = solr_fq_column(docs_df, q, refs=params, q_op=q_op)
+        if fq_pred is not None:
+            pred = pred & fq_pred
+        return docs_df.where(pred).select(
+            F.lit(0).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.lit(1.0).alias("score"),
+        )
+
+    if qtype == "join":
+        from solrtexttagger_spark.search.join_qp import join_topk
+
+        inner = _scored_join_inner(
+            index, docs_df, rest, params, q_op=q_op, synonyms=synonyms,
+            k1=k1, b=b, id_col=id_col, spark=spark,
+        )
+        mode = lp.get("score", "none")
+        joined = join_topk(
+            inner, docs_df, docs_df,
+            from_col=lp["from"], to_col=lp["to"],
+            from_id=id_col, to_id=id_col, score=mode,
+            broadcast_values=lp.get("broadcast", "true") == "true",
+        )
+        if mode == "none":
+            matched = joined.select(
+                "query_id", F.col(id_col).alias("doc_id"),
+                F.lit(1.0).alias("score"),
+            )
+        else:
+            matched = joined.select(
+                "query_id", F.col(id_col).alias("doc_id"), "score"
+            )
+        if allowed_docs is not None:
+            matched = matched.join(
+                allowed_docs.select("doc_id"), "doc_id", "left_semi"
+            )
+        return matched
+
+    if qtype == "graph":
+        from solrtexttagger_spark.search.graph_qp import graph_traverse
+
+        roots = docs_df.where(
+            solr_fq_column(docs_df, rest, refs=params, q_op=q_op)
+        )
+        depth = int(lp.get("maxDepth", -1))
+        reached = graph_traverse(
+            roots, docs_df, from_col=lp["from"], to_col=lp["to"],
+            id_col=id_col, max_depth=depth,
+            traversal_filter=lp.get("traversalFilter"),
+            return_root=lp.get("returnRoot", "true") == "true",
+            return_only_leaf=(
+                lp.get("returnOnlyLeafNodes", "false") == "true"
+            ),
+        )
+        matched = reached.select(
+            F.lit(0).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.lit(1.0).alias("score"),
+        )
+        if allowed_docs is not None:
+            matched = matched.join(
+                allowed_docs.select("doc_id"), "doc_id", "left_semi"
+            )
+        return matched
+
+    if qtype in ("parent", "child"):
+        raise ValueError(
+            f"{{!{qtype}}} needs a block-indexed child corpus — build one "
+            "with search/blockjoin.child_corpus and call parents_topk/"
+            "children_of directly (a flat docs_df has no block structure)"
+        )
+
+    raise ValueError(f"unroutable q parser {{!{qtype}}}")
+
+
+def _scored_join_inner(index, docs_df, rest, params, *, q_op, synonyms,
+                       k1, b, id_col, spark) -> DataFrame:
+    """The {!join} inner query: a text query when an index is present
+    and the remainder isn't a filter-parser expression, else a
+    constant-score filter match set (Solr joins on filter queries just
+    as often as on scored ones)."""
+    inner_type, _ilp, _irest = parse_local_params(rest, refs=params)
+    if inner_type in ("term", "terms", "prefix", "frange", "bool"):
+        pred = solr_fq_column(docs_df, rest, refs=params, q_op=q_op)
+        return docs_df.where(pred).select(
+            F.lit(0).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.lit(1.0).alias("score"),
+        )
+    if index is None:
+        raise ValueError("{!join} with a scored inner query needs an index")
+    return boolean_matched_scores(
+        index, [(0, rest)], k1=k1, b=b, synonyms=synonyms, spark=spark,
+    )
+
+
+def solr_select(
+    index: InvertedIndex | None,
+    docs_df: DataFrame,
+    params: dict,
+    *,
+    synonyms: dict[str, list[str]] | None = None,
+    k1: float = K1,
+    b: float = B,
+    id_col: str = "doc_id",
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Run one Solr request-parameter dict end-to-end.
+
+    ``params`` uses Solr's names verbatim: ``q`` (required), ``fq``
+    (string or list), ``fl``, ``sort``, ``start``, ``rows``, ``bf``,
+    ``boost``, ``rq``, ``q.op``; unknown keys are inert but usable as
+    ``$ref`` targets (Solr's parameter dereferencing). Returns
+    (query_id, rank, doc_id, score, *fl) — ``rank`` is the absolute
+    post-sort position (start/rows paginated), ``score`` the ranking
+    value after bf/boost/rerank folding. ``index=None`` supports
+    corpora used only through the filter-parser family.
+
+    One rank window over the match set + one broadcast page join for
+    fl — the same physical shape as select.select_topk; see the module
+    docstring for the dispatch table."""
+    if "q" not in params:
+        raise ValueError("params needs q")
+    spark = spark or docs_df.sparkSession
+    q_op = params.get("q.op", "AND")
+    start = int(params.get("start", 0))
+    rows = int(params.get("rows", 10))
+
+    # fq: one conjunctive predicate; scored paths consume it as the
+    # allowed-docs semi-join relation, filter paths as the predicate
+    fq = params.get("fq")
+    fq_pred = None
+    allowed_docs = None
+    if fq:
+        for one in ([fq] if isinstance(fq, str) else list(fq)):
+            c = solr_fq_column(docs_df, one, refs=params, q_op=q_op)
+            fq_pred = c if fq_pred is None else (fq_pred & c)
+        allowed_docs = docs_df.where(fq_pred).select(
+            F.col(id_col).alias("doc_id")
+        )
+
+    matched = _matched_relation(
+        index, docs_df, params["q"], params,
+        allowed_docs=allowed_docs, fq_pred=fq_pred, q_op=q_op,
+        synonyms=synonyms, k1=k1, b=b, id_col=id_col, spark=spark,
+    )
+
+    # bf=/boost= in the Solr function dialect, folded pre-window
+    bf, boost = params.get("bf"), params.get("boost")
+    if bf is not None or boost is not None:
+        cols = [F.col(id_col).alias("doc_id")]
+        if bf is not None:
+            cols.append(
+                F.expr(solr_func_to_sql(bf)).cast("double").alias("__bf")
+            )
+        if boost is not None:
+            cols.append(
+                F.expr(solr_func_to_sql(boost)).cast("double")
+                .alias("__boost")
+            )
+        add = (F.coalesce(F.col("__bf"), F.lit(0.0))
+               if bf is not None else F.lit(0.0))
+        mul = (F.coalesce(F.col("__boost"), F.lit(1.0))
+               if boost is not None else F.lit(1.0))
+        matched = (
+            matched.join(docs_df.select(*cols), "doc_id", "left")
+            .withColumn("score", (F.col("score") + add) * mul)
+            .drop("__bf", "__boost")
+        )
+
+    # sort keys; non-score keys join their source columns from the
+    # corpus (projected to exactly the referenced columns)
+    sort_keys = parse_sort(params["sort"]) if "sort" in params else [
+        ("score", False)
+    ]
+    needs_fields = any(expr != "score" for expr, _ in sort_keys)
+    rel = matched
+    if needs_fields:
+        rel = matched.join(
+            docs_df.withColumnRenamed(id_col, "doc_id"), "doc_id", "left"
+        )
+    order = []
+    for expr, asc in sort_keys:
+        c = F.col("score") if expr == "score" else F.expr(expr)
+        order.append(c.asc() if asc else c.desc())
+    order.append(F.col("doc_id").asc())
+    w = Window.partitionBy("query_id").orderBy(*order)
+    ranked = rel.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("query_id", "rank", "doc_id", "score")
+
+    # rq: rerank the head BEFORE pagination (Solr reranks the top
+    # reRankDocs of the full ranking, then pages)
+    rq = params.get("rq")
+    if rq is not None:
+        from solrtexttagger_spark.search.functions import rerank_topk
+
+        rq_type, rq_lp, _ = parse_local_params(rq, refs=params)
+        if rq_type != "rerank":
+            raise ValueError(f"rq must be {{!rerank ...}}, got {rq!r}")
+        rqq = rq_lp["reRankQuery"]
+        f_type, _f_lp, f_rest = parse_local_params(rqq, refs=params)
+        if f_type not in (None, "func"):
+            raise ValueError(
+                "reRankQuery routes function queries only "
+                "({!func}... or a bare function)"
+            )
+        ranked = rerank_topk(
+            ranked, docs_df,
+            solr_func_to_sql(f_rest),
+            rerank_docs=int(rq_lp.get("reRankDocs", 200)),
+            weight=float(rq_lp.get("reRankWeight", 2.0)),
+            id_col=id_col,
+        )
+
+    page = ranked.where(
+        (F.col("rank") > start) & (F.col("rank") <= start + rows)
+    )
+
+    # fl projection: the page (<= rows per query) broadcasts into the
+    # corpus join; pseudo-fields evaluate on the joined relation
+    fl_entries = parse_fl(params.get("fl"))
+    stored = [f for f in docs_df.columns if f != id_col]
+    proj, seen = [], set()
+    for alias, payload in fl_entries:
+        if payload == "*":
+            for f_ in stored:
+                if f_ not in seen:
+                    seen.add(f_)
+                    proj.append(F.col(f_))
+        elif payload == "score" or alias in ("doc_id", id_col):
+            continue  # always emitted
+        elif alias not in seen:
+            seen.add(alias)
+            if _IDENT.match(payload) and payload in docs_df.columns:
+                proj.append(F.col(payload).alias(alias))
+            else:
+                proj.append(F.expr(payload).alias(alias))
+    if not proj:
+        return page.select("query_id", "rank", "doc_id", "score")
+    fields = docs_df.withColumnRenamed(id_col, "doc_id")
+    return (
+        fields.join(F.broadcast(page), "doc_id")
+        .select("query_id", "rank", "doc_id", "score", *proj)
+    )

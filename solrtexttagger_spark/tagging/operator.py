@@ -6,10 +6,14 @@ DataFrame of texts and runs the sequential per-document tagging loop
 dictionary shipped once per executor via a Spark broadcast (the in-memory
 FST analogue). Per-request features map as:
 
-  fq (filter queries, AND)    -> Spark SQL predicates on the dictionary docs
+  fq (filter queries, AND)    -> predicates on the dictionary docs
                                  DataFrame, pushed down BEFORE broadcast
                                  (reference: liveDocs bits,
-                                 TaggerRequestHandler.java:314-351)
+                                 TaggerRequestHandler.java:314-351);
+                                 Spark SQL strings by default, Solr fq
+                                 syntax ("type:city", "{!terms f=..}..")
+                                 under fq_dialect="solr"
+                                 (search/localparams.solr_fq_column)
   tagsLimit                   -> per-document collection stop (java:176)
   matchText                   -> substring column (java:192-193)
   id translation              -> broadcast join tags.doc_id -> docs.id
@@ -56,6 +60,7 @@ def tag(
     id_col: str = "qdoc_id",
     overlaps: str = "NO_SUB",
     fq: str | list[str] | None = None,
+    fq_dialect: str = "spark",
     ignore_stopwords: bool | None = None,
     tags_limit: int | None = 1000,
     min_taggable_len: int | None = None,
@@ -91,12 +96,25 @@ def tag(
         ignore_stopwords = dictionary.uses_stopwords
     stop = ENGLISH_STOP_WORDS if dictionary.uses_stopwords else None
 
+    if fq_dialect not in ("spark", "solr"):
+        raise ValueError(f"fq_dialect must be 'spark'|'solr', got {fq_dialect}")
     term_dict = dictionary.term_dict
     if fq:
         fqs = [fq] if isinstance(fq, str) else list(fq)
         live_df = dictionary.docs_df
         for predicate in fqs:  # AND semantics (TaggerTest.testMultipleFilterQueries)
-            live_df = live_df.filter(predicate)
+            if fq_dialect == "solr":
+                # Solr fq syntax — the reference handler's actual front
+                # door (TaggerRequestHandler.java:333-351 parses request
+                # fq strings through Solr's QParser framework); compiled
+                # by search/localparams.solr_fq_column
+                from solrtexttagger_spark.search.localparams import (
+                    solr_fq_column,
+                )
+
+                live_df = live_df.filter(solr_fq_column(live_df, predicate))
+            else:
+                live_df = live_df.filter(predicate)
         # driver collect of the live doc-id set: bounded by the same ~1e8
         # ceiling as the broadcast dictionary itself (this whole operator
         # presumes a broadcast-sized dictionary; beyond it, use tag_join,

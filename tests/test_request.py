@@ -1,0 +1,331 @@
+"""solr_select request router: one Solr param dict in, the composed
+page out.
+
+Two oracle disciplines, matching how the routed components are pinned:
+
+- filter-parser / sort / fl / pagination paths (no BM25) compare against
+  hand-written DuckDB SQL over the same documents parquet;
+- scored paths (plain q, bf/boost, rq, {!join}) pin ROW-IDENTITY against
+  the standalone operators they route to (boolean_bm25_topk,
+  boosted_topk, rerank_topk, join_topk) — each of which carries its own
+  DuckDB/driver oracle — so the router adds no semantics of its own.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from solrtexttagger_spark.search.request import (
+    parse_fl, parse_sort, solr_select,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    return con
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    """A small indexed corpus for the scored paths (same build the
+    boolean-path tests use)."""
+    from solrtexttagger_spark.index.build import build_index
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .where(F.col("doc_id") < 400)  # deterministic subset, DuckDB-mirrorable
+    )
+    df = df.persist()
+    df.count()
+    idx = build_index(df.select("doc_id", "text"), num_segments=4)
+    idx.postings.persist().count()
+    yield df, idx
+    idx.postings.unpersist()
+    df.unpersist()
+
+
+class TestParsers:
+    def test_parse_sort(self):
+        assert parse_sort("score desc") == [("score", False)]
+        assert parse_sort("n_chars asc, score desc") == [
+            ("n_chars", True), ("score", False)]
+        assert parse_sort("div(n_chars, sum(n_lines, 1)) desc") == [
+            ("(n_chars / (n_lines + 1))", False)]
+
+    def test_parse_sort_requires_direction(self):
+        with pytest.raises(ValueError, match="asc|desc"):
+            parse_sort("n_chars")
+
+    def test_parse_fl(self):
+        assert parse_fl(None) == [("*", "*")]
+        assert parse_fl("lang,score") == [("lang", "lang"),
+                                          ("score", "score")]
+        assert parse_fl("ratio:div(n_chars, 100)") == [
+            ("ratio", "(n_chars / 100)")]
+        assert parse_fl("alias:lang") == [("alias", "lang")]
+
+    def test_parse_fl_computed_needs_alias(self):
+        with pytest.raises(ValueError, match="alias"):
+            parse_fl("div(a, b)")
+
+
+class TestFilterPaths:
+    """q is a filter parser -> constant score, DuckDB row mirrors."""
+
+    def test_term_q_sorted_paged(self, docs, oracle):
+        got = solr_select(None, docs, {
+            "q": "{!term f=lang}en",
+            "sort": "n_chars desc",
+            "fl": "lang,n_chars",
+            "rows": "5",
+            "start": "2",
+        }).collect()
+        want = oracle.sql(
+            "SELECT doc_id, lang, n_chars FROM documents WHERE lang='en' "
+            "ORDER BY n_chars DESC, doc_id LIMIT 5 OFFSET 2"
+        ).fetchall()
+        got_sorted = sorted(got, key=lambda r: r["rank"])
+        assert [(r["doc_id"], r["lang"], r["n_chars"])
+                for r in got_sorted] == want
+        assert [r["rank"] for r in got_sorted] == [3, 4, 5, 6, 7]
+        assert all(r["score"] == 1.0 for r in got)
+
+    def test_lucene_fq_and_function_sort(self, docs, oracle):
+        got = solr_select(None, docs, {
+            "q": "{!bool must='n_chars:[100 TO *]'}",
+            "fq": ["lang:(en fr)"],
+            "q.op": "OR",
+            "sort": "div(n_chars, sum(doc_id, 1)) asc",
+            "fl": "n_chars",
+            "rows": "8",
+        }).collect()
+        want = oracle.sql(
+            "SELECT doc_id FROM documents WHERE n_chars >= 100 AND lang "
+            "IN ('en','fr') ORDER BY n_chars * 1.0 / (doc_id + 1), doc_id "
+            "LIMIT 8"
+        ).fetchall()
+        assert [r["doc_id"] for r in
+                sorted(got, key=lambda r: r["rank"])] == [
+            w[0] for w in want]
+
+    def test_frange_q_with_ref(self, docs, oracle):
+        got = solr_select(None, docs, {
+            "q": "{!frange l=$lo}field(n_chars)",
+            "lo": 350,
+            "sort": "n_chars asc",
+            "rows": "4",
+        }).collect()
+        want = oracle.sql(
+            "SELECT doc_id FROM documents WHERE n_chars >= 350 "
+            "ORDER BY n_chars, doc_id LIMIT 4"
+        ).fetchall()
+        assert [r["doc_id"] for r in
+                sorted(got, key=lambda r: r["rank"])] == [
+            w[0] for w in want]
+
+    def test_fl_pseudo_field(self, docs, oracle):
+        got = solr_select(None, docs, {
+            "q": "{!term f=source}src3",
+            "sort": "doc_id asc",
+            "fl": "ratio:div(n_chars, sum(doc_id, 1)),lang",
+            "rows": "6",
+        }).collect()
+        want = oracle.sql(
+            "SELECT doc_id, n_chars * 1.0 / (doc_id + 1), lang FROM "
+            "documents WHERE source='src3' ORDER BY doc_id LIMIT 6"
+        ).fetchall()
+        by_id = {r["doc_id"]: r for r in got}
+        assert sorted(by_id) == [w[0] for w in want]
+        for w in want:
+            assert by_id[w[0]]["ratio"] == pytest.approx(float(w[1]))
+            assert by_id[w[0]]["lang"] == w[2]
+
+    def test_fl_star(self, docs):
+        got = solr_select(None, docs, {
+            "q": "{!term f=lang}de", "rows": "1", "sort": "doc_id asc",
+        })
+        # every stored field rides along exactly once
+        assert got.columns[:4] == ["query_id", "rank", "doc_id", "score"]
+        assert set(docs.columns) - {"doc_id"} <= set(got.columns)
+
+    def test_graph_q_routes(self, docs, oracle):
+        # self-referential toy graph via the md5 trick is already pinned
+        # in test_graph_query; here just pin the ROUTING: depth-0 roots
+        # with maxDepth=0 equal the root filter
+        got = solr_select(None, docs, {
+            "q": "{!graph from=source to=source maxDepth=0}"
+                 "{!term f=lang}zh",
+            "sort": "doc_id asc",
+            "rows": "1000",
+        }).collect()
+        want = oracle.sql(
+            "SELECT doc_id FROM documents WHERE lang='zh' ORDER BY doc_id"
+        ).fetchall()
+        assert sorted(r["doc_id"] for r in got) == [w[0] for w in want]
+        assert got  # non-vacuous
+
+    def test_match_all(self, docs, oracle):
+        got = solr_select(None, docs, {
+            "q": "*:*", "fq": "lang:es", "sort": "doc_id asc",
+            "rows": "100000",
+        }).collect()
+        want = oracle.sql(
+            "SELECT doc_id FROM documents WHERE lang='es' ORDER BY doc_id"
+        ).fetchall()
+        assert [r["doc_id"] for r in
+                sorted(got, key=lambda r: r["rank"])] == [
+            w[0] for w in want]
+        assert got and all(r["score"] == 1.0 for r in got)
+
+    def test_match_all_inside_bool_fq(self, docs, oracle):
+        from solrtexttagger_spark.search.localparams import apply_solr_fq
+
+        got = sorted(r["doc_id"] for r in apply_solr_fq(
+            docs, "*:* AND lang:zh").select("doc_id").collect())
+        want = [w[0] for w in oracle.sql(
+            "SELECT doc_id FROM documents WHERE lang='zh' ORDER BY doc_id"
+        ).fetchall()]
+        assert got == want
+        assert got  # non-vacuous
+
+    def test_parent_raises_with_pointer(self, docs):
+        with pytest.raises(ValueError, match="blockjoin"):
+            solr_select(None, docs, {"q": "{!parent which=x:1}y:2"})
+
+    def test_scored_q_without_index_raises(self, docs):
+        with pytest.raises(ValueError, match="InvertedIndex"):
+            solr_select(None, docs, {"q": "hello world"})
+
+
+class TestScoredPaths:
+    """Plain q / bf / boost / rq route byte-identically onto the
+    standalone operators (which carry the DuckDB/driver oracles)."""
+
+    def test_plain_q_matches_boolean_topk(self, spark, corpus):
+        from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+
+        df, idx = corpus
+        q = "+merge scan"
+        got = solr_select(idx, df, {"q": q, "rows": "10", "fl": "lang"},
+                          spark=spark).collect()
+        want = boolean_bm25_topk(idx, [(0, q)], k=10, spark=spark).collect()
+        assert {(r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in got} == {
+            (r["rank"], r["doc_id"], round(r["score"], 9)) for r in want}
+        # fl joined correctly
+        langs = dict(df.select("doc_id", "lang").collect())
+        assert all(r["lang"] == langs[r["doc_id"]] for r in got)
+
+    def test_fq_on_scored_path(self, spark, corpus):
+        from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+
+        df, idx = corpus
+        allowed = df.where(F.col("lang") == "en").select("doc_id")
+        got = solr_select(
+            idx, df, {"q": "merge", "fq": "lang:en", "rows": "10"},
+            spark=spark).collect()
+        want = boolean_bm25_topk(
+            idx, [(0, "merge")], k=10, allowed_docs=allowed, spark=spark,
+        ).collect()
+        assert {(r["rank"], r["doc_id"]) for r in got} == {
+            (r["rank"], r["doc_id"]) for r in want}
+        assert got  # non-vacuous
+
+    def test_bf_boost_solr_dialect(self, spark, corpus):
+        from solrtexttagger_spark.search.functions import boosted_topk
+
+        df, idx = corpus
+        got = solr_select(idx, df, {
+            "q": "merge",
+            "bf": "log(sum(n_chars, 1))",     # Solr log = base 10
+            "boost": "sqrt(n_chars)",
+            "rows": "10",
+        }, spark=spark).collect()
+        want = boosted_topk(
+            idx, df, [(0, "merge")],
+            bf="log10(n_chars + 1)", boost="sqrt(n_chars)",
+            k=10, spark=spark,
+        ).collect()
+        assert {(r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in got} == {
+            (r["rank"], r["doc_id"], round(r["score"], 9)) for r in want}
+
+    def test_rq_rerank_with_ref(self, spark, corpus):
+        from solrtexttagger_spark.search.boolean import boolean_bm25_topk
+        from solrtexttagger_spark.search.functions import rerank_topk
+
+        df, idx = corpus
+        got = solr_select(idx, df, {
+            "q": "merge",
+            "rq": "{!rerank reRankQuery=$rqq reRankDocs=5 reRankWeight=3}",
+            "rqq": "{!func}div(n_chars, 100)",
+            "rows": "10",
+        }, spark=spark).collect()
+        base = boolean_bm25_topk(idx, [(0, "merge")], k=10**6, spark=spark)
+        want = rerank_topk(
+            base, df, "n_chars / 100", rerank_docs=5, weight=3.0,
+        ).where(F.col("rank") <= 10).collect()
+        assert {(r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in got} == {
+            (r["rank"], r["doc_id"], round(r["score"], 9)) for r in want}
+
+    def test_join_q_score_mode(self, spark, corpus):
+        from solrtexttagger_spark.search.boolean import (
+            boolean_matched_scores,
+        )
+        from solrtexttagger_spark.search.join_qp import join_topk
+
+        df, idx = corpus
+        got = solr_select(idx, df, {
+            "q": "{!join from=source to=source score=max}merge",
+            "rows": "10",
+        }, spark=spark).collect()
+        inner = boolean_matched_scores(idx, [(0, "merge")], spark=spark)
+        want = join_topk(
+            inner, df, df, from_col="source", to_col="source",
+            score="max", k=10,
+        ).collect()
+        assert {(r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in got} == {
+            (r["rank"], r["doc_id"], round(r["score"], 9)) for r in want}
+
+    def test_join_q_filter_mode(self, spark, corpus, sf_dir):
+        """score=none join over a filter inner query — full DuckDB
+        mirror (no BM25 involved)."""
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{sf_dir}/documents.parquet')")
+        df, idx = corpus
+        got = solr_select(idx, df, {
+            "q": "{!join from=source to=source score=none}"
+                 "{!term f=lang}fr",
+            "sort": "doc_id asc",
+            "rows": "100000",
+        }, spark=spark).collect()
+        want = con.sql(
+            "WITH sub AS (SELECT * FROM documents WHERE doc_id < 400) "
+            "SELECT doc_id FROM sub WHERE source IN "
+            "(SELECT source FROM sub WHERE lang='fr') ORDER BY doc_id"
+        ).fetchall()
+        assert sorted(r["doc_id"] for r in got) == [w[0] for w in want]
+        assert got
+
+
+class TestPlanShape:
+    def test_filter_path_pushes_to_scan(self, spark, sf_dir):
+        df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plan = solr_select(None, df, {
+            "q": "{!term f=lang}en", "fq": "source:src2",
+            "sort": "doc_id asc", "fl": "lang",
+        })._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+        assert "EqualTo(lang,en)" in plan

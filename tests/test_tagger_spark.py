@@ -83,6 +83,22 @@ def test_multiple_fq_and_semantics(spark):
     out = tag(t, d, overlaps="ALL", fq=["type = 'city'", "country = 'US'"])
     assert collect_tags(out) == {(0, 34, 40, frozenset([2]))}
 
+    # same requests in SOLR fq syntax — the reference handler's actual
+    # front door (fq strings through Solr's QParser framework)
+    out = tag(t, d, overlaps="ALL", fq="type:city", fq_dialect="solr")
+    assert collect_tags(out) == {
+        (0, 8, 14, frozenset([0])),
+        (0, 34, 40, frozenset([2])),
+    }
+    out = tag(
+        t, d, overlaps="ALL",
+        fq=["{!term f=type}city", "country:US"], fq_dialect="solr",
+    )
+    assert collect_tags(out) == {(0, 34, 40, frozenset([2]))}
+
+    with pytest.raises(ValueError, match="fq_dialect"):
+        tag(t, d, fq="type:city", fq_dialect="lucene")
+
 
 def test_partial_mode_and_multiple_texts(spark):
     d = build_tag_dictionary(names_df(spark, N), mode="partial")
