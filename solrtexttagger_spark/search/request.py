@@ -443,3 +443,163 @@ def solr_select(
         fields.join(F.broadcast(page), "doc_id")
         .select("query_id", "rank", "doc_id", "score", *proj)
     )
+
+
+def _as_param_list(params: dict, key: str) -> list:
+    """Solr params repeat (?facet.field=a&facet.field=b); a dict caller
+    passes a list. Normalize to a list either way."""
+    v = params.get(key)
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+def _range_spec(params: dict, col: str) -> tuple:
+    """One facet.range column's (col, start, end, gap) from Solr's
+    per-field override convention: ``f.<col>.facet.range.start``
+    falls back to the global ``facet.range.start``."""
+    out = [col]
+    for knob in ("start", "end", "gap"):
+        v = params.get(f"f.{col}.facet.range.{knob}",
+                       params.get(f"facet.range.{knob}"))
+        if v is None:
+            raise ValueError(
+                f"facet.range={col} needs facet.range.{knob} (or the "
+                f"f.{col}.facet.range.{knob} override)"
+            )
+        out.append(float(v) if "." in str(v) else int(v))
+    return tuple(out)
+
+
+def solr_query_response(
+    index: InvertedIndex,
+    docs_df: DataFrame,
+    params: dict,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spark: SparkSession | None = None,
+) -> str:
+    """One Solr request in, one rendered Solr RESPONSE out — the full
+    HTTP-handler shape: ``wt=json`` (default) or ``wt=xml`` selects the
+    golden writer (select.render_select_json/xml), and the parameter
+    map drives the whole component chain exactly as Solr's SearchHandler
+    does:
+
+    - ``q`` (the relevance-scored text query — this path is the dressed
+      one-job /select page, numFound/maxScore included; local-params
+      routed q types return DataFrames via :func:`solr_select` instead)
+    - ``fq`` -> allowed_docs (localparams compile, scan-pushed)
+    - ``fl`` (stored field list; ``score`` implicit, pseudo-fields are
+      the DataFrame router's feature — the writers render stored
+      fields, like Solr's XML/JSON writers render docValues)
+    - ``start``/``rows``, ``bf``/``boost`` (Solr function dialect)
+    - ``facet=true`` + ``facet.field``/``facet.query`` (repeatable),
+      ``facet.range`` (+ global or ``f.<col>.``-override start/end/gap),
+      ``facet.interval`` + ``f.<col>.facet.interval.set``
+    - ``json.facet`` (dict or JSON string) -> the JSON Facet API tree
+    - ``hl=true`` (+ ``hl.window``)
+
+    ``sort`` is not accepted here: the golden writers render the
+    relevance page (numFound/maxScore ride its window aggregates);
+    field/function-sorted pages come from :func:`solr_select`, which
+    returns the DataFrame a caller can render itself. Raises on it to
+    fail the request loudly rather than silently ignoring the param."""
+    import json as _json
+
+    from solrtexttagger_spark.search.select import (
+        render_select_json,
+        render_select_xml,
+    )
+
+    if "q" not in params:
+        raise ValueError("params needs q")
+    if "sort" in params:
+        raise ValueError(
+            "sort is not routed to the response writers (the relevance "
+            "page carries numFound/maxScore); use solr_select for "
+            "field/function sorts"
+        )
+    qtype, _lp, rest = parse_local_params(params["q"], refs=params)
+    if qtype not in (None, "lucene"):
+        raise ValueError(
+            f"q type {{!{qtype}}} routes through solr_select (DataFrame "
+            "result), not the response writers"
+        )
+    spark = spark or docs_df.sparkSession
+
+    allowed_docs = None
+    fq = params.get("fq")
+    if fq:
+        pred = None
+        for one in ([fq] if isinstance(fq, str) else list(fq)):
+            c = solr_fq_column(docs_df, one, refs=params,
+                               q_op=params.get("q.op", "AND"))
+            pred = c if pred is None else (pred & c)
+        allowed_docs = docs_df.where(pred).select(
+            F.col(id_col).alias("doc_id")
+        )
+
+    fl_entries = parse_fl(params.get("fl", "*"))
+    if any(p == "*" for _a, p in fl_entries):
+        fl = [c for c in docs_df.columns if c != id_col]
+    else:
+        fl = []
+        for alias, payload in fl_entries:
+            if payload == "score":
+                continue
+            if alias != payload:
+                raise ValueError(
+                    "fl renames/pseudo-fields render through solr_select "
+                    "(DataFrame result), not the response writers"
+                )
+            fl.append(alias)
+
+    facet_on = str(params.get("facet", "false")).lower() == "true"
+    facet_cols = _as_param_list(params, "facet.field") if facet_on else None
+    facet_queries = (_as_param_list(params, "facet.query")
+                     if facet_on else None) or None
+    facet_ranges = None
+    facet_intervals = None
+    if facet_on:
+        rng = [_range_spec(params, col)
+               for col in _as_param_list(params, "facet.range")]
+        facet_ranges = rng or None
+        ivals = [
+            (col, _as_param_list(params, f"f.{col}.facet.interval.set"))
+            for col in _as_param_list(params, "facet.interval")
+        ]
+        facet_intervals = [iv for iv in ivals if iv[1]] or None
+        facet_cols = facet_cols or None
+
+    jf = params.get("json.facet")
+    if isinstance(jf, str):
+        jf = _json.loads(jf)
+
+    bf, boost = params.get("bf"), params.get("boost")
+    kwargs = dict(
+        fl=fl,
+        k=int(params.get("rows", 10)),
+        start=int(params.get("start", 0)),
+        allowed_docs=allowed_docs,
+        facet_cols=facet_cols,
+        facet_ranges=facet_ranges,
+        facet_queries=facet_queries,
+        facet_intervals=facet_intervals,
+        bf=solr_func_to_sql(bf) if bf is not None else None,
+        boost=solr_func_to_sql(boost) if boost is not None else None,
+        hl=str(params.get("hl", "false")).lower() == "true",
+        hl_window=int(params.get("hl.window", 8)),
+        text_col=text_col,
+        spark=spark,
+    )
+    wt = params.get("wt", "json")
+    if wt == "json":
+        return render_select_json(
+            index, docs_df, rest, json_facet_spec=jf, **kwargs
+        )
+    if wt == "xml":
+        if jf is not None:
+            raise ValueError("json.facet renders under wt=json only")
+        return render_select_xml(index, docs_df, rest, **kwargs)
+    raise ValueError(f"wt must be json|xml, got {wt!r}")

@@ -329,3 +329,102 @@ class TestPlanShape:
         })._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters" in plan
         assert "EqualTo(lang,en)" in plan
+
+
+class TestQueryResponse:
+    """solr_query_response: param dict -> rendered Solr response.
+    Parity-pinned against the golden writers called directly with the
+    same resolved arguments (the writers carry their own golden tests
+    in test_response_format.py)."""
+
+    def test_json_parity_with_writer(self, spark, corpus):
+        import json
+
+        from solrtexttagger_spark.search.request import solr_query_response
+        from solrtexttagger_spark.search.select import render_select_json
+
+        df, idx = corpus
+        allowed = df.where(F.col("lang") == "en").select("doc_id")
+        got = solr_query_response(idx, df, {
+            "q": "merge scan",
+            "fq": "lang:en",
+            "fl": "lang,n_chars",
+            "rows": "5",
+            "bf": "log(sum(n_chars, 1))",
+            "facet": "true",
+            "facet.field": "source",
+        }, spark=spark)
+        want = render_select_json(
+            idx, df, "merge scan", fl=["lang", "n_chars"], k=5,
+            allowed_docs=allowed, bf="log10(n_chars + 1)",
+            facet_cols=["source"], spark=spark,
+        )
+        assert json.loads(got) == json.loads(want)
+        body = json.loads(got)
+        assert body["response"]["docs"]
+        assert body["facet_counts"]["facet_fields"]["source"]
+
+    def test_xml_and_range_facets(self, spark, corpus):
+        from solrtexttagger_spark.search.request import solr_query_response
+        from solrtexttagger_spark.search.select import render_select_xml
+
+        df, idx = corpus
+        got = solr_query_response(idx, df, {
+            "q": "merge",
+            "wt": "xml",
+            "fl": "lang",
+            "rows": "3",
+            "facet": "true",
+            "facet.range": "n_chars",
+            "facet.range.start": 0,
+            "facet.range.end": 1000,
+            "facet.range.gap": 250,
+        }, spark=spark)
+        want = render_select_xml(
+            idx, df, "merge", fl=["lang"], k=3,
+            facet_ranges=[("n_chars", 0, 1000, 250)], spark=spark,
+        )
+        assert got == want
+        assert 'facet_ranges' in got
+
+    def test_json_facet_param(self, spark, corpus):
+        import json
+
+        from solrtexttagger_spark.search.request import solr_query_response
+
+        df, idx = corpus
+        got = solr_query_response(idx, df, {
+            "q": "merge",
+            "fl": "lang",
+            "rows": "2",
+            "json.facet": json.dumps(
+                {"langs": {"type": "terms", "field": "lang", "limit": 3}}
+            ),
+        }, spark=spark)
+        body = json.loads(got)
+        assert body["facets"]["langs"]["buckets"]
+
+    def test_sort_and_routed_q_raise(self, spark, corpus):
+        from solrtexttagger_spark.search.request import solr_query_response
+
+        df, idx = corpus
+        with pytest.raises(ValueError, match="sort"):
+            solr_query_response(idx, df, {"q": "merge",
+                                          "sort": "n_chars asc"})
+        with pytest.raises(ValueError, match="solr_select"):
+            solr_query_response(idx, df, {"q": "{!term f=lang}en"})
+        with pytest.raises(ValueError, match="solr_select"):
+            solr_query_response(idx, df, {"q": "merge",
+                                          "fl": "x:div(n_chars, 2)"})
+
+    def test_fl_star_default(self, spark, corpus):
+        import json
+
+        from solrtexttagger_spark.search.request import solr_query_response
+
+        df, idx = corpus
+        body = json.loads(solr_query_response(
+            idx, df, {"q": "merge", "rows": "1"}, spark=spark))
+        doc = body["response"]["docs"][0]
+        # every stored field rendered (Solr default fl=*), score included
+        assert {"lang", "source", "n_chars", "text", "score", "id"} <= set(doc)
