@@ -194,3 +194,72 @@ def index_analyze_shingles(
         possessive=possessive,
     )
     return shingles([t.term for t in toks], max_shingle)
+
+
+def analyze_stages(
+    text: str,
+    *,
+    lowercase: bool = True,
+    stopwords: frozenset | None = None,
+    min_taggable_len: int | None = None,
+    max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+    ascii_fold: bool = False,
+    possessive: bool = False,
+) -> list[tuple[str, list[Token]]]:
+    """Solr admin/analysis view of the query chain: the token stream
+    AFTER each configured filter, in chain order — the tool a schema
+    author uses to see which stage ate (or mangled) a term. Stage names
+    mirror the Lucene factories the reference's field type configures
+    (QUICK_START.md analyzer chain): StandardTokenizer,
+    LowerCaseFilter, ASCIIFoldingFilter, EnglishPossessiveFilter,
+    StopFilter, WordLengthTaggingFilter. Only configured stages appear.
+
+    Semantics are replayed per stage with the SAME rules query_analyze
+    applies in one pass — a dropped token (oversized word, stopword,
+    fold-to-empty) adds its position increment to the next survivor —
+    so the FINAL stage is identical to ``query_analyze(text, ...)``
+    (pinned by test). Pure driver-side: this is a debugging endpoint,
+    one string in, a few tokens out, no Spark involved."""
+    stages: list[tuple[str, list[Token]]] = []
+
+    toks: list[Token] = []
+    pos_inc = 1
+    for item in tokenize(text, max_token_length):
+        if item is None:
+            pos_inc += 1
+            continue
+        w, s, e = item
+        toks.append(Token(w, pos_inc, s, e, True))
+        pos_inc = 1
+    stages.append(("StandardTokenizer", toks))
+
+    def _map_terms(name: str, fn) -> None:
+        """A term-rewriting stage: empty rewrites drop with a gap."""
+        prev = stages[-1][1]
+        out: list[Token] = []
+        gap = 0
+        for t in prev:
+            w = fn(t.term)
+            if not w:
+                gap += t.pos_inc
+                continue
+            out.append(t._replace(term=w, pos_inc=t.pos_inc + gap))
+            gap = 0
+        stages.append((name, out))
+
+    if lowercase:
+        _map_terms("LowerCaseFilter", str.lower)
+    if ascii_fold:
+        _map_terms("ASCIIFoldingFilter", fold_ascii)
+    if possessive:
+        _map_terms("EnglishPossessiveFilter", strip_possessive)
+    if stopwords is not None:
+        _map_terms("StopFilter", lambda w: "" if w in stopwords else w)
+    if min_taggable_len is not None:
+        prev = stages[-1][1]
+        stages.append((
+            "WordLengthTaggingFilter",
+            [t._replace(taggable=(t.end - t.start) >= min_taggable_len)
+             for t in prev],
+        ))
+    return stages

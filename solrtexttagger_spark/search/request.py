@@ -208,27 +208,36 @@ def _matched_relation(
         )
 
     if qtype == "join":
-        from solrtexttagger_spark.search.join_qp import join_topk
+        from solrtexttagger_spark.search.join_qp import join_values
 
         inner = _scored_join_inner(
             index, docs_df, rest, params, q_op=q_op, synonyms=synonyms,
             k1=k1, b=b, id_col=id_col, spark=spark,
         )
         mode = lp.get("score", "none")
-        joined = join_topk(
-            inner, docs_df, docs_df,
-            from_col=lp["from"], to_col=lp["to"],
-            from_id=id_col, to_id=id_col, score=mode,
-            broadcast_values=lp.get("broadcast", "true") == "true",
+        # pre-window match set assembled from join_values directly
+        # (join_topk would add its own rank window — the router ranks
+        # once, with the request's sort keys, so the extra exchange is
+        # dead weight); same value-set fold, same broadcast opt-out
+        vals = join_values(
+            inner, docs_df, from_col=lp["from"], from_id=id_col,
+            score=mode,
         )
+        if lp.get("broadcast", "true") == "true":
+            vals = F.broadcast(vals)
+        to_keyed = docs_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(lp["to"]).alias("__join_value"),
+        ).where(F.col("__join_value").isNotNull())
+        joined = to_keyed.join(vals, "__join_value")
         if mode == "none":
             matched = joined.select(
-                "query_id", F.col(id_col).alias("doc_id"),
-                F.lit(1.0).alias("score"),
-            )
+                "query_id", "doc_id", F.lit(1.0).alias("score")
+            ).distinct()
         else:
             matched = joined.select(
-                "query_id", F.col(id_col).alias("doc_id"), "score"
+                "query_id", "doc_id",
+                F.col("__join_score").alias("score"),
             )
         if allowed_docs is not None:
             matched = matched.join(

@@ -97,3 +97,60 @@ def test_fold_ascii_punctuation():
     # accents still fold, ASCII passes through
     assert fold_ascii("café") == "cafe"
     assert fold_ascii("plain's") == "plain's"
+
+
+class TestAnalyzeStages:
+    """admin/analysis per-stage view: final stage must be IDENTICAL to
+    the one-pass query_analyze under every knob combination."""
+
+    def test_final_stage_equals_query_analyze(self):
+        from itertools import product
+
+        from solrtexttagger_spark.analysis.core import (
+            ENGLISH_STOP_WORDS, analyze_stages, query_analyze,
+        )
+
+        text = "The Göteborg’s City of London Business-School in 2024"
+        for lower, fold, poss, stop, mlen in product(
+            (True, False), (True, False), (True, False),
+            (None, ENGLISH_STOP_WORDS), (None, 3),
+        ):
+            kwargs = dict(lowercase=lower, ascii_fold=fold,
+                          possessive=poss, stopwords=stop,
+                          min_taggable_len=mlen)
+            stages = analyze_stages(text, **kwargs)
+            assert stages[-1][1] == query_analyze(text, **kwargs), kwargs
+
+    def test_stage_progression(self):
+        from solrtexttagger_spark.analysis.core import (
+            ENGLISH_STOP_WORDS, analyze_stages,
+        )
+
+        stages = dict(analyze_stages(
+            "The Göteborg’s Cafés",
+            lowercase=True, ascii_fold=True, possessive=True,
+            stopwords=ENGLISH_STOP_WORDS,
+        ))
+        assert [t.term for t in stages["StandardTokenizer"]] == [
+            "The", "Göteborg’s", "Cafés"]
+        assert [t.term for t in stages["LowerCaseFilter"]] == [
+            "the", "göteborg’s", "cafés"]
+        assert [t.term for t in stages["ASCIIFoldingFilter"]] == [
+            "the", "goteborg's", "cafes"]
+        assert [t.term for t in stages["EnglishPossessiveFilter"]] == [
+            "the", "goteborg", "cafes"]
+        # "the" dropped -> next survivor carries the position gap
+        stop = stages["StopFilter"]
+        assert [t.term for t in stop] == ["goteborg", "cafes"]
+        assert stop[0].pos_inc == 2 and stop[1].pos_inc == 1
+        # offsets always point at the ORIGINAL text
+        assert stop[0].start == 4 and stop[0].end == 14
+
+    def test_only_configured_stages_appear(self):
+        from solrtexttagger_spark.analysis.core import analyze_stages
+
+        names = [n for n, _ in analyze_stages("A b", lowercase=False)]
+        assert names == ["StandardTokenizer"]
+        names = [n for n, _ in analyze_stages("A b", min_taggable_len=2)]
+        assert names == ["StandardTokenizer", "LowerCaseFilter",
+                         "WordLengthTaggingFilter"]
