@@ -24,6 +24,10 @@ existing operators:
   localparams.solr_fq_column; on scored paths it becomes the
   ``allowed_docs`` semi-join (restricts results, never scoring stats —
   Lucene filter semantics), on filter paths a plain Catalyst predicate.
+  ``fq={!collapse field=f nullPolicy=...}`` arms are recognized as
+  Solr's CollapsingQParser post-filter: per-group best-score head via
+  one skew-safe max_by aggregate, applied after bf/boost and before
+  the rank window (grouping.collapse_topk's semantics).
 - ``bf``/``boost`` accept the SOLR function-query dialect
   (``recip(...)``, ``log(...)`` base-10, ...) translated by
   localparams.solr_func_to_sql and folded ``(score + bf) * boost``
@@ -336,17 +340,28 @@ def solr_select(
     rows = int(params.get("rows", 10))
 
     # fq: one conjunctive predicate; scored paths consume it as the
-    # allowed-docs semi-join relation, filter paths as the predicate
+    # allowed-docs semi-join relation, filter paths as the predicate.
+    # {!collapse} arms are NOT predicates (Solr's CollapsingQParser is
+    # a post-filter riding the fq param) — they collect separately and
+    # apply after scoring, before the rank window.
     fq = params.get("fq")
     fq_pred = None
     allowed_docs = None
+    collapses: list[tuple[str, str]] = []
     if fq:
         for one in ([fq] if isinstance(fq, str) else list(fq)):
+            ctype, clp, _crest = parse_local_params(one, refs=params)
+            if ctype == "collapse":
+                collapses.append(
+                    (clp["field"], clp.get("nullPolicy", "ignore"))
+                )
+                continue
             c = solr_fq_column(docs_df, one, refs=params, q_op=q_op)
             fq_pred = c if fq_pred is None else (fq_pred & c)
-        allowed_docs = docs_df.where(fq_pred).select(
-            F.col(id_col).alias("doc_id")
-        )
+        if fq_pred is not None:
+            allowed_docs = docs_df.where(fq_pred).select(
+                F.col(id_col).alias("doc_id")
+            )
 
     matched = _matched_relation(
         index, docs_df, params["q"], params,
@@ -375,6 +390,44 @@ def solr_select(
             matched.join(docs_df.select(*cols), "doc_id", "left")
             .withColumn("score", (F.col("score") + add) * mul)
             .drop("__bf", "__boost")
+        )
+
+    # fq={!collapse field=f nullPolicy=...}: per-group best-score head
+    # via ONE max_by aggregate (map-side partial, skew-safe on a
+    # dominant group — grouping.collapse_topk's discipline), applied
+    # after bf/boost so the head reflects the boosted ranking, before
+    # the rank window so collapsed docs never consume a rank
+    for col, null_policy in collapses:
+        if null_policy not in ("ignore", "expand", "collapse"):
+            raise ValueError("nullPolicy must be ignore|expand|collapse")
+        j = matched.join(
+            docs_df.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(col).cast("string").alias("__gv"),
+            ),
+            "doc_id",
+        )
+        if null_policy == "ignore":
+            j = j.where(F.col("__gv").isNotNull())
+            gkey = F.col("__gv")
+        elif null_policy == "expand":
+            gkey = F.coalesce(
+                F.col("__gv"), F.concat(F.lit("\x00"), F.col("doc_id"))
+            )
+        else:
+            gkey = F.coalesce(F.col("__gv"), F.lit("\x00null"))
+        matched = (
+            j.groupBy(F.col("query_id"), gkey.alias("__gkey"))
+            .agg(F.max_by(
+                F.struct("doc_id", "score"),
+                F.struct(F.col("score").alias("s"),
+                         (-F.col("doc_id")).alias("d")),
+            ).alias("__h"))
+            .select(
+                "query_id",
+                F.col("__h.doc_id").alias("doc_id"),
+                F.col("__h.score").alias("score"),
+            )
         )
 
     # sort keys; non-score keys join their source columns from the

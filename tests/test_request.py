@@ -428,3 +428,52 @@ class TestQueryResponse:
         doc = body["response"]["docs"][0]
         # every stored field rendered (Solr default fl=*), score included
         assert {"lang", "source", "n_chars", "text", "score", "id"} <= set(doc)
+
+
+class TestCollapseFq:
+    def test_collapse_fq_matches_collapse_topk(self, spark, corpus):
+        from solrtexttagger_spark.search.grouping import collapse_topk
+
+        df, idx = corpus
+        got = solr_select(idx, df, {
+            "q": "merge",
+            "fq": "{!collapse field=source}",
+            "rows": "10",
+        }, spark=spark).collect()
+        want = collapse_topk(
+            idx, df, [(0, "merge")], "source", k=10, spark=spark,
+        ).collect()
+        assert {(r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in got} == {
+            (r["rank"], r["doc_id"], round(r["score"], 9)) for r in want}
+        assert got
+        # collapsed page: one doc per source value
+        srcs = dict(df.select("doc_id", "source").collect())
+        assert len({srcs[r["doc_id"]] for r in got}) == len(got)
+
+    def test_collapse_composes_with_predicate_fq(self, spark, corpus):
+        from solrtexttagger_spark.search.grouping import collapse_topk
+
+        df, idx = corpus
+        allowed = df.where(F.col("lang") == "en").select("doc_id")
+        got = solr_select(idx, df, {
+            "q": "merge",
+            "fq": ["lang:en", "{!collapse field=source}"],
+            "rows": "10",
+        }, spark=spark).collect()
+        want = collapse_topk(
+            idx, df, [(0, "merge")], "source", k=10,
+            allowed_docs=allowed, spark=spark,
+        ).collect()
+        assert {(r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in got} == {
+            (r["rank"], r["doc_id"], round(r["score"], 9)) for r in want}
+        assert got
+
+    def test_bad_null_policy_raises(self, spark, corpus):
+        df, idx = corpus
+        with pytest.raises(ValueError, match="nullPolicy"):
+            solr_select(idx, df, {
+                "q": "merge",
+                "fq": "{!collapse field=source nullPolicy=bogus}",
+            }, spark=spark).collect()
