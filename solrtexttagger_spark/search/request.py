@@ -16,7 +16,10 @@ existing operators:
   the filter-parser family (``{!term} {!terms} {!prefix} {!frange}
   {!bool}``) -> a constant-score match set (Solr's non-scoring parsers
   yield score 1.0); ``{!join}`` -> join_qp (inner query scored, score
-  modes folded); ``{!graph}`` -> graph_qp BFS (constant-score).
+  modes folded); ``{!graph}`` -> graph_qp BFS (constant-score);
+  ``{!func}`` -> rank by a function value; ``{!boost b=}`` ->
+  multiplicative function wrapper around the inner scored query;
+  ``{!mlt}<doc_id>`` -> more_like_this.
   ``{!parent}``/``{!child}`` are NOT routable here: they need a
   block-indexed child corpus (search/blockjoin.child_corpus), which a
   flat ``docs_df`` cannot supply — the raise names the module.
@@ -269,6 +272,58 @@ def _matched_relation(
             F.lit(0).alias("query_id"),
             F.col(id_col).alias("doc_id"),
             F.lit(1.0).alias("score"),
+        )
+        if allowed_docs is not None:
+            matched = matched.join(
+                allowed_docs.select("doc_id"), "doc_id", "left_semi"
+            )
+        return matched
+
+    if qtype == "func":
+        # FunctionQParser as the MAIN query: every (fq-surviving) doc,
+        # ranked by the function value (Solr's q={!func}... semantics)
+        pred = fq_pred if fq_pred is not None else F.lit(True)
+        return docs_df.where(pred).select(
+            F.lit(0).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.expr(solr_func_to_sql(rest)).cast("double").alias("score"),
+        )
+
+    if qtype == "boost":
+        # BoostQParser {!boost b=<func>}inner — multiplicative wrapper
+        # around the inner scored query (edismax boost='s ancestor)
+        inner = _scored(rest)
+        bexpr = docs_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(solr_func_to_sql(lp["b"])).cast("double").alias("__b"),
+        )
+        return (
+            inner.join(bexpr, "doc_id", "left")
+            .withColumn(
+                "score",
+                F.col("score") * F.coalesce(F.col("__b"), F.lit(1.0)),
+            )
+            .drop("__b")
+        )
+
+    if qtype == "mlt":
+        # MLTQParser {!mlt}<doc_id>: documents most similar to the
+        # probe. The candidate pool is MLT's top-(start+rows); an fq on
+        # the request POST-filters that pool (may return fewer than
+        # rows) — Solr filters the full match set; ask for more rows or
+        # run mlt.more_like_this directly when that matters.
+        from solrtexttagger_spark.search.mlt import more_like_this
+
+        if index is None:
+            raise ValueError("{!mlt} needs an InvertedIndex")
+        k_need = int(params.get("start", 0)) + int(params.get("rows", 10))
+        out = more_like_this(
+            index, docs_df, [int(rest.strip())],
+            n_terms=int(lp.get("maxqt", 5)), k=k_need,
+            id_col=id_col, spark=spark,
+        )
+        matched = out.select(
+            F.lit(0).alias("query_id"), "doc_id", "score"
         )
         if allowed_docs is not None:
             matched = matched.join(

@@ -477,3 +477,52 @@ class TestCollapseFq:
                 "q": "merge",
                 "fq": "{!collapse field=source nullPolicy=bogus}",
             }, spark=spark).collect()
+
+
+class TestRoutedQTypes:
+    def test_func_q(self, docs, oracle):
+        got = solr_select(None, docs, {
+            "q": "{!func}div(n_chars, 100)",
+            "fq": "lang:de",
+            "rows": "5",
+        }).collect()
+        want = oracle.sql(
+            "SELECT doc_id, n_chars / 100.0 FROM documents WHERE "
+            "lang='de' ORDER BY n_chars / 100.0 DESC, doc_id LIMIT 5"
+        ).fetchall()
+        got_sorted = sorted(got, key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got_sorted] == [w[0] for w in want]
+        for r, w in zip(got_sorted, want):
+            assert r["score"] == pytest.approx(float(w[1]))
+        assert got
+
+    def test_boost_q_matches_boosted_topk(self, spark, corpus):
+        from solrtexttagger_spark.search.functions import boosted_topk
+
+        df, idx = corpus
+        got = solr_select(idx, df, {
+            "q": "{!boost b=sqrt(n_chars)}merge scan",
+            "rows": "10",
+        }, spark=spark).collect()
+        want = boosted_topk(
+            idx, df, [(0, "merge scan")], boost="sqrt(n_chars)",
+            k=10, spark=spark,
+        ).collect()
+        assert {(r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in got} == {
+            (r["rank"], r["doc_id"], round(r["score"], 9)) for r in want}
+        assert got
+
+    def test_mlt_q_matches_operator(self, spark, corpus):
+        from solrtexttagger_spark.search.mlt import more_like_this
+
+        df, idx = corpus
+        got = solr_select(idx, df, {
+            "q": "{!mlt}7", "rows": "10",
+        }, spark=spark).collect()
+        want = more_like_this(idx, df, [7], k=10, spark=spark).collect()
+        assert {(r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in got} == {
+            (r["rank"], r["doc_id"], round(r["score"], 9)) for r in want}
+        assert got
+        assert all(r["doc_id"] != 7 for r in got)  # self excluded
