@@ -580,6 +580,30 @@ def main() -> None:
     extras["serve_boosted_p50_ms"] = round(bl_srt[len(bl_srt) // 2], 2)
     extras["serve_boosted_p95_ms"] = round(bl_srt[int(len(bl_srt) * 0.95)], 2)
 
+    # q2e4: the warm request handler (round 9) — full Solr param dicts
+    # (q + PREPARED fq + prepared bf) through LocalRequestHandler; the
+    # delta vs serve_query/serve_boosted is the routing overhead (dict
+    # parse + filterCache intersect), which should be noise
+    from solrtexttagger_spark.search.request import LocalRequestHandler
+
+    t0 = time.perf_counter()
+    lrh = LocalRequestHandler(searcher)
+    lrh.prepare_fq(docs, "lang:en")
+    lrh.prepare_functions(docs, bf="log(sum(n_chars, 1))")
+    extras["serve_router_prepare_s"] = round(time.perf_counter() - t0, 3)
+    rt_ms = []
+    for i in range(200):
+        req = {"q": queries[i % len(queries)][1], "fq": "lang:en",
+               "rows": "10"}
+        if i % 2:
+            req["bf"] = "log(sum(n_chars, 1))"
+        t0 = time.perf_counter()
+        lrh.select(req)
+        rt_ms.append((time.perf_counter() - t0) * 1000)
+    rt_srt = sorted(rt_ms)
+    extras["serve_router_p50_ms"] = round(rt_srt[len(rt_srt) // 2], 2)
+    extras["serve_router_p95_ms"] = round(rt_srt[int(len(rt_srt) * 0.95)], 2)
+
     # q2e2: LocalSpeller serving latency (round 6) — suggest() over the
     # driver-resident SymSpell dict, the spellcheck analogue of the q2e
     # LocalSearcher numbers (Solr spellcheck runs per request at QTime
@@ -928,6 +952,8 @@ def _emit(result: dict, sf: str) -> dict:
         "serve_boosted_p95_ms": best("serve_boosted_p95_ms", min),
         "serve_suggest_p50_ms": best("serve_suggest_p50_ms", min),
         "serve_suggest_p95_ms": best("serve_suggest_p95_ms", min),
+        "serve_router_p50_ms": best("serve_router_p50_ms", min),
+        "serve_router_p95_ms": best("serve_router_p95_ms", min),
     }
     # per-entry q2j minima (round-7 verdict #6): attributable shifts
     q2j = {}

@@ -720,3 +720,113 @@ def solr_query_response(
             raise ValueError("json.facet renders under wt=json only")
         return render_select_xml(index, docs_df, rest, **kwargs)
     raise ValueError(f"wt must be json|xml, got {wt!r}")
+
+
+class LocalRequestHandler:
+    """The warm serving twin of :func:`solr_select` — one Solr param
+    dict in, ``[(rank, doc_id, score)]`` out at LocalSearcher latency
+    (~1 ms p95), mirroring Solr's actual serving architecture:
+
+    - ``fq`` strings must be PREPARED once via :meth:`prepare_fq`
+      (one distributed pass compiles the predicate, collects the
+      surviving doc ids, and caches the sorted array) — exactly Solr's
+      filterCache: the fq DocSet is computed once and reused across
+      every request that repeats the string. An UNPREPARED fq raises:
+      a warm path never silently falls back to a corpus scan.
+    - ``bf``/``boost`` (Solr function dialect) likewise prepare once
+      via :meth:`prepare_functions` into LocalSearcher.prepare_boost's
+      doc->value map (the in-memory docValues shape).
+    - ``q`` serves through ``search_boolean`` (full Lucene clause
+      syntax, rank-identical to boolean_bm25_topk) — except when the
+      request carries bf/boost, which the warm path folds on the bag
+      scorer (``search(boost_values=)``), matching
+      functions.boosted_topk; a clause-syntax q plus bf/boost raises
+      (prohibition/MUST markers would be silently mis-read as bag
+      terms — run that combination distributed via solr_select).
+
+    Repeated fq params intersect as sorted arrays (AND semantics,
+    numpy intersect — microseconds at filterCache scale)."""
+
+    _MARKERS = ("+", "-", '"')
+
+    def __init__(self, searcher):
+        self.searcher = searcher
+        self._filters: dict[str, "np.ndarray"] = {}
+        self._boosts: dict[tuple, object] = {}
+
+    def prepare_fq(self, docs_df: DataFrame, fq: str, *, refs=None,
+                   q_op: str = "AND", id_col: str = "doc_id") -> None:
+        """Compile + collect ONE fq string's doc-id set (the
+        filterCache fill). Keyed by the exact string; re-preparing a
+        key overwrites it (a changed corpus needs a re-fill)."""
+        ids = [
+            r[0]
+            for r in docs_df.where(
+                solr_fq_column(docs_df, fq, refs=refs, q_op=q_op)
+            ).select(id_col).collect()
+        ]
+        # LocalSearcher.prepare_filter: sorted int64 array. The collect
+        # is the filterCache FILL — bounded by |matching docs|, paid
+        # once per distinct fq string, like Solr's DocSet materialize.
+        self._filters[fq] = type(self.searcher).prepare_filter(ids)
+
+    def prepare_functions(self, docs_df: DataFrame, *, bf: str | None = None,
+                          boost: str | None = None,
+                          id_col: str = "doc_id") -> None:
+        """Resolve Solr-dialect bf=/boost= to the warm doc->value map
+        (one distributed projection), keyed by the (bf, boost) pair."""
+        self._boosts[(bf, boost)] = type(self.searcher).prepare_boost(
+            docs_df,
+            bf=solr_func_to_sql(bf) if bf is not None else None,
+            boost=solr_func_to_sql(boost) if boost is not None else None,
+            id_col=id_col,
+        )
+
+    def select(self, params: dict, *, synonyms=None):
+        """-> [(rank, doc_id, score)] for the param dict (q, fq —
+        prepared, rows, start, bf/boost — prepared, q.op ignored: the
+        boolean clause syntax carries its own operators)."""
+        import numpy as np
+
+        if "q" not in params:
+            raise ValueError("params needs q")
+        q = params["q"]
+        rows = int(params.get("rows", 10))
+        start = int(params.get("start", 0))
+
+        allowed = None
+        fq = params.get("fq")
+        for one in ([] if not fq else
+                    [fq] if isinstance(fq, str) else list(fq)):
+            if one not in self._filters:
+                raise ValueError(
+                    f"fq {one!r} not prepared — call prepare_fq once "
+                    "(the filterCache fill); the warm path never scans"
+                )
+            arr = self._filters[one]
+            allowed = arr if allowed is None else np.intersect1d(
+                allowed, arr, assume_unique=True
+            )
+
+        bf, boost = params.get("bf"), params.get("boost")
+        if bf is not None or boost is not None:
+            key = (bf, boost)
+            if key not in self._boosts:
+                raise ValueError(
+                    f"bf/boost {key!r} not prepared — call "
+                    "prepare_functions once"
+                )
+            if any(m in q for m in self._MARKERS) or ":" in q:
+                raise ValueError(
+                    "clause-syntax q with bf/boost serves distributed "
+                    "(solr_select); the warm boost fold rides the bag "
+                    "scorer"
+                )
+            return self.searcher.search(
+                q, k=rows, allowed_docs=allowed, start=start,
+                synonyms=synonyms, boost_values=self._boosts[key],
+            )
+        return self.searcher.search_boolean(
+            q, k=rows, allowed_docs=allowed, start=start,
+            synonyms=synonyms,
+        )

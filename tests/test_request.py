@@ -526,3 +526,65 @@ class TestRoutedQTypes:
             (r["rank"], r["doc_id"], round(r["score"], 9)) for r in want}
         assert got
         assert all(r["doc_id"] != 7 for r in got)  # self excluded
+
+
+class TestLocalRequestHandler:
+    @pytest.fixture(scope="class")
+    def handler(self, spark, corpus):
+        from solrtexttagger_spark.index.compressed import compress_index
+        from solrtexttagger_spark.search.request import LocalRequestHandler
+        from solrtexttagger_spark.search.wand import LocalSearcher
+
+        df, idx = corpus
+        c = compress_index(idx)
+        h = LocalRequestHandler(LocalSearcher(c))
+        h.prepare_fq(df, "lang:en")
+        h.prepare_fq(df, "{!frange l=200}field(n_chars)")
+        h.prepare_functions(df, bf="log(sum(n_chars, 1))")
+        return df, idx, h
+
+    def test_select_matches_router(self, spark, handler):
+        df, idx, h = handler
+        params = {"q": "+merge scan", "fq": "lang:en", "rows": "10"}
+        warm = h.select(params)
+        dist = solr_select(idx, df, params, spark=spark).collect()
+        assert [(r, d, round(s, 6)) for r, d, s in warm] == [
+            (r["rank"], r["doc_id"], round(r["score"], 6))
+            for r in sorted(dist, key=lambda r: r["rank"])]
+        assert warm
+
+    def test_multi_fq_intersection(self, spark, handler):
+        df, idx, h = handler
+        params = {"q": "merge",
+                  "fq": ["lang:en", "{!frange l=200}field(n_chars)"],
+                  "rows": "10"}
+        warm = h.select(params)
+        dist = solr_select(idx, df, params, spark=spark).collect()
+        assert [(r, d, round(s, 6)) for r, d, s in warm] == [
+            (r["rank"], r["doc_id"], round(r["score"], 6))
+            for r in sorted(dist, key=lambda r: r["rank"])]
+        assert warm
+
+    def test_boost_fold_matches_router(self, spark, handler):
+        df, idx, h = handler
+        params = {"q": "merge scan", "fq": "lang:en",
+                  "bf": "log(sum(n_chars, 1))", "rows": "10"}
+        warm = h.select(params)
+        dist = solr_select(idx, df, params, spark=spark).collect()
+        assert [(r, d, round(s, 6)) for r, d, s in warm] == [
+            (r["rank"], r["doc_id"], round(r["score"], 6))
+            for r in sorted(dist, key=lambda r: r["rank"])]
+        assert warm
+
+    def test_unprepared_raises(self, handler):
+        df, idx, h = handler
+        with pytest.raises(ValueError, match="not prepared"):
+            h.select({"q": "merge", "fq": "lang:fr"})
+        with pytest.raises(ValueError, match="not prepared"):
+            h.select({"q": "merge", "boost": "sqrt(n_chars)"})
+
+    def test_clause_q_with_boost_raises(self, handler):
+        df, idx, h = handler
+        with pytest.raises(ValueError, match="distributed"):
+            h.select({"q": "+merge -scan",
+                      "bf": "log(sum(n_chars, 1))"})
