@@ -614,6 +614,12 @@ def solr_query_response(
     - ``facet=true`` + ``facet.field``/``facet.query`` (repeatable),
       ``facet.range`` (+ global or ``f.<col>.``-override start/end/gap),
       ``facet.interval`` + ``f.<col>.facet.interval.set``
+    - MULTI-SELECT faceting: ``fq={!tag=T}...`` tags a filter;
+      ``facet.field={!ex=T key=alias}field`` recounts that facet with
+      the tagged arm(s) removed — translated onto a json.facet terms
+      node with ``domain:{excludeTags}`` (the engine's one
+      domain-change machine) and spliced back into the classic
+      flat-array ``facet_fields`` block; wt=json only
     - ``json.facet`` (dict or JSON string) -> the JSON Facet API tree
     - ``hl=true`` (+ ``hl.window``)
 
@@ -645,17 +651,39 @@ def solr_query_response(
         )
     spark = spark or docs_df.sparkSession
 
-    allowed_docs = None
+    # fq arms: `{!tag=T}...` tags a filter for multi-select faceting —
+    # the PAGE applies every arm, facets with `{!ex=T}` (and json.facet
+    # domain:{excludeTags}) recount with that arm removed
+    allowed_docs = None          # page domain: ALL arms
+    allowed_untagged = None      # facet base domain under multi-select
+    tag_preds: dict = {}
     fq = params.get("fq")
     if fq:
         pred = None
+        untagged_pred = None
         for one in ([fq] if isinstance(fq, str) else list(fq)):
+            _t, arm_lp, _r = parse_local_params(one, refs=params)
             c = solr_fq_column(docs_df, one, refs=params,
                                q_op=params.get("q.op", "AND"))
             pred = c if pred is None else (pred & c)
+            tag = arm_lp.get("tag")
+            if tag:
+                tag_preds[tag] = (c if tag not in tag_preds
+                                  else (tag_preds[tag] & c))
+            else:
+                untagged_pred = (c if untagged_pred is None
+                                 else (untagged_pred & c))
         allowed_docs = docs_df.where(pred).select(
             F.col(id_col).alias("doc_id")
         )
+        if untagged_pred is not None:
+            allowed_untagged = docs_df.where(untagged_pred).select(
+                F.col(id_col).alias("doc_id")
+            )
+    tagged_rels = {
+        t: docs_df.where(p).select(F.col(id_col).alias("doc_id"))
+        for t, p in tag_preds.items()
+    }
 
     fl_entries = parse_fl(params.get("fl", "*"))
     if any(p == "*" for _a, p in fl_entries):
@@ -673,12 +701,36 @@ def solr_query_response(
             fl.append(alias)
 
     facet_on = str(params.get("facet", "false")).lower() == "true"
-    facet_cols = _as_param_list(params, "facet.field") if facet_on else None
     facet_queries = (_as_param_list(params, "facet.query")
                      if facet_on else None) or None
+    facet_cols = None
     facet_ranges = None
     facet_intervals = None
+    # classic facet.field arms with local params ({!ex=T key=alias})
+    # translate onto json.facet terms nodes with domain:{excludeTags}
+    # (the engine's one domain-change machine, round 8); plain names
+    # stay on the classic one-job _facet_sections path
+    excluded_fields: list[tuple[str, str, list[str]]] = []  # (alias, field, tags)
     if facet_on:
+        plain = []
+        for entry in _as_param_list(params, "facet.field"):
+            ftype, flp, fname = parse_local_params(entry, refs=params)
+            if ftype is None and ("ex" in flp or "key" in flp):
+                tags = [t.strip()
+                        for t in str(flp.get("ex", "")).split(",")
+                        if t.strip()]
+                missing = [t for t in tags if t not in tag_preds]
+                if missing:
+                    raise ValueError(
+                        f"facet.field {entry!r} excludes unknown tag(s) "
+                        f"{missing} — no fq arm carries them"
+                    )
+                excluded_fields.append(
+                    (flp.get("key", fname), fname, tags)
+                )
+            else:
+                plain.append(fname)
+        facet_cols = plain or None
         rng = [_range_spec(params, col)
                for col in _as_param_list(params, "facet.range")]
         facet_ranges = rng or None
@@ -687,11 +739,18 @@ def solr_query_response(
             for col in _as_param_list(params, "facet.interval")
         ]
         facet_intervals = [iv for iv in ivals if iv[1]] or None
-        facet_cols = facet_cols or None
 
     jf = params.get("json.facet")
     if isinstance(jf, str):
         jf = _json.loads(jf)
+    user_jf_keys = set(jf or ())
+    if excluded_fields:
+        jf = dict(jf or {})
+        for alias, fname, tags in excluded_fields:
+            node = {"type": "terms", "field": fname, "limit": -1}
+            if tags:
+                node["domain"] = {"excludeTags": tags}
+            jf[f"__cf_{alias}"] = node
 
     bf, boost = params.get("bf"), params.get("boost")
     kwargs = dict(
@@ -712,12 +771,37 @@ def solr_query_response(
     )
     wt = params.get("wt", "json")
     if wt == "json":
-        return render_select_json(
-            index, docs_df, rest, json_facet_spec=jf, **kwargs
+        out = render_select_json(
+            index, docs_df, rest, json_facet_spec=jf,
+            json_facet_allowed=allowed_untagged if tagged_rels else None,
+            json_facet_tags=tagged_rels or None,
+            **kwargs,
         )
+        if not excluded_fields:
+            return out
+        # splice the translated {!ex} facets back into Solr's CLASSIC
+        # flat-array facet_fields block, where a classic client expects
+        # them (the "__cf_" nodes are an implementation detail)
+        payload = _json.loads(out)
+        facets = payload.get("facets", {})
+        ff = payload.setdefault("facet_counts", {}).setdefault(
+            "facet_fields", {}
+        )
+        for alias, _fname, _tags in excluded_fields:
+            node = facets.pop(f"__cf_{alias}", None) or {"buckets": []}
+            flat = []
+            for b in node["buckets"]:
+                flat.extend([b["val"], b["count"]])
+            ff[alias] = flat
+        if set(facets) <= {"count"} and not user_jf_keys:
+            payload.pop("facets", None)
+        return _json.dumps(payload)
     if wt == "xml":
         if jf is not None:
-            raise ValueError("json.facet renders under wt=json only")
+            raise ValueError(
+                "json.facet and {!ex}/{!key} facet.field render under "
+                "wt=json only"
+            )
         return render_select_xml(index, docs_df, rest, **kwargs)
     raise ValueError(f"wt must be json|xml, got {wt!r}")
 

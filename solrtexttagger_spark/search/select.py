@@ -533,6 +533,8 @@ def render_select_json(
     bf: str | None = None,
     boost: str | None = None,
     json_facet_spec: dict | None = None,
+    json_facet_allowed: DataFrame | None = None,
+    json_facet_tags: dict | None = None,
     hl: bool = False,
     hl_window: int = 8,
     text_col: str = "text",
@@ -603,9 +605,20 @@ def render_select_json(
     if json_facet_spec:
         from solrtexttagger_spark.search.json_facet import json_facet
 
+        # multi-select faceting (fq={!tag=..}): the json.facet base
+        # domain splits into the always-on untagged fq
+        # (json_facet_allowed) + per-tag removable relations
+        # (json_facet_tags) so domain:{excludeTags} nodes recount
+        # correctly; without tags the page's allowed_docs is the domain
+        jf_allowed = (
+            json_facet_allowed if (json_facet_tags or
+                                   json_facet_allowed is not None)
+            else allowed_docs
+        )
         payload["facets"] = json_facet(
             index, docs_df, query, json_facet_spec,
-            allowed_docs=allowed_docs, spark=spark,
+            allowed_docs=jf_allowed, tagged_filters=json_facet_tags,
+            spark=spark,
         )
     if hl:
         payload["highlighting"] = {

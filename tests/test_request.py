@@ -588,3 +588,102 @@ class TestLocalRequestHandler:
         with pytest.raises(ValueError, match="distributed"):
             h.select({"q": "+merge -scan",
                       "bf": "log(sum(n_chars, 1))"})
+
+
+class TestMultiSelectFacets:
+    """fq={!tag=T} + facet.field={!ex=T}: the classic multi-select
+    idiom, DuckDB-mirrored (padded-LIKE text-match oracle, the engine's
+    standard single-term mirror over the space-separated corpus)."""
+
+    @pytest.fixture(scope="class")
+    def con(self, sf_dir):
+        c = duckdb.connect()
+        c.sql(f"CREATE VIEW sub AS SELECT * FROM read_parquet("
+              f"'{sf_dir}/documents.parquet') WHERE doc_id < 400")
+        return c
+
+    def _facet_dict(self, flat):
+        return dict(zip(flat[::2], flat[1::2]))
+
+    def test_excluded_facet_recounts(self, spark, corpus, con):
+        import json
+
+        from solrtexttagger_spark.search.request import solr_query_response
+
+        df, idx = corpus
+        body = json.loads(solr_query_response(idx, df, {
+            "q": "merge",
+            "fq": ["{!tag=L}lang:en", "n_chars:[100 TO *]"],
+            "facet": "true",
+            "facet.field": ["source", "{!ex=L key=langs}lang"],
+            "rows": "2",
+        }, spark=spark))
+        ff = body["facet_counts"]["facet_fields"]
+        # langs: the lang filter REMOVED, the untagged n_chars filter kept
+        want_langs = dict(con.sql(
+            "SELECT lang, count(*) FROM sub WHERE ' ' || text || ' ' "
+            "LIKE '% merge %' AND n_chars >= 100 GROUP BY lang"
+        ).fetchall())
+        assert self._facet_dict(ff["langs"]) == want_langs
+        assert len(want_langs) > 1  # non-vacuous: more than the selected lang
+        # source: the CLASSIC path, every fq arm applied
+        want_src = dict(con.sql(
+            "SELECT source, count(*) FROM sub WHERE ' ' || text || ' ' "
+            "LIKE '% merge %' AND n_chars >= 100 AND lang = 'en' "
+            "GROUP BY source"
+        ).fetchall())
+        assert self._facet_dict(ff["source"]) == want_src
+        # no leftover internal nodes
+        assert "facets" not in body
+
+    def test_key_rename_without_ex(self, spark, corpus):
+        import json
+
+        from solrtexttagger_spark.search.request import solr_query_response
+
+        df, idx = corpus
+        body = json.loads(solr_query_response(idx, df, {
+            "q": "merge",
+            "facet": "true",
+            "facet.field": "{!key=ll}lang",
+            "rows": "1",
+        }, spark=spark))
+        assert "ll" in body["facet_counts"]["facet_fields"]
+
+    def test_user_json_facet_rides_alongside(self, spark, corpus):
+        import json
+
+        from solrtexttagger_spark.search.request import solr_query_response
+
+        df, idx = corpus
+        body = json.loads(solr_query_response(idx, df, {
+            "q": "merge",
+            "fq": "{!tag=L}lang:en",
+            "facet": "true",
+            "facet.field": "{!ex=L}lang",
+            "json.facet": json.dumps({
+                "all_langs": {"type": "terms", "field": "lang",
+                              "domain": {"excludeTags": "L"}}
+            }),
+            "rows": "1",
+        }, spark=spark))
+        # user's own json.facet stays under "facets"; the internal
+        # __cf_ node moved to facet_fields
+        assert body["facets"]["all_langs"]["buckets"]
+        assert "lang" in body["facet_counts"]["facet_fields"]
+        assert not any(k.startswith("__cf_") for k in body["facets"])
+        # both recounts agree (same domain, two surfaces)
+        jd = {b["val"]: b["count"]
+              for b in body["facets"]["all_langs"]["buckets"]}
+        cd = self._facet_dict(body["facet_counts"]["facet_fields"]["lang"])
+        assert jd == cd
+
+    def test_unknown_ex_tag_raises(self, spark, corpus):
+        from solrtexttagger_spark.search.request import solr_query_response
+
+        df, idx = corpus
+        with pytest.raises(ValueError, match="unknown tag"):
+            solr_query_response(idx, df, {
+                "q": "merge", "facet": "true",
+                "facet.field": "{!ex=NOPE}lang",
+            }, spark=spark)
