@@ -501,17 +501,13 @@ def solr_select(
         c = F.col("score") if expr == "score" else F.expr(expr)
         order.append(c.asc() if asc else c.desc())
     order.append(F.col("doc_id").asc())
-    w = Window.partitionBy("query_id").orderBy(*order)
-    ranked = rel.withColumn(
-        "rank", F.row_number().over(w).cast("long")
-    ).select("query_id", "rank", "doc_id", "score")
 
-    # rq: rerank the head BEFORE pagination (Solr reranks the top
-    # reRankDocs of the full ranking, then pages)
+    # rq parses BEFORE ranking: the page bound below must cover the
+    # rerank head (Solr reranks the top reRankDocs of the full ranking,
+    # then pages)
     rq = params.get("rq")
+    rq_expr, rq_docs, rq_weight = None, 0, 1.0
     if rq is not None:
-        from solrtexttagger_spark.search.functions import rerank_topk
-
         rq_type, rq_lp, _ = parse_local_params(rq, refs=params)
         if rq_type != "rerank":
             raise ValueError(f"rq must be {{!rerank ...}}, got {rq!r}")
@@ -522,12 +518,32 @@ def solr_select(
                 "reRankQuery routes function queries only "
                 "({!func}... or a bare function)"
             )
+        rq_expr = solr_func_to_sql(f_rest)
+        rq_docs = int(rq_lp.get("reRankDocs", 200))
+        rq_weight = float(rq_lp.get("reRankWeight", 2.0))
+
+    # orderBy().limit(bound) BEFORE the rank window: a single request
+    # has ONE query_id, so the window would funnel the FULL match set
+    # to one task; the sorted limit compiles to TakeOrderedAndProject
+    # (per-partition partial top-k + merge — no global sort, pinned by
+    # TestPlanShape), and row_number then runs over <= bound rows. The
+    # bound covers the page AND the rerank head; semantics are
+    # unchanged because limit-after-orderBy IS the global top-bound
+    # under this total order (doc_id breaks every tie).
+    bound = max(start + rows, rq_docs)
+    w = Window.partitionBy("query_id").orderBy(*order)
+    ranked = (
+        rel.orderBy(*order).limit(bound)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+    if rq_expr is not None:
+        from solrtexttagger_spark.search.functions import rerank_topk
+
         ranked = rerank_topk(
-            ranked, docs_df,
-            solr_func_to_sql(f_rest),
-            rerank_docs=int(rq_lp.get("reRankDocs", 200)),
-            weight=float(rq_lp.get("reRankWeight", 2.0)),
-            id_col=id_col,
+            ranked, docs_df, rq_expr,
+            rerank_docs=rq_docs, weight=rq_weight, id_col=id_col,
         )
 
     page = ranked.where(

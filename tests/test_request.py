@@ -687,3 +687,23 @@ class TestMultiSelectFacets:
                 "q": "merge", "facet": "true",
                 "facet.field": "{!ex=NOPE}lang",
             }, spark=spark)
+
+
+class TestScaleShape:
+    def test_scored_page_is_take_ordered(self, spark, corpus):
+        """The single-request rank window must NOT sort the full match
+        set on one task: the sorted page bound compiles to
+        TakeOrderedAndProject (distributed partial top-k), and the
+        window only numbers its <= start+rows survivors."""
+        df, idx = corpus
+        plan = solr_select(idx, df, {
+            "q": "merge scan", "fq": "lang:en", "rows": "10",
+        }, spark=spark)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+    def test_filter_page_is_take_ordered(self, spark, docs):
+        plan = solr_select(None, docs, {
+            "q": "{!term f=lang}en", "sort": "n_chars desc",
+            "rows": "10", "start": "20",
+        })._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject(limit=30" in plan
