@@ -390,9 +390,33 @@ def solr_select(
     if "q" not in params:
         raise ValueError("params needs q")
     spark = spark or docs_df.sparkSession
-    q_op = params.get("q.op", "AND")
     start = int(params.get("start", 0))
     rows = int(params.get("rows", 10))
+    matched = _request_match_set(
+        index, docs_df, params,
+        synonyms=synonyms, k1=k1, b=b, id_col=id_col, spark=spark,
+    )
+    return _rank_and_project(
+        matched, docs_df, params, start=start, rows=rows, id_col=id_col,
+    )
+
+
+def _request_match_set(
+    index: InvertedIndex | None,
+    docs_df: DataFrame,
+    params: dict,
+    *,
+    synonyms: dict[str, list[str]] | None,
+    k1: float,
+    b: float,
+    id_col: str,
+    spark: SparkSession,
+) -> DataFrame:
+    """Everything before ranking: fq compilation, q dispatch, bf/boost
+    folding, and {!collapse} post-filters — the shared front half of
+    solr_select and cursor.solr_select_cursor. Returns the full
+    (query_id, doc_id, score) match set, unranked."""
+    q_op = params.get("q.op", "AND")
 
     # fq: one conjunctive predicate; scored paths consume it as the
     # allowed-docs semi-join relation, filter paths as the predicate.
@@ -484,7 +508,21 @@ def solr_select(
                 F.col("__h.score").alias("score"),
             )
         )
+    return matched
 
+
+def _rank_and_project(
+    matched: DataFrame,
+    docs_df: DataFrame,
+    params: dict,
+    *,
+    start: int,
+    rows: int,
+    id_col: str,
+) -> DataFrame:
+    """The back half of solr_select: sort-key resolution, the bounded
+    rank window, rq={!rerank}, start/rows pagination, and the fl page
+    join."""
     # sort keys; non-score keys join their source columns from the
     # corpus (projected to exactly the referenced columns)
     sort_keys = parse_sort(params["sort"]) if "sort" in params else [

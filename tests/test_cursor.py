@@ -1,0 +1,230 @@
+"""cursorMark deep paging: the Solr CursorMark protocol over Spark.
+
+Oracle discipline: cursor sweeps compare against DuckDB's total order
+(ORDER BY ... LIMIT/OFFSET over the same parquet) — cursor paging IS
+offset paging under a total order, which is exactly Solr's documented
+equivalence (and the reason the uniqueKey tiebreak is mandatory).
+Scored cursor pages pin row-identity against the solr_select router at
+the matching start offset, the same discipline test_request uses.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from solrtexttagger_spark.search.cursor import (
+    START_MARK,
+    after_cursor,
+    cursor_page,
+    decode_cursor,
+    encode_cursor,
+    solr_select_cursor,
+)
+from solrtexttagger_spark.search.request import solr_select
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    return con
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    from solrtexttagger_spark.index.build import build_index
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .where(F.col("doc_id") < 400)
+    )
+    df = df.persist()
+    df.count()
+    idx = build_index(df.select("doc_id", "text"), num_segments=4)
+    idx.postings.persist().count()
+    yield df, idx
+    idx.postings.unpersist()
+    df.unpersist()
+
+
+class TestToken:
+    def test_roundtrip(self):
+        for vals in (["en", 7], [3.5, None, "x"], [0]):
+            assert decode_cursor(encode_cursor(vals)) == vals
+
+    def test_star_is_start(self):
+        assert decode_cursor(START_MARK) is None
+
+    def test_garbage_raises(self):
+        with pytest.raises(ValueError, match="cursorMark"):
+            decode_cursor("not-a-token!!")
+
+    def test_non_list_payload_raises(self):
+        import base64
+        bad = base64.urlsafe_b64encode(b'{"a":1}').decode()
+        with pytest.raises(ValueError, match="list"):
+            decode_cursor(bad)
+
+    def test_arity_mismatch_raises(self, spark):
+        with pytest.raises(ValueError, match="keys"):
+            after_cursor([(F.col("a"), True)], ["x", "y"])
+
+
+def sweep(rel, keys, rows):
+    """Drain a relation through the cursor protocol; returns the
+    concatenated pages (list of Rows) and the page count."""
+    mark, out, pages = START_MARK, [], 0
+    while True:
+        page, nxt = cursor_page(rel, keys, rows=rows, cursor_mark=mark)
+        got = page.collect()
+        if nxt == mark:
+            assert got == []
+            return out, pages
+        out.extend(got)
+        pages += 1
+        mark = nxt
+        assert pages < 1000, "cursor failed to converge"
+
+
+class TestCursorPage:
+    def test_sweep_equals_total_order(self, docs, oracle):
+        """Draining pages of 37 re-assembles DuckDB's full
+        (lang, doc_id) order — no dups, no gaps, order preserved."""
+        got, pages = sweep(docs, [("lang", True)], 37)
+        exp = oracle.sql(
+            "SELECT doc_id, lang FROM documents ORDER BY lang, doc_id"
+        ).fetchall()
+        assert [(r["doc_id"], r["lang"]) for r in got] == exp
+        assert pages == (len(exp) + 36) // 37
+
+    def test_desc_and_expr_keys(self, docs, oracle):
+        """Mixed-direction sort with a computed key matches DuckDB."""
+        got, _ = sweep(
+            docs, [("n_chars % 100", False), ("source", True)], 53
+        )
+        exp = oracle.sql(
+            "SELECT doc_id FROM documents "
+            "ORDER BY n_chars % 100 DESC, source, doc_id"
+        ).fetchall()
+        assert [r["doc_id"] for r in got] == [r[0] for r in exp]
+
+    def test_single_page_equals_offset(self, docs, oracle):
+        """Page 3 of a cursor walk == OFFSET paging (Solr's documented
+        equivalence)."""
+        mark = START_MARK
+        for _ in range(3):
+            page, mark = cursor_page(
+                docs, [("n_chars", False)], rows=29, cursor_mark=mark
+            )
+        got = [r["doc_id"] for r in page.collect()]
+        exp = oracle.sql(
+            "SELECT doc_id FROM documents ORDER BY n_chars DESC, doc_id "
+            "LIMIT 29 OFFSET 58"
+        ).fetchall()
+        assert got == [r[0] for r in exp]
+
+    def test_empty_page_returns_same_mark(self, docs):
+        # a cursor past the last row: filter matches nothing
+        page, mark = cursor_page(
+            docs.where(F.col("doc_id") < 0), [("lang", True)], rows=5
+        )
+        assert page.collect() == []
+        assert mark == START_MARK
+
+    def test_rows_must_be_positive(self, docs):
+        with pytest.raises(ValueError, match="rows"):
+            cursor_page(docs, [("lang", True)], rows=0)
+
+
+class TestScaleShape:
+    def test_cursor_filter_reaches_scan_and_take_ordered(self, docs):
+        """The deep-paging promise in the plan: the strictly-after
+        predicate's leading-key comparison is PUSHED to the parquet
+        scan (row groups before the cursor never decompress) and the
+        page is TakeOrderedAndProject — page N costs what page 1
+        costs, with no O(depth) funnel."""
+        _, mark = cursor_page(docs, [("n_chars", True)], rows=10)
+        page, _ = cursor_page(
+            docs, [("n_chars", True)], rows=10, cursor_mark=mark
+        )
+        plan = page._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "PushedFilters: [" in plan
+        assert "GreaterThan(n_chars" in plan, plan
+        assert "Window" not in plan
+
+    def test_first_page_no_cursor_filter(self, docs):
+        page, _ = cursor_page(docs, [("n_chars", True)], rows=10)
+        plan = page._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestSolrSelectCursor:
+    def test_filter_path_pages_match_router(self, docs):
+        """Cursor pages over {!term} + field sort == solr_select at the
+        same offsets (row identity, fl included)."""
+        params = {
+            "q": "{!term f=lang}en", "sort": "n_chars desc",
+            "rows": "11", "fl": "lang,n_chars",
+        }
+        mark = START_MARK
+        for pageno in range(3):
+            page, mark = solr_select_cursor(
+                None, docs, {**params, "cursorMark": mark}
+            )
+            got = sorted(
+                (r["doc_id"], r["lang"], r["n_chars"])
+                for r in page.collect()
+            )
+            exp_df = solr_select(
+                None, docs, {**params, "start": str(pageno * 11)}
+            )
+            exp = sorted(
+                (r["doc_id"], r["lang"], r["n_chars"])
+                for r in exp_df.collect()
+            )
+            assert got == exp, f"page {pageno}"
+
+    def test_scored_path_pages_match_router(self, spark, corpus):
+        """BM25-scored cursor pages == the router's start/rows pages
+        (score ties broken by doc_id on both paths)."""
+        df, idx = corpus
+        params = {"q": "merge scan", "rows": "7", "fl": "lang"}
+        mark = START_MARK
+        for pageno in range(2):
+            page, mark = solr_select_cursor(
+                idx, df, {**params, "cursorMark": mark}, spark=spark
+            )
+            got = [
+                (r["doc_id"], round(r["score"], 6))
+                for r in page.orderBy(F.desc("score"), "doc_id").collect()
+            ]
+            exp_df = solr_select(
+                idx, df, {**params, "start": str(pageno * 7)},
+                spark=spark,
+            )
+            exp = [
+                (r["doc_id"], round(r["score"], 6))
+                for r in exp_df.orderBy("rank").collect()
+            ]
+            assert got == exp, f"page {pageno}"
+
+    def test_start_raises(self, docs):
+        with pytest.raises(ValueError, match="start"):
+            solr_select_cursor(
+                None, docs, {"q": "{!term f=lang}en", "start": "5"}
+            )
+
+    def test_rerank_raises(self, docs):
+        with pytest.raises(ValueError, match="rerank"):
+            solr_select_cursor(
+                None, docs,
+                {"q": "{!term f=lang}en", "rq": "{!rerank}"},
+            )
