@@ -331,6 +331,41 @@ def _matched_relation(
             )
         return matched
 
+    if qtype == "complexphrase":
+        # ComplexPhraseQParser: the remainder is a quoted phrase whose
+        # slots may be wildcards/prefixes/fuzzies/ranges or (a b)
+        # alternative groups, with Lucene slop on the closing quote.
+        # Emitted CONSTANT-SCORE (documented deviation: Lucene scores
+        # the rewritten spans; the engine's phrase scoring lives on the
+        # boolean path) — sort by fields/functions, or compose bf=.
+        from solrtexttagger_spark.search.complexphrase import (
+            complex_phrase_match,
+        )
+
+        if index is None:
+            raise ValueError("{!complexphrase} needs an InvertedIndex")
+        if lp.get("inOrder", "true").lower() == "false":
+            raise ValueError(
+                "{!complexphrase inOrder=false} (unordered spans) is "
+                "not supported — only in-order matching is implemented"
+            )
+        m = re.match(r'^\s*"(.*)"(?:~(\d+))?\s*$', rest)
+        phrase, slop = (
+            (m.group(1), int(m.group(2) or 0)) if m
+            else (rest.strip(), 0)
+        )
+        hits = complex_phrase_match(index, [phrase], slops=[slop])
+        matched = hits.select(
+            F.lit(0).alias("query_id"),
+            "doc_id",
+            F.lit(1.0).alias("score"),
+        )
+        if allowed_docs is not None:
+            matched = matched.join(
+                allowed_docs.select("doc_id"), "doc_id", "left_semi"
+            )
+        return matched
+
     if qtype in ("parent", "child"):
         raise ValueError(
             f"{{!{qtype}}} needs a block-indexed child corpus — build one "
