@@ -837,7 +837,16 @@ def q_doc_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = hash_top_k(d, SAMPLE_TOP_K, key_cols=["doc_id"]).select(
         F.lit("topk").alias("mode"), "doc_id", "lang"
     )
-    return bern.unionByName(strat).unionByName(top)
+    # round-9 (session 3) consolidation: the train/val/test hash split
+    # is the same deterministic-sampling family — its rows ride this
+    # entry tagged split_<name>, freeing doc_split's driver slot
+    from solrtexttagger_spark.ops.sampling import hash_split
+
+    sp = hash_split(d, SPLITS, key_cols=["doc_id"]).select(
+        F.concat(F.lit("split_"), F.col("split")).alias("mode"),
+        "doc_id", "lang",
+    )
+    return bern.unionByName(strat).unionByName(top).unionByName(sp)
 
 
 def q_dup_span_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,8 +881,14 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # perplexity filter) joins the same per-doc profile family — its
     # column stays hash-pinned, its driver slot freed for {!join}
     ppl = q_unigram_ppl(spark, sf_dir).select("doc_id", "cross_entropy")
+    # round-9 (session 3) consolidation: the risk profile joins the SAME
+    # per-doc family (every doc_risk column stays hash-pinned here; its
+    # standalone SQL stays in _oracle_sql_full for the pytest pin),
+    # freeing a driver slot for the new Solr surfaces
+    risk = q_doc_risk(spark, sf_dir)
     return (
-        quality.join(lang, "doc_id").join(toks, "doc_id").join(ppl, "doc_id")
+        quality.join(lang, "doc_id").join(toks, "doc_id")
+        .join(ppl, "doc_id").join(risk, "doc_id")
     )
 
 
@@ -1502,6 +1517,98 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURSOR_ROWS = 40
+CURSOR_PAGES = 3
+
+
+def q_cursor_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr cursorMark deep paging (search/cursor.py): walk 3 cursor
+    pages of a match-all sorted request and return the LAST page. The
+    oracle is Solr's own documented equivalence — cursor paging under a
+    total order IS offset paging — so the DuckDB mirror is LIMIT/OFFSET
+    while the Spark side actually iterates the strictly-after-predicate
+    protocol (pushed filter + TakeOrderedAndProject per page, the
+    O(page)-per-page shape; start+rows would funnel O(depth))."""
+    from solrtexttagger_spark.search.cursor import solr_select_cursor
+
+    d = _docs(spark, sf_dir)
+    params = {
+        "q": "*:*", "sort": "n_chars desc",
+        "rows": str(CURSOR_ROWS), "fl": "lang,n_chars",
+    }
+    mark = "*"
+    page = None
+    for _ in range(CURSOR_PAGES):
+        page, mark = solr_select_cursor(
+            None, d, {**params, "cursorMark": mark}
+        )
+    return page.select("doc_id", "lang", "n_chars")
+
+
+def q_rtg_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realtime-get surface end-to-end (index/realtime.py): a tlog is
+    synthesized from the corpus by id-modulus slices (%7 adds rewriting
+    the doc at version id*10+1, %11 deletes at id*10+2 — the delete
+    wins where both apply), apply_tlog commits it (last write per id,
+    deletes vanish, untouched rows anti-join through unshuffled), and
+    Solr ATOMIC UPDATES then hit the committed view: %5 docs get
+    {lang: {set}} (only %10 carries a non-null operand — null = no-op)
+    and {n_chars: {inc: 7}}. Output = the full replacement documents,
+    the rows Solr's AtomicUpdateDocumentMerger would reindex."""
+    from solrtexttagger_spark.index.realtime import (
+        apply_tlog,
+        atomic_update,
+    )
+
+    d = _docs(spark, sf_dir)
+    adds = d.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.lit("add").alias("op"),
+        (F.col("doc_id") * 10 + 1).alias("_version_"),
+        F.concat(F.lit("u:"), F.col("lang")).alias("text"),
+        "lang", "source",
+        (F.col("n_chars") + 1).alias("n_chars"),
+    )
+    dels = d.where(F.col("doc_id") % 11 == 0).select(
+        "doc_id", F.lit("delete").alias("op"),
+        (F.col("doc_id") * 10 + 2).alias("_version_"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_chars"),
+    )
+    cur = apply_tlog(d, adds.unionByName(dels))
+    cmds = cur.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.lit("xx")).alias("lang"),
+        F.lit(7).cast("long").alias("n_chars"),
+    )
+    return atomic_update(
+        cur, cmds, {"lang": "set", "n_chars": "inc"}
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+LUKE_TOP = 25
+
+
+def q_luke_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/admin/luke (index/luke.py): topTerms (df desc, term asc — one
+    TakeOrderedAndProject over term_stats) CROSS JOINED with the
+    index-summary row, so one relation hash-pins both reports
+    (numDocs/numTerms/sumDocFreq/sumTotalTermFreq/avgdl). Field stats
+    are pytest-pinned exact-vs-DuckDB in test_luke.py."""
+    from solrtexttagger_spark.index.luke import (
+        luke_index_summary,
+        luke_top_terms,
+    )
+
+    idx = _index(spark, sf_dir)
+    summ = luke_index_summary(idx).select(
+        "num_docs", "num_terms", "total_postings", "total_tokens",
+        F.round("avgdl", 4).alias("avgdl"),
+    )
+    return luke_top_terms(idx, top=LUKE_TOP).crossJoin(summ)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k over the sf0.001 documents corpus."""
     return q_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -1542,6 +1649,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     phrase+slop through the full boolean path). Freed slots carry
     #     graph_closure ({!graph} BFS), export_sorted (/export), and
     #     stream_rollup (/stream compiler with a text q).
+    #   - round-9 session-3 swaps: dedup_keep demoted to a pytest pin
+    #     (it is a PURE PROJECTION of dup_clusters — keeper iff
+    #     cluster_id == doc_id, already hash-pinned there); doc_split
+    #     folded into doc_samples (tagged split_<name> rows — same
+    #     deterministic-sampling family); doc_risk joined into
+    #     doc_quality (same per-doc profile family). Freed slots carry
+    #     cursor_page (cursorMark deep paging), rtg_atomic (tlog
+    #     commit + atomic updates), luke_report (/admin/luke).
     return {
         "bm25_topk": q_bm25_topk,
         "wand_topk": q_wand_topk,
@@ -1555,7 +1670,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_collapse": q_rerank_collapse,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_clusters": q_dup_clusters,
-        "dedup_keep": q_dedup_keep,
         "dup_span_ops": q_dup_span_ops,
         "bool_search": q_bool_search,
         "bool_phrase": q_bool_phrase,
@@ -1576,9 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "fingerprints": q_fingerprints,
         "tfidf_keywords": q_tfidf_keywords,
-        "doc_risk": q_doc_risk,
         "chunk_docs": q_chunk_docs,
-        "doc_split": q_doc_split,
         "bm25_after_delete": q_bm25_after_delete,
         "terms_prefix": q_terms_prefix,
         "spellcheck_collate": q_spellcheck_collate,
@@ -1590,6 +1702,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_closure": q_graph_closure,
         "export_sorted": q_export_sorted,
         "stream_rollup": q_stream_rollup,
+        "cursor_page": q_cursor_page,
+        "rtg_atomic": q_rtg_atomic,
+        "luke_report": q_luke_report,
         "pack_sequences": q_pack_sequences,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -3574,6 +3689,80 @@ GROUP BY lang
     # this exact SQL) — the signature arithmetic stays TRIPLY oracle-pinned
     # through lsh_pairs / dup_clusters / dedup_keep, which recompute the
     # sigs inside their own SQL
+    # --- round-9 session-3 consolidation + new Solr surfaces ---
+    # doc_split folds into doc_samples, doc_risk joins into doc_quality
+    # (the standalone keys STAY in this full dict for the pytest pins;
+    # oracle_sql() demotes them from the 50-entry driver surface).
+    sql["doc_samples"] = (
+        sql["doc_samples"]
+        + "\nUNION ALL SELECT 'split_' || split AS mode, doc_id, lang "
+        "FROM (" + sql["doc_split"] + ")"
+    )
+    sql["doc_quality"] = (
+        "SELECT * FROM (" + sql["doc_quality"] + ") __q JOIN ("
+        + sql["doc_risk"] + ") __r USING (doc_id)"
+    )
+    # cursorMark page 3 == OFFSET paging under the same total order —
+    # Solr's documented equivalence IS the oracle; the Spark side walks
+    # the actual strictly-after-predicate protocol
+    sql["cursor_page"] = f"""
+SELECT doc_id, lang, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id
+LIMIT {CURSOR_ROWS} OFFSET {CURSOR_ROWS * (CURSOR_PAGES - 1)}
+"""
+    # tlog resolution (arg_max per id, delete wins at its version) ->
+    # committed view -> atomic set/inc over the %5 command slice
+    sql["rtg_atomic"] = """
+WITH tlog AS (
+  SELECT doc_id, 'add' AS op, doc_id * 10 + 1 AS v,
+         'u:' || lang AS text, lang, source, n_chars + 1 AS n_chars
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 'delete', doc_id * 10 + 2, NULL, NULL, NULL, NULL
+  FROM documents WHERE doc_id % 11 = 0
+),
+latest AS (
+  SELECT doc_id, arg_max(op, v) AS op, arg_max(text, v) AS text,
+         arg_max(lang, v) AS lang, arg_max(source, v) AS source,
+         arg_max(n_chars, v) AS n_chars
+  FROM tlog GROUP BY doc_id
+),
+cur AS (
+  SELECT doc_id, text, lang, source, n_chars FROM latest WHERE op = 'add'
+  UNION ALL
+  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+  FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM latest)
+)
+SELECT doc_id, text,
+       CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang,
+       source, n_chars + 7 AS n_chars
+FROM cur WHERE doc_id % 5 = 0
+"""
+    # /admin/luke: topTerms (df desc, term asc) x the index summary row
+    sql["luke_report"] = f"""
+WITH {_TOK_CTE},
+ts AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+  FROM tok GROUP BY term
+),
+summ AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,
+         count(*)::BIGINT AS num_terms,
+         sum(df)::BIGINT AS total_postings,
+         sum(cf)::BIGINT AS total_tokens,
+         round(sum(cf)::DOUBLE
+               / (SELECT count(*) FROM documents), 4) AS avgdl
+  FROM ts
+),
+top AS (
+  SELECT row_number() OVER (ORDER BY df DESC, term)::BIGINT AS rank,
+         term, df, cf
+  FROM ts ORDER BY df DESC, term LIMIT {LUKE_TOP}
+)
+SELECT rank, term, df, cf,
+       num_docs, num_terms, total_postings, total_tokens, avgdl
+FROM top CROSS JOIN summ
+"""
     del sql["tag_join_nosub"], sql["bm25_exploded"], sql["wand_fq"]
     del sql["minhash_signatures"]
     return sql
@@ -3585,6 +3774,12 @@ def oracle_sql() -> dict[str, str]:
     # stream_rollup): the exact oracle SQL stays in _oracle_sql_full,
     # exercised by test_entry.py::test_demoted_entry_pins
     for k in ("bm25_fq", "spellcheck", "phrase_match"):
+        del sql[k]
+    # round-9 session-3 demotions (freed slots for cursor_page/
+    # rtg_atomic/luke_report): standalone SQL stays in _oracle_sql_full
+    # for the pytest pins; dedup_keep is additionally a pure projection
+    # of the still-gated dup_clusters entry
+    for k in ("dedup_keep", "doc_split", "doc_risk"):
         del sql[k]
     return sql
 
@@ -3599,4 +3794,7 @@ def pytest_pinned() -> dict:
         "bm25_fq": (q_bm25_fq, full["bm25_fq"]),
         "spellcheck": (q_spellcheck, full["spellcheck"]),
         "phrase_match": (q_phrase_match, full["phrase_match"]),
+        "dedup_keep": (q_dedup_keep, full["dedup_keep"]),
+        "doc_split": (q_doc_split, full["doc_split"]),
+        "doc_risk": (q_doc_risk, full["doc_risk"]),
     }
