@@ -123,6 +123,107 @@ def apply_tlog(
     return untouched.unionByName(survivors.select(*base_docs.columns))
 
 
+def solr_get(
+    base_docs: DataFrame,
+    tlog: DataFrame | None,
+    params: dict,
+    *,
+    id_col: str = "doc_id",
+    version_col: str = "_version_",
+) -> DataFrame:
+    """The /get handler's param surface: ``ids`` (comma list or list)
+    or ``id``, plus ``fl`` (field projection; ``*`` default). A thin
+    dict-front over :func:`realtime_get`, matching the /select router's
+    convention (search/request.solr_select) so a Solr client's
+    ``/get?ids=1,2,3&fl=title`` maps 1:1."""
+    raw = params.get("ids", params.get("id"))
+    if raw is None:
+        raise ValueError("/get needs ids= (or id=)")
+    if isinstance(raw, str):
+        parts = [p.strip() for p in raw.split(",") if p.strip()]
+    else:
+        parts = list(raw)
+    id_type = dict(base_docs.dtypes).get(id_col, "string")
+    ids = [
+        int(p) if id_type in ("bigint", "int", "long", "smallint") else p
+        for p in parts
+    ]
+    out = realtime_get(
+        base_docs, tlog, ids, id_col=id_col, version_col=version_col
+    )
+    fl = params.get("fl", "*")
+    if fl == "*":
+        return out
+    keep = [f.strip() for f in fl.split(",") if f.strip()]
+    bad = [f for f in keep if f not in out.columns]
+    if bad:
+        raise ValueError(f"fl names unknown fields: {bad}")
+    cols = [id_col] + [f for f in keep if f != id_col]
+    return out.select(*cols)
+
+
+def atomic_update_tlog(
+    base_docs: DataFrame,
+    tlog: DataFrame,
+    cmds: DataFrame,
+    ops: dict[str, str],
+    *,
+    id_col: str = "doc_id",
+    version_col: str = "_version_",
+    new_version: int | None = None,
+    broadcast_cmds: bool = True,
+) -> DataFrame:
+    """Solr's ACTUAL atomic-update flow: the merger reads the doc's
+    latest UNCOMMITTED state (tlog-ahead — RealTimeGetComponent inside
+    DistributedUpdateProcessor), applies the modifiers, and the full
+    replacement document re-enters the tlog as an 'add' at a NEW
+    version. Returns the new tlog rows (same schema as ``tlog``), ready
+    to append: ``tlog.unionByName(atomic_update_tlog(...))`` — so
+    back-to-back atomic batches compose exactly like Solr's update
+    chain, each seeing its predecessor through the log.
+
+    ``new_version`` pins the minted version (defaults to
+    max(current tlog version) + 1, one tiny aggregate — pass it
+    explicitly in loops to avoid the extra job). The current state is
+    probe-bounded: only ids present in ``cmds`` are resolved (the same
+    id-probe discipline as realtime_get, via a semi-join on the command
+    ids rather than literals — the batch may be a relation, not a
+    list)."""
+    cols = [c for c in base_docs.columns if c != id_col]
+    probe_ids = cmds.select(F.col(id_col))
+    if broadcast_cmds:
+        probe_ids = F.broadcast(probe_ids)
+    base = base_docs.join(probe_ids, id_col, "left_semi").select(
+        id_col, F.lit(0).cast("long").alias(version_col), *cols
+    )
+    latest = _latest_tlog(
+        tlog.join(probe_ids, id_col, "left_semi"),
+        id_col, version_col, cols,
+    )
+    current = (
+        latest.where(F.col("op") == "add")
+        .select(id_col, version_col, *cols)
+        .unionByName(
+            base.join(latest.select(id_col), id_col, "left_anti")
+        )
+    )
+    if new_version is None:
+        new_version = int(
+            (tlog.agg(F.max(version_col)).collect()[0][0] or 0) + 1
+        )
+    updated = atomic_update(
+        current, cmds, ops,
+        id_col=id_col, version_col=version_col,
+        broadcast_cmds=broadcast_cmds,
+    )
+    return updated.select(
+        F.col(id_col),
+        F.lit("add").alias("op"),
+        F.lit(new_version).cast("long").alias(version_col),
+        *[F.col(c) for c in cols],
+    ).select(*tlog.columns)
+
+
 def atomic_update(
     current: DataFrame,
     cmds: DataFrame,

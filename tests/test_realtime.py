@@ -14,6 +14,7 @@ import duckdb
 import pytest
 from pyspark.sql import functions as F
 
+from solrtexttagger_spark.index import realtime as solr_get_mod
 from solrtexttagger_spark.index.realtime import (
     apply_tlog,
     atomic_update,
@@ -337,3 +338,77 @@ class TestAtomicUpdate:
         assert "ResolvedHint" not in logical
         hinted = atomic_update(current, cmds, {"lang": "set"})
         assert upd.count() == hinted.count() == 5
+
+
+class TestSolrGet:
+    def test_param_dict_matches_realtime_get(self, docs, tlog):
+        got = sorted(
+            tuple(r) for r in solr_get_mod.solr_get(
+                docs, tlog, {"ids": "0, 7, 11, 3"}
+            ).collect()
+        )
+        exp = sorted(
+            tuple(r) for r in solr_get_mod.realtime_get(
+                docs, tlog, [0, 7, 11, 3]
+            ).collect()
+        )
+        assert got == exp
+
+    def test_fl_projection(self, docs, tlog):
+        out = solr_get_mod.solr_get(
+            docs, tlog, {"ids": "3,7", "fl": "lang,n_chars"})
+        assert out.columns == ["doc_id", "lang", "n_chars"]
+        assert out.count() == 2
+
+    def test_single_id_and_errors(self, docs, tlog):
+        assert solr_get_mod.solr_get(
+            docs, tlog, {"id": "3"}).count() == 1
+        with pytest.raises(ValueError, match="ids"):
+            solr_get_mod.solr_get(docs, tlog, {})
+        with pytest.raises(ValueError, match="unknown fields"):
+            solr_get_mod.solr_get(
+                docs, tlog, {"ids": "3", "fl": "nope"})
+
+
+class TestAtomicUpdateTlog:
+    def test_solr_update_chain_composes(self, docs, tlog):
+        """Two back-to-back atomic batches, each appended to the tlog:
+        the second sees the first through the log (Solr's
+        DistributedUpdateProcessor flow), and /get reflects both."""
+        from solrtexttagger_spark.index.realtime import (
+            atomic_update_tlog, realtime_get,
+        )
+
+        cmds1 = docs.where(F.col("doc_id").isin([3, 7])).select(
+            "doc_id", F.lit(100).cast("long").alias("n_chars"))
+        add1 = atomic_update_tlog(
+            docs, tlog, cmds1, {"n_chars": "inc"}, new_version=10_000)
+        log1 = tlog.unionByName(add1)
+
+        cmds2 = docs.where(F.col("doc_id").isin([3, 7])).select(
+            "doc_id", F.lit(1).cast("long").alias("n_chars"))
+        add2 = atomic_update_tlog(
+            docs, log1, cmds2, {"n_chars": "inc"}, new_version=10_001)
+        log2 = log1.unionByName(add2)
+
+        got = {
+            r["doc_id"]: (r["n_chars"], r["_version_"])
+            for r in realtime_get(docs, log2, [3, 7]).collect()
+        }
+        base = {
+            r["doc_id"]: r["n_chars"]
+            for r in docs.where(F.col("doc_id").isin([3, 7])).collect()
+        }
+        # doc 3 is untouched by the %7 adds: base + 100 + 1
+        assert got[3] == (base[3] + 101, 10_001)
+        # doc 7 was rewritten by the tlog add (n_chars + 1) first
+        assert got[7] == (base[7] + 1 + 101, 10_001)
+
+    def test_minted_version_defaults_to_max_plus_one(self, docs, tlog):
+        from solrtexttagger_spark.index.realtime import atomic_update_tlog
+
+        cmds = docs.where(F.col("doc_id") == 3).select(
+            "doc_id", F.lit(5).cast("long").alias("n_chars"))
+        add = atomic_update_tlog(docs, tlog, cmds, {"n_chars": "inc"})
+        vmax = tlog.agg(F.max("_version_")).collect()[0][0]
+        assert add.collect()[0]["_version_"] == vmax + 1
