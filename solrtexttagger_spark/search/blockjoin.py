@@ -177,3 +177,84 @@ def children_of(
     return kids.join(parents, "__parent").withColumnRenamed(
         "__parent", parent_id_col
     )
+
+
+def with_child_docs(
+    parent_page: DataFrame,
+    child_df: DataFrame,
+    *,
+    parent_id_col: str = "doc_id",
+    child_id_col: str = "doc_id",
+    block_bits: int = BLOCK_BITS,
+    child_filter=None,
+    limit: int = 10,
+    child_fl: list[str] | None = None,
+    broadcast_parents: bool = True,
+) -> DataFrame:
+    """Solr's ChildDocTransformer — ``fl=*,[child childFilter=...
+    limit=N]``: each returned parent carries its nested child documents
+    inline. Returns ``parent_page`` with a ``_childDocuments_`` column
+    (Solr's field name): an ARRAY of child structs in child-index order
+    (Lucene returns block order — here the decoded ``child_idx``),
+    capped at ``limit`` per parent (Solr's default 10), empty array for
+    childless parents (Solr omits the key; a typed column can't).
+
+    Shape: the page broadcasts into the child scan (semi-join on the
+    shiftright-derived parent — map-only key arithmetic, the same hop
+    every block-join path uses), ``child_filter`` (a Catalyst Column or
+    SQL string) prunes children IN THE SCAN, and the per-parent nesting
+    is ONE groupBy whose sort_array + slice caps the array at ``limit``
+    — no window, no per-parent job. The page stays a page: cost tracks
+    (matched children of the page's parents), never the child corpus.
+    ``broadcast_parents=False`` for an unbounded parent set (the
+    children_of contract)."""
+    if limit <= 0:
+        raise ValueError("limit must be positive")
+    fl = child_fl if child_fl is not None else [
+        c for c in child_df.columns if c != child_id_col
+    ]
+    missing = [c for c in fl if c not in child_df.columns]
+    if missing:
+        raise ValueError(f"child_fl names unknown child fields: {missing}")
+    parents = parent_page.select(
+        F.col(parent_id_col).alias("__parent")
+    ).distinct()
+    if broadcast_parents:
+        parents = F.broadcast(parents)
+    kids = child_df
+    if child_filter is not None:
+        kids = kids.where(
+            F.expr(child_filter) if isinstance(child_filter, str)
+            else child_filter
+        )
+    kids = kids.select(
+        parent_of(child_id_col, block_bits=block_bits).alias("__parent"),
+        F.struct(
+            # low bits of the block key (ids are non-negative by the
+            # child_corpus guard, so pmod == the bit mask)
+            F.pmod(
+                F.col(child_id_col).cast("long"),
+                F.lit(1 << block_bits).cast("long"),
+            ).cast("long").alias("child_idx"),
+            *[F.col(c) for c in fl],
+        ).alias("__child"),
+    ).join(parents, "__parent")
+    nested = kids.groupBy("__parent").agg(
+        F.slice(
+            F.sort_array(F.collect_list("__child")), 1, limit
+        ).alias("_childDocuments_")
+    )
+    out = parent_page.join(
+        nested,
+        parent_page[parent_id_col] == nested["__parent"],
+        "left",
+    ).drop("__parent")
+    # Solr omits the key for childless parents; a typed column carries
+    # an empty array instead
+    return out.withColumn(
+        "_childDocuments_",
+        F.coalesce(
+            F.col("_childDocuments_"),
+            F.array().cast(dict(out.dtypes)["_childDocuments_"]),
+        ),
+    )

@@ -390,3 +390,95 @@ class TestBlockJoin:
         )
         with pytest.raises(Exception, match="overflows block_bits"):
             child_corpus(bad, block_bits=2).collect()
+
+
+class TestChildDocTransformer:
+    """Solr's [child] fl transformer: parents carry nested child docs
+    in block (child_idx) order, childFilter prunes in the scan, limit
+    caps per parent."""
+
+    def _page(self, spark):
+        return spark.createDataFrame(
+            [(0, 1.0), (1, 0.5), (2, 0.2)], "doc_id long, score double"
+        )
+
+    def test_nested_children_in_block_order(self, spark, blocks):
+        from solrtexttagger_spark.search.blockjoin import with_child_docs
+
+        parents, chunks, kids, _ = blocks
+        out = with_child_docs(self._page(spark), kids).collect()
+        got = {
+            r["doc_id"]: [
+                (c["child_idx"], c["text"]) for c in r["_childDocuments_"]
+            ]
+            for r in out
+        }
+        exp = {}
+        for pid, idx, txt in CHUNKS:
+            if pid in (0, 1, 2):
+                exp.setdefault(pid, []).append((idx, txt))
+        for pid in exp:
+            exp[pid].sort()
+        assert got == exp
+
+    def test_child_filter_and_limit(self, spark, blocks):
+        from solrtexttagger_spark.search.blockjoin import with_child_docs
+
+        parents, chunks, kids, _ = blocks
+        out = with_child_docs(
+            self._page(spark), kids,
+            child_filter="text LIKE '%spark%'", limit=1,
+        ).collect()
+        got = {
+            r["doc_id"]: [c["text"] for c in r["_childDocuments_"]]
+            for r in out
+        }
+        # parent 0: two spark children, limit=1 keeps child_idx 0;
+        # parent 1: one spark child (idx 1); parent 2: none -> empty
+        assert got == {
+            0: ["spark shuffle partitions"],
+            1: ["spark plug unrelated"],
+            2: [],
+        }
+
+    def test_matches_duckdb_mirror(self, spark, blocks):
+        import duckdb
+
+        from solrtexttagger_spark.search.blockjoin import with_child_docs
+
+        parents, chunks, kids, _ = blocks
+        out = with_child_docs(self._page(spark), kids, limit=2)
+        flat = out.select(
+            "doc_id",
+            F.posexplode_outer("_childDocuments_").alias("pos", "c"),
+        ).select("doc_id", "pos", F.col("c.child_idx").alias("cidx"))
+        got = sorted(tuple(r) for r in flat.collect())
+
+        con = duckdb.connect()
+        con.sql("CREATE TABLE chunks(pid BIGINT, cidx BIGINT, t VARCHAR)")
+        con.executemany(
+            "INSERT INTO chunks VALUES (?, ?, ?)", CHUNKS)
+        exp = sorted(
+            tuple(r) for r in con.sql("""
+            WITH pages(pid) AS (VALUES (0), (1), (2)),
+            ranked AS (
+              SELECT pid, cidx,
+                     row_number() OVER (PARTITION BY pid ORDER BY cidx)
+                       - 1 AS pos
+              FROM chunks WHERE pid IN (SELECT pid FROM pages)
+            )
+            SELECT p.pid, r.pos, r.cidx
+            FROM pages p LEFT JOIN ranked r
+              ON r.pid = p.pid AND r.pos < 2
+        """).fetchall()
+        )
+        assert got == exp
+
+    def test_bad_args_raise(self, spark, blocks):
+        from solrtexttagger_spark.search.blockjoin import with_child_docs
+
+        _, _, kids, _ = blocks
+        with pytest.raises(ValueError, match="limit"):
+            with_child_docs(self._page(spark), kids, limit=0)
+        with pytest.raises(ValueError, match="unknown child fields"):
+            with_child_docs(self._page(spark), kids, child_fl=["nope"])
