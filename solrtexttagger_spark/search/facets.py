@@ -37,6 +37,7 @@ def facet_counts(
     mincount: int = 0,
     sort: str = "count",
     prefix: str | None = None,
+    missing: bool = False,
     allowed_docs: DataFrame | None = None,
     spark: SparkSession | None = None,
 ) -> DataFrame:
@@ -64,7 +65,15 @@ def facet_counts(
     - ``prefix``: only values starting with the string (facet.prefix),
       applied BEFORE counting-order pagination like Solr's term-enum
       restriction; pushed below the aggregate so pruned values never
-      shuffle."""
+      shuffle.
+    - ``missing``: facet.missing — append one row per field with
+      value NULL counting matched docs that have NO value in the field
+      (0 included, as Solr renders it). Identified by the NULL value,
+      not by position; it never participates in mincount/limit/prefix,
+      exactly like Solr renders it outside the value list. NULL-valued
+      docs are EXCLUDED from the value rows either way (Solr counts
+      only docs carrying the field — previously a null could surface
+      as a value row, which no Solr writer emits)."""
     if sort not in ("count", "index"):
         raise ValueError(f"facet sort must be 'count' or 'index', got {sort!r}")
     spark = spark or docs_df.sparkSession
@@ -98,6 +107,7 @@ def facet_counts(
             )
         ).alias("fv")
     ).select("fv.field", "fv.value")
+    fv = fv.where(F.col("value").isNotNull())
     if prefix is not None:
         fv = fv.where(F.col("value").startswith(prefix))
     counts = fv.groupBy("field", "value").agg(F.count("*").alias("n"))
@@ -119,9 +129,26 @@ def facet_counts(
     # docstring's ordering promise held only under limit/offset before —
     # round-7 advice); the post-aggregation relation is distinct facet
     # values, so the global sort is tiny
-    return counts.orderBy(F.col("field").asc(), *order).select(
+    out = counts.orderBy(F.col("field").asc(), *order).select(
         "field", "value", "n"
     )
+    if missing:
+        # one scan-wide aggregate: every field's null count in one row,
+        # stacked to (field, NULL, n) — same one-pass discipline as the
+        # value counts (joined is the matched domain, fq included)
+        aggs = [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"__m_{c}")
+            for c in facet_cols
+        ]
+        pairs = ", ".join(
+            f"'{c}', CAST(NULL AS STRING), __m_{c}" for c in facet_cols
+        )
+        miss = joined.agg(*aggs).selectExpr(
+            f"stack({len(facet_cols)}, {pairs}) AS (field, value, n)"
+        )
+        out = out.unionByName(miss)
+    return out
 
 
 def facet_ranges(

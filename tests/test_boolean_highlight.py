@@ -491,3 +491,36 @@ def test_facet_field_params(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="count.*index|index.*count"):
         vals(sort="nope")
+
+
+def test_facet_missing(spark, docs_df, index):
+    """facet.missing: per-field NULL-doc count appended as a NULL-valued
+    row; null docs are EXCLUDED from the value rows (Solr counts only
+    docs carrying the field)."""
+    from solrtexttagger_spark.search.facets import facet_counts
+
+    docs = docs_df.withColumn(
+        "lang",
+        F.when(F.col("doc_id") == 0, "en")
+        .when(F.col("doc_id") == 1, F.lit(None))
+        .otherwise("de"),
+    )
+    # alpha matches docs 0,1,2: values en(0), de(2); missing doc 1
+    out = facet_counts(
+        index, docs, "alpha", ["lang"], missing=True, spark=spark
+    ).collect()
+    got = {(r["field"], r["value"]): r["n"] for r in out}
+    assert got == {
+        ("lang", "en"): 1, ("lang", "de"): 1, ("lang", None): 1,
+    }
+    # without missing=: the null row vanishes AND never counts as value
+    plain = facet_counts(index, docs, "alpha", ["lang"], spark=spark)
+    assert {(r["value"]): r["n"] for r in plain.collect()} == {
+        "en": 1, "de": 1,
+    }
+    # zero missing still renders (Solr emits 0)
+    full = docs.withColumn("lang", F.coalesce("lang", F.lit("xx")))
+    z = facet_counts(
+        index, full, "alpha", ["lang"], missing=True, spark=spark
+    ).collect()
+    assert {(r["value"]): r["n"] for r in z}[None] == 0
