@@ -580,20 +580,43 @@ def _rank_and_project(
     # then pages)
     rq = params.get("rq")
     rq_expr, rq_docs, rq_weight = None, 0, 1.0
+    ltr_spec = None
     if rq is not None:
         rq_type, rq_lp, _ = parse_local_params(rq, refs=params)
-        if rq_type != "rerank":
-            raise ValueError(f"rq must be {{!rerank ...}}, got {rq!r}")
-        rqq = rq_lp["reRankQuery"]
-        f_type, _f_lp, f_rest = parse_local_params(rqq, refs=params)
-        if f_type not in (None, "func"):
-            raise ValueError(
-                "reRankQuery routes function queries only "
-                "({!func}... or a bare function)"
+        if rq_type == "ltr":
+            # {!ltr reRankDocs=N efi.k=v}: the model dict and feature
+            # map travel in the request as ltr.model / ltr.features
+            # (Solr resolves model= against its model store; a
+            # library has the caller hand the dicts over directly)
+            model = params.get("ltr.model")
+            feats = params.get("ltr.features")
+            if not isinstance(model, dict) or not isinstance(feats, dict):
+                raise ValueError(
+                    "rq={!ltr} needs params['ltr.model'] (model dict) "
+                    "and params['ltr.features'] (name -> SQL expr)"
+                )
+            efi = {
+                k[4:]: v for k, v in rq_lp.items() if k.startswith("efi.")
+            }
+            ltr_spec = (
+                model, feats, int(rq_lp.get("reRankDocs", 200)), efi,
             )
-        rq_expr = solr_func_to_sql(f_rest)
-        rq_docs = int(rq_lp.get("reRankDocs", 200))
-        rq_weight = float(rq_lp.get("reRankWeight", 2.0))
+            rq_docs = ltr_spec[2]
+        elif rq_type != "rerank":
+            raise ValueError(
+                f"rq must be {{!rerank ...}} or {{!ltr ...}}, got {rq!r}"
+            )
+        else:
+            rqq = rq_lp["reRankQuery"]
+            f_type, _f_lp, f_rest = parse_local_params(rqq, refs=params)
+            if f_type not in (None, "func"):
+                raise ValueError(
+                    "reRankQuery routes function queries only "
+                    "({!func}... or a bare function)"
+                )
+            rq_expr = solr_func_to_sql(f_rest)
+            rq_docs = int(rq_lp.get("reRankDocs", 200))
+            rq_weight = float(rq_lp.get("reRankWeight", 2.0))
 
     # orderBy().limit(bound) BEFORE the rank window: a single request
     # has ONE query_id, so the window would funnel the FULL match set
@@ -617,6 +640,14 @@ def _rank_and_project(
         ranked = rerank_topk(
             ranked, docs_df, rq_expr,
             rerank_docs=rq_docs, weight=rq_weight, id_col=id_col,
+        )
+    elif ltr_spec is not None:
+        from solrtexttagger_spark.search.ltr import ltr_rerank
+
+        model, feats, n, efi = ltr_spec
+        ranked = ltr_rerank(
+            ranked, docs_df, model, feats,
+            rerank_docs=n, efi=efi, id_col=id_col,
         )
 
     page = ranked.where(
