@@ -519,6 +519,50 @@ def main() -> None:
 
     timed("q2q_select_router", request_router)
 
+    # q2r: the round-9 session-3 surfaces — a 5-page cursorMark sweep
+    # (each page is a pushed strictly-after filter + TakeOrdered: deep
+    # paging at O(page) cost per page, where start+rows would funnel
+    # O(depth)), the rtg_atomic driver shape (tlog commit + atomic
+    # set/inc over the committed view), the /admin/luke report, and a
+    # {!complexphrase} request through the router (vocabulary rewrite +
+    # slot-merged phrase fold).
+    def cursor_rtg_luke():
+        from solrtexttagger_spark.search.cursor import solr_select_cursor
+        from solrtexttagger_spark.search.request import solr_select
+
+        params = {
+            "q": "*:*", "sort": "n_chars desc",
+            "rows": "200", "fl": "lang,n_chars",
+        }
+        mark, n = "*", 0
+        for _ in range(5):
+            page, mark = solr_select_cursor(
+                None, docs, {**params, "cursorMark": mark}
+            )
+            n += page.count()
+        n += em.q_rtg_atomic(spark, sf_dir).count()
+        n += em.q_luke_report(spark, sf_dir).count()
+        n += solr_select(idx, docs, {
+            "q": '{!complexphrase}"merge sc*"', "rows": "20",
+        }, spark=spark).count()
+        n += solr_select(None, docs, {
+            "q": "{!func}n_chars",
+            "rq": "{!ltr reRankDocs=100 efi.l=en}",
+            "ltr.model": {
+                "type": "linear",
+                "weights": {"f_len": -0.5, "f_en": 2.0, "f_orig": 0.01},
+            },
+            "ltr.features": {
+                "f_len": "n_chars / 100.0",
+                "f_en": "CASE WHEN lang = efi.l THEN 1.0 ELSE 0.0 END",
+                "f_orig": "originalScore",
+            },
+            "rows": "20",
+        }).count()
+        return n
+
+    timed("q2r_cursor_rtg_luke", cursor_rtg_luke)
+
     # q2c: single-query p50/p95 latency, split COLD (caches reset — every
     # query pays its term-metadata job) vs WARM (identical second pass
     # over populated caches). BASELINE.md target metric: top-k query p95.
