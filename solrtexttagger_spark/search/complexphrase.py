@@ -130,11 +130,14 @@ def complex_phrase_match(
     parsed = [
         parse_complex_phrase(p, lowercase=lowercase) for p in phrases
     ]
+    # markers hide in BOTH slot shapes: a bare marker token AND inside
+    # (a b*) alternative groups (Lucene rewrites group members too)
     markers = sorted({
-        slot
+        m
         for slots in parsed
         for slot in slots
-        if isinstance(slot, str) and parse_marker(slot) is not None
+        for m in (slot if isinstance(slot, list) else [slot])
+        if parse_marker(m) is not None
     })
     expansions = expand_vocab_markers(
         index, markers,
@@ -147,7 +150,17 @@ def complex_phrase_match(
         plens[pid] = len(slots)
         for idx_, slot in enumerate(slots):
             if isinstance(slot, list):
-                members = slot
+                # group members expand individually (SpanOr of
+                # rewrites); a marker alt with an empty rewrite just
+                # drops out — the group dies only when NOTHING is left
+                members = []
+                for alt in slot:
+                    if parse_marker(alt) is not None:
+                        members.extend(expansions.get(alt, []))
+                    else:
+                        members.append(alt)
+                if not members:
+                    dead.add(pid)
             elif parse_marker(slot) is not None:
                 members = expansions.get(slot, [])
                 if not members:

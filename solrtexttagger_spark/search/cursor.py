@@ -41,10 +41,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from solrtexttagger_spark.index.build import InvertedIndex
 from solrtexttagger_spark.search.bm25 import B, K1
 from solrtexttagger_spark.search.request import (
-    _request_match_set,
-    parse_fl,
-    parse_sort,
     _IDENT,
+    _request_match_set,
+    parse_sort,
+    project_fl,
 )
 
 START_MARK = "*"
@@ -78,7 +78,16 @@ def after_cursor(keys: list[tuple], values: list):
     ``(k0 > v0) OR (k0 = v0 AND k1 > v1) OR ...`` with ``>`` flipped on
     descending keys. The LEADING disjunct is a plain range comparison on
     the first sort key, which is what parquet row-group pruning keys on
-    when that key is a stored column."""
+    when that key is a stored column.
+
+    NULL keys follow Spark's sort placement (asc: nulls FIRST, desc:
+    nulls LAST — Solr's sortMissingFirst/Last analogue), and the cursor
+    value is known Python-side, so each strict comparison branches on
+    it: after a NULL value under asc means "any non-null key" (with the
+    tie-break recursing through the null group); after a non-null value
+    under desc additionally admits null keys (they sort at the end).
+    Without this, ``col > lit(None)`` is SQL NULL and a null-keyed
+    cursor would silently strand the rest of the sweep."""
     if len(keys) != len(values):
         raise ValueError(
             f"cursorMark carries {len(values)} values but the sort has "
@@ -87,9 +96,18 @@ def after_cursor(keys: list[tuple], values: list):
     pred = F.lit(False)
     for i in range(len(keys) - 1, -1, -1):
         col, asc = keys[i]
-        v = F.lit(values[i])
-        strict = col > v if asc else col < v
-        pred = strict | (col.eqNullSafe(v) & pred)
+        v = values[i]
+        if v is None:
+            # asc: nulls first -> everything non-null is after;
+            # desc: nulls last -> nothing is after a null
+            strict = col.isNotNull() if asc else F.lit(False)
+        elif asc:
+            # nulls sort before every value: never after v
+            strict = col > F.lit(v)
+        else:
+            # nulls sort after every value under desc
+            strict = col.isNull() | (col < F.lit(v))
+        pred = strict | (col.eqNullSafe(F.lit(v)) & pred)
     return pred
 
 
@@ -105,15 +123,20 @@ def cursor_page(
 
     ``sort_keys``: [(sql_expr_or_column, ascending)] — ``id_col`` asc is
     appended when absent (the uniqueKey tiebreak Solr requires). Returns
-    (page, next_mark): ``page`` is the ≤``rows``-row DataFrame (sorted,
-    with the original columns), ``next_mark`` the token for the next
-    request (== ``cursor_mark`` when the page is empty — Solr's
-    end-of-results signal).
+    (page, next_mark): ``page`` is the ≤``rows``-row DataFrame carrying
+    the original columns plus ``rank`` (1-based position WITHIN the
+    page — the response order a Solr client relies on, recoverable
+    however the caller's downstream joins shuffle rows); ``next_mark``
+    is the token for the next request (== ``cursor_mark`` when the page
+    is empty — Solr's end-of-results signal).
 
     Cost shape: the cursor filter applies BEFORE ``orderBy().limit``,
     so the plan is Filter → TakeOrderedAndProject; computing next_mark
     collects only the page's key values (≤ rows scalars, one bounded
-    job — the same materialization Solr does to mint the totem)."""
+    job — the same materialization Solr does to mint the totem). The
+    returned page stays LAZY: the caller's own action re-executes the
+    pruned scan-and-take (the standard price of returning a composable
+    DataFrame rather than collected rows)."""
     if rows <= 0:
         raise ValueError("rows must be positive")
     keys = list(sort_keys)
@@ -143,10 +166,17 @@ def cursor_page(
         for n, (_, asc) in zip(knames, keys)
     ]
     page = work.orderBy(*order).limit(rows)
-    tail = page.select(*knames).collect()
+    # rank = position within the page (1-based): the window runs over
+    # the <= rows survivors of the limit, one tiny partition
+    from pyspark.sql import Window
+
+    page = page.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+    tail = page.select("rank", *knames).orderBy("rank").collect()
     if not tail:
         return page.drop(*knames), cursor_mark
-    next_mark = encode_cursor(list(tail[-1]))
+    next_mark = encode_cursor(list(tail[-1])[1:])
     return page.drop(*knames), next_mark
 
 
@@ -202,31 +232,13 @@ def solr_select_cursor(
         rel, keys, rows=rows, cursor_mark=params.get("cursorMark", "*"),
         id_col="doc_id",
     )
-
-    # fl projection — page is ≤ rows, broadcast into the corpus join
-    fl_entries = parse_fl(params.get("fl"))
-    stored = [f for f in docs_df.columns if f != id_col]
-    proj, seen = [], set()
-    for alias, payload in fl_entries:
-        if payload == "*":
-            for f_ in stored:
-                if f_ not in seen:
-                    seen.add(f_)
-                    proj.append(F.col(f_))
-        elif payload == "score" or alias in ("doc_id", id_col):
-            continue
-        elif alias not in seen:
-            seen.add(alias)
-            if _IDENT.match(payload) and payload in docs_df.columns:
-                proj.append(F.col(payload).alias(alias))
-            else:
-                proj.append(F.expr(payload).alias(alias))
-    base = page.select("query_id", "doc_id", "score")
-    if not proj:
-        return base, next_mark
-    fields = docs_df.withColumnRenamed(id_col, "doc_id")
+    # the shared fl projection (request.project_fl); rank = 1-based
+    # position within THIS page, so clients recover response order
+    # however the broadcast join shuffles rows
     return (
-        fields.join(F.broadcast(base), "doc_id")
-        .select("query_id", "doc_id", "score", *proj),
+        project_fl(
+            page, docs_df, params.get("fl"), id_col=id_col,
+            lead_cols=("query_id", "rank", "doc_id", "score"),
+        ),
         next_mark,
     )

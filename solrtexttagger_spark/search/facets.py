@@ -137,8 +137,12 @@ def facet_counts(
         # stacked to (field, NULL, n) — same one-pass discipline as the
         # value counts (joined is the matched domain, fq included)
         aggs = [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("long").alias(f"__m_{c}")
+            # coalesce: an EMPTY matched domain must still render 0
+            # (sum over no rows is NULL)
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias(f"__m_{c}")
             for c in facet_cols
         ]
         pairs = ", ".join(

@@ -44,18 +44,23 @@ def _feature_exprs(
     """Substitute ``efi.<name>`` external feature inputs (Solr's
     request-time parameters) as SQL literals. Values are numbers or
     strings (quoted); anything else raises."""
+    import re
+
     if not features:
         raise ValueError("features must name at least one expression")
     out = {}
     for name, expr in features.items():
         s = expr
-        for k, v in (efi or {}).items():
+        # longest name first + word boundary, so efi.l never corrupts
+        # efi.lang (plain replace would)
+        for k in sorted(efi or {}, key=len, reverse=True):
+            v = (efi or {})[k]
             if isinstance(v, bool) or not isinstance(v, (int, float, str)):
                 raise ValueError(f"efi.{k} must be a number or string")
             lit = repr(float(v)) if isinstance(v, (int, float)) else (
                 "'" + v.replace("'", "''") + "'"
             )
-            s = s.replace(f"efi.{k}", lit)
+            s = re.sub(rf"efi\.{re.escape(k)}\b", lit.replace("\\", r"\\"), s)
         out[name] = s
     return out
 

@@ -654,9 +654,27 @@ def _rank_and_project(
         (F.col("rank") > start) & (F.col("rank") <= start + rows)
     )
 
-    # fl projection: the page (<= rows per query) broadcasts into the
-    # corpus join; pseudo-fields evaluate on the joined relation
-    fl_entries = parse_fl(params.get("fl"))
+    return project_fl(
+        page, docs_df, params.get("fl"), id_col=id_col,
+        lead_cols=("query_id", "rank", "doc_id", "score"),
+    )
+
+
+def project_fl(
+    page: DataFrame,
+    docs_df: DataFrame,
+    fl,
+    *,
+    id_col: str = "doc_id",
+    lead_cols: tuple = ("query_id", "rank", "doc_id", "score"),
+) -> DataFrame:
+    """The fl projection shared by solr_select and
+    cursor.solr_select_cursor: the page (<= rows per query) broadcasts
+    into the corpus join; pseudo-fields evaluate on the joined
+    relation, so the corpus scan prunes to exactly the referenced
+    columns. ``lead_cols`` are the page's own columns, always emitted
+    first."""
+    fl_entries = parse_fl(fl)
     stored = [f for f in docs_df.columns if f != id_col]
     proj, seen = [], set()
     for alias, payload in fl_entries:
@@ -674,11 +692,11 @@ def _rank_and_project(
             else:
                 proj.append(F.expr(payload).alias(alias))
     if not proj:
-        return page.select("query_id", "rank", "doc_id", "score")
+        return page.select(*lead_cols)
     fields = docs_df.withColumnRenamed(id_col, "doc_id")
     return (
-        fields.join(F.broadcast(page), "doc_id")
-        .select("query_id", "rank", "doc_id", "score", *proj)
+        fields.join(F.broadcast(page.select(*lead_cols)), "doc_id")
+        .select(*lead_cols, *proj)
     )
 
 

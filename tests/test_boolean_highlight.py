@@ -524,3 +524,11 @@ def test_facet_missing(spark, docs_df, index):
         index, full, "alpha", ["lang"], missing=True, spark=spark
     ).collect()
     assert {(r["value"]): r["n"] for r in z}[None] == 0
+    # empty matched domain: missing still renders 0, never NULL
+    empty = docs.sparkSession.createDataFrame(
+        [], "doc_id long").selectExpr("doc_id")
+    e = facet_counts(
+        index, docs, "alpha", ["lang"], missing=True,
+        allowed_docs=empty, spark=spark,
+    ).collect()
+    assert [(r["value"], r["n"]) for r in e] == [(None, 0)]

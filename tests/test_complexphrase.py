@@ -30,7 +30,7 @@ def _lev(a: str, b: str) -> int:
 
 def tok_match(tok: str, slot) -> bool:
     if isinstance(slot, list):
-        return tok in slot
+        return any(tok_match(tok, m) for m in slot)
     m = re.match(r"^(\w+)~([12])$", slot)
     if m:
         return _lev(tok, m.group(1)) <= int(m.group(2))
@@ -216,3 +216,37 @@ class TestRouter:
         with pytest.raises(ValueError, match="inOrder"):
             solr_select(idx, docs, {
                 "q": '{!complexphrase inOrder=false}"a b"'})
+
+
+class TestGroupMarkers:
+    def test_markers_inside_groups_expand(self, corpus):
+        """(w0 alp*) gamma: the group's wildcard member rewrites
+        against the vocabulary (Lucene expands group members too) —
+        docs with 'alps gamma' must match."""
+        docs, idx = corpus
+        got = {
+            (r["phrase_id"], r["doc_id"]): r["n_occurrences"]
+            for r in complex_phrase_match(
+                idx, ["(w0 alp*) gamma", "(zz* w1) beta"]).collect()
+        }
+        exp = {}
+        for pid, ph in enumerate(["(w0 alp*) gamma", "(zz* w1) beta"]):
+            for d, t in docs:
+                n = brute(t.split(), ph)
+                if n:
+                    exp[(pid, d)] = n
+        assert got == exp
+        # sanity: the group phrase matched something, and the marker
+        # arm can only ADD over the literal-only group
+        assert any(p == 0 for (p, d) in got)
+        literal_only = {
+            r["doc_id"]
+            for r in complex_phrase_match(idx, ["(w0) gamma"]).collect()
+        }
+        assert literal_only <= {d for (p, d) in got if p == 0}
+
+    def test_group_of_only_dead_markers_kills_phrase(self, corpus):
+        _, idx = corpus
+        out = complex_phrase_match(
+            idx, ["(zz* qq*) gamma", "alpha alps"]).collect()
+        assert {r["phrase_id"] for r in out} == {1}

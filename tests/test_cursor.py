@@ -158,7 +158,9 @@ class TestScaleShape:
         assert "TakeOrderedAndProject" in plan
         assert "PushedFilters: [" in plan
         assert "GreaterThan(n_chars" in plan, plan
-        assert "Window" not in plan
+        # the rank window is fine ONLY above the limit: it must consume
+        # the <= rows TakeOrdered output, never the raw scan
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject")
 
     def test_first_page_no_cursor_filter(self, docs):
         page, _ = cursor_page(docs, [("n_chars", True)], rows=10)
@@ -228,3 +230,65 @@ class TestSolrSelectCursor:
                 None, docs,
                 {"q": "{!term f=lang}en", "rq": "{!rerank}"},
             )
+
+
+class TestNullKeysAndRank:
+    def test_null_sort_key_sweep_is_complete(self, spark, oracle, docs):
+        """A nullable sort key must not strand the sweep: Spark places
+        nulls FIRST under asc, so page 1 is null-keyed, the minted
+        cursor carries [null, id], and the next page must step into the
+        non-null region (col > NULL is SQL NULL — the naive predicate
+        returns an empty page and the sweep dies)."""
+        d = docs.withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+                F.col("lang")
+            ),
+        )
+        got, _ = sweep(d, [("lang", True)], 23)
+        exp = oracle.sql("""
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END
+                       AS lang2
+              FROM documents
+            ) ORDER BY lang2 NULLS FIRST, doc_id
+        """).fetchall()
+        assert [r["doc_id"] for r in got] == [r[0] for r in exp]
+
+    def test_null_sort_key_sweep_desc(self, spark, oracle, docs):
+        """Desc: nulls sort LAST in Spark — after a non-null cursor
+        value the null block must still be reachable."""
+        d = docs.withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+                F.col("lang")
+            ),
+        )
+        got, _ = sweep(d, [("lang", False)], 23)
+        exp = oracle.sql("""
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END
+                       AS lang2
+              FROM documents
+            ) ORDER BY lang2 DESC NULLS LAST, doc_id
+        """).fetchall()
+        assert [r["doc_id"] for r in got] == [r[0] for r in exp]
+
+    def test_page_carries_rank(self, docs):
+        page, _ = cursor_page(docs, [("n_chars", False)], rows=9)
+        rows = page.orderBy("rank").collect()
+        assert [r["rank"] for r in rows] == list(range(1, 10))
+        chars = [r["n_chars"] for r in rows]
+        assert chars == sorted(chars, reverse=True)
+
+    def test_select_cursor_page_rank_order(self, docs):
+        page, _ = solr_select_cursor(None, docs, {
+            "q": "*:*", "sort": "n_chars desc", "rows": "8",
+            "fl": "n_chars",
+        })
+        rows = page.orderBy("rank").collect()
+        assert [r["rank"] for r in rows] == list(range(1, 9))
+        chars = [r["n_chars"] for r in rows]
+        assert chars == sorted(chars, reverse=True)

@@ -216,3 +216,27 @@ class TestRouter:
             solr_select(None, docs, {
                 "q": "{!func}views", "rq": "{!ltr reRankDocs=3}",
             })
+
+
+class TestEfiEdgeCases:
+    def test_prefix_colliding_efi_names(self, spark, rels):
+        """efi.l must not corrupt efi.lang (longest-first + word
+        boundary substitution)."""
+        docs, ranked = rels
+        out = extract_features(
+            ranked, docs,
+            {"f": "CASE WHEN lang = efi.lang THEN length * efi.l "
+                  "ELSE 0.0 END"},
+            efi={"l": 2, "lang": "en"},
+        ).collect()
+        got = {r["doc_id"]: r["f"] for r in out}
+        assert got[0] == 200.0 and got[1] == 40.0 and got[2] == 0.0
+
+    def test_string_efi_quoting(self, spark, rels):
+        docs, ranked = rels
+        out = extract_features(
+            ranked, docs,
+            {"f": "CASE WHEN lang = efi.q THEN 1.0 ELSE 0.0 END"},
+            efi={"q": "it's"},
+        ).collect()
+        assert all(r["f"] == 0.0 for r in out)
