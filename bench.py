@@ -906,6 +906,28 @@ def main() -> None:
     # q8c: sequence packing (distributed prefix sum)
     timed("q8c_pack_sequences", lambda: _materialize(em.q_pack_sequences(spark, sf_dir)))
 
+    # q8d: cross-document boilerplate removal (C4 frequent-line filter).
+    # The corpus is single-line, so a deterministic rewrite breaks every
+    # 5-word run onto its own line first — frequent 5-grams become the
+    # "cookie banner" lines the filter exists for.
+    def boilerplate():
+        from pyspark.sql import functions as F
+
+        from solrtexttagger_spark.ops.boilerplate import (
+            remove_boilerplate,
+        )
+
+        d = docs.withColumn(
+            "text",
+            F.regexp_replace("text", r"((?:\S+ ){4}\S+) ", "$1\n"),
+        )
+        out = remove_boilerplate(d, min_docs=20)
+        return int(
+            out.agg(F.sum("n_lines_removed")).collect()[0][0] or 0
+        )
+
+    timed("q8d_boilerplate", boilerplate)
+
     # q9: sessionization over events
     timed("q9_sessionize", lambda: _materialize(em.q_sessionize(spark, sf_dir)))
 
