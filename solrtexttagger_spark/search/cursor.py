@@ -242,3 +242,41 @@ def solr_select_cursor(
         ),
         next_mark,
     )
+
+
+def render_cursor_response(
+    page: DataFrame,
+    next_mark: str,
+    *,
+    num_found: int | None = None,
+) -> str:
+    """The HTTP shape of a cursor page: Solr's wt=json response with
+    the top-level ``nextCursorMark`` key clients loop on. ``page`` is a
+    solr_select_cursor/cursor_page output (bounded — the collect here
+    is <= rows, the same materialization any writer does); rows render
+    in rank order with doc_id as ``id``, score rounded to 4 (the golden
+    writers' convention). ``num_found`` is optional because computing
+    it is a separate count over the match set — Solr returns it with
+    every cursor page, a caller that wants parity passes the count in
+    (compute once per sweep: the match set is cursor-invariant)."""
+    import json as _json
+
+    rows = page.orderBy("rank").collect()
+    docs = []
+    for r in rows:
+        d = {"id": r["doc_id"]}
+        if "score" in page.columns:
+            d["score"] = round(r["score"], 4)
+        for c in page.columns:
+            if c not in ("query_id", "rank", "doc_id", "score"):
+                d[c] = r[c]
+        docs.append(d)
+    payload = {
+        "response": {
+            "numFound": num_found if num_found is not None else len(docs),
+            "start": 0,
+            "docs": docs,
+        },
+        "nextCursorMark": next_mark,
+    }
+    return _json.dumps(payload, separators=(",", ":"), sort_keys=True)

@@ -1052,3 +1052,69 @@ class LocalRequestHandler:
             q, k=rows, allowed_docs=allowed, start=start,
             synonyms=synonyms,
         )
+
+    def select_cursor(self, params: dict, *, synonyms=None):
+        """The cursorMark protocol on the warm path: the same param
+        dict plus ``cursorMark`` (default ``*``); returns
+        ([(rank, doc_id, score)], nextCursorMark). Totem-compatible
+        with search/cursor.py (base64 sort values) but carries
+        [score, doc_id, depth] — the warm ranking is driver-resident,
+        so the cursor resumes by DEPTH and the (score, doc_id) pair is
+        verified against the first returned row (a changed index under
+        a live cursor fails loudly instead of skipping or repeating
+        docs). Sort is the warm path's own (score desc, doc_id asc);
+        an explicit ``sort`` param raises — field sorts serve
+        distributed via cursor.solr_select_cursor.
+
+        Honest cost note: unlike the distributed cursor (a pushed
+        strictly-after filter), the warm twin re-ranks top-(depth+rows)
+        in memory per page — numpy argpartition over the resident
+        score arrays, microseconds at serving scale; the protocol win
+        here is client compatibility + the stale-cursor guard, not
+        asymptotics."""
+        from solrtexttagger_spark.search.cursor import (
+            START_MARK,
+            decode_cursor,
+            encode_cursor,
+        )
+
+        if "sort" in params:
+            raise ValueError(
+                "the warm cursor serves the relevance order only "
+                "(score desc, doc_id asc); field sorts go distributed "
+                "via cursor.solr_select_cursor"
+            )
+        if int(params.get("start", 0)) != 0:
+            raise ValueError("cursorMark does not compose with start")
+        mark = params.get("cursorMark", START_MARK)
+        vals = decode_cursor(mark)
+        depth = 0
+        if vals is not None:
+            if len(vals) != 3:
+                raise ValueError(
+                    "warm cursorMark totem carries [score, doc_id, "
+                    f"depth]; got {vals!r}"
+                )
+            depth = int(vals[2])
+        rows = int(params.get("rows", 10))
+        page = self.select(
+            {**params, "start": str(depth), "rows": str(rows)},
+            synonyms=synonyms,
+        )
+        if not page:
+            return [], mark
+        if vals is not None:
+            head_score, head_id = float(page[0][2]), int(page[0][1])
+            # strictly-after check vs the totem's (score, doc_id):
+            # equal-or-earlier means the index changed under the cursor
+            if (head_score, -head_id) >= (float(vals[0]), -int(vals[1])):
+                raise ValueError(
+                    "stale cursorMark: the warm index changed under a "
+                    "live cursor (first row sorts at-or-before the "
+                    "totem) — restart the sweep from *"
+                )
+        last = page[-1]
+        next_mark = encode_cursor(
+            [float(last[2]), int(last[1]), depth + len(page)]
+        )
+        return page, next_mark

@@ -292,3 +292,109 @@ class TestNullKeysAndRank:
         assert [r["rank"] for r in rows] == list(range(1, 9))
         chars = [r["n_chars"] for r in rows]
         assert chars == sorted(chars, reverse=True)
+
+
+class TestWarmCursor:
+    def test_warm_pages_match_start_rows(self, spark, corpus):
+        """LocalRequestHandler.select_cursor == the same handler's
+        start/rows pages, page for page, with the protocol's
+        end-of-results signal."""
+        from solrtexttagger_spark.index.compressed import compress_index
+        from solrtexttagger_spark.search.request import (
+            LocalRequestHandler,
+        )
+        from solrtexttagger_spark.search.wand import LocalSearcher
+
+        df, idx = corpus
+        cix = compress_index(idx)
+        searcher = LocalSearcher(cix)
+        h = LocalRequestHandler(searcher)
+        params = {"q": "merge scan", "rows": "7"}
+        mark, pages = START_MARK, []
+        while True:
+            page, nxt = h.select_cursor({**params, "cursorMark": mark})
+            if nxt == mark:
+                assert page == []
+                break
+            pages.append(page)
+            mark = nxt
+            assert len(pages) < 100
+        flat = [r for p in pages for r in p]
+        depth = 0
+        for p in pages:
+            exp = h.select({**params, "start": str(depth),
+                            "rows": "7"})
+            assert p == exp
+            depth += len(p)
+        # no dups, ranking monotone
+        ids = [r[1] for r in flat]
+        assert len(set(ids)) == len(ids)
+        scores = [r[2] for r in flat]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_warm_cursor_guards(self, spark, corpus):
+        from solrtexttagger_spark.index.compressed import compress_index
+        from solrtexttagger_spark.search.request import (
+            LocalRequestHandler,
+        )
+        from solrtexttagger_spark.search.wand import LocalSearcher
+
+        df, idx = corpus
+        searcher = LocalSearcher(compress_index(idx))
+        h = LocalRequestHandler(searcher)
+        with pytest.raises(ValueError, match="sort"):
+            h.select_cursor({"q": "merge", "sort": "n_chars desc"})
+        with pytest.raises(ValueError, match="start"):
+            h.select_cursor({"q": "merge", "start": "5"})
+        with pytest.raises(ValueError, match="totem"):
+            h.select_cursor({
+                "q": "merge", "cursorMark": encode_cursor([1.0, 2]),
+            })
+
+    def test_stale_cursor_raises(self, spark, corpus):
+        """A totem pointing at-or-before the served head means the
+        index changed under the cursor — loud failure, no dup/skip."""
+        from solrtexttagger_spark.index.compressed import compress_index
+        from solrtexttagger_spark.search.request import (
+            LocalRequestHandler,
+        )
+        from solrtexttagger_spark.search.wand import LocalSearcher
+
+        df, idx = corpus
+        searcher = LocalSearcher(compress_index(idx))
+        h = LocalRequestHandler(searcher)
+        page, _ = h.select_cursor({"q": "merge", "rows": "5"})
+        # forge a totem claiming everything above a LOW score was
+        # already served at depth 1 — the row actually at depth 1
+        # scores far higher, i.e. sorts BEFORE the totem: the index
+        # must have changed (or the totem lies), so the cursor is stale
+        stale = encode_cursor([page[-1][2] - 100.0, 0, 1])
+        with pytest.raises(ValueError, match="stale"):
+            h.select_cursor({"q": "merge", "cursorMark": stale})
+        # a CONSISTENT totem at depth 1 resumes fine
+        ok = encode_cursor([page[0][2], page[0][1], 1])
+        nxt, _ = h.select_cursor(
+            {"q": "merge", "rows": "4", "cursorMark": ok})
+        assert nxt == page[1:5]
+
+
+class TestRenderCursorResponse:
+    def test_json_shape(self, docs):
+        from solrtexttagger_spark.search.cursor import (
+            render_cursor_response,
+        )
+        import json
+
+        page, mark = solr_select_cursor(None, docs, {
+            "q": "*:*", "sort": "n_chars desc", "rows": "3",
+            "fl": "lang",
+        })
+        out = json.loads(render_cursor_response(
+            page, mark, num_found=500))
+        assert out["nextCursorMark"] == mark
+        assert out["response"]["numFound"] == 500
+        assert len(out["response"]["docs"]) == 3
+        assert all(
+            set(d) == {"id", "score", "lang"}
+            for d in out["response"]["docs"]
+        )
