@@ -883,6 +883,83 @@ def compile_stream(
         return spark.createDataFrame(
             [(str(expr.args[0] if expr.args else ""),)], "echo string"
         )
+    if name == "features":
+        # features(col, outcome=<col>, numTerms=N): information-gain
+        # term selection (FeaturesSelectionStream) — rows where the
+        # outcome column is non-null are the labeled set
+        from solrtexttagger_spark.search.textml import features_ig
+
+        tbl = expr.args[0].name
+        if tbl not in tables:
+            raise ValueError(f"unknown collection {tbl!r}")
+        idx = (indexes or {}).get(tbl)
+        if idx is None:
+            raise ValueError(
+                f"features({tbl!r}) needs an InvertedIndex registered "
+                "(pass indexes={name: index})"
+            )
+        oc = expr.params.get("outcome", "outcome")
+        lab = tables[tbl].where(F.col(oc).isNotNull()).select(
+            "doc_id", oc
+        )
+        return features_ig(
+            idx, lab,
+            n_terms=int(expr.params.get("numTerms", 10)),
+            outcome_col=oc,
+        )
+    if name == "train":
+        # train(col, features(...), outcome=, maxIterations=, alpha=):
+        # TextLogitStream — one model tuple per GD iteration, the last
+        # carrying the post-update model classify() consumes
+        from solrtexttagger_spark.search.textml import train_logit
+
+        tbl = expr.args[0].name
+        if tbl not in tables:
+            raise ValueError(f"unknown collection {tbl!r}")
+        idx = (indexes or {}).get(tbl)
+        if idx is None:
+            raise ValueError(f"train({tbl!r}) needs an InvertedIndex")
+        feats = compile_stream(expr.args[1], tables, indexes)
+        terms = [r["term"] for r in feats.orderBy("rank").collect()]
+        oc = expr.params.get("outcome", "outcome")
+        lab = tables[tbl].where(F.col(oc).isNotNull()).select(
+            "doc_id", oc
+        )
+        hist = train_logit(
+            idx, lab, terms,
+            iterations=int(expr.params.get("maxIterations", 10)),
+            learning_rate=float(expr.params.get("alpha", 0.1)),
+            outcome_col=oc,
+        )
+        spark = tables[tbl].sparkSession
+        return spark.createDataFrame(
+            [
+                (m["iteration"], m["error"], m["terms"],
+                 m["weights"], m["bias"])
+                for m in hist
+            ],
+            "iteration_i long, error_d double, terms_ss array<string>, "
+            "weights_ds array<double>, idfs_d double",
+        ).withColumnRenamed("idfs_d", "bias_d")
+    if name == "classify":
+        # classify(model_stream, doc_stream, field=): score the docs
+        # with the LAST model tuple (Solr reads the latest stored
+        # model) — the model collect is one bounded row
+        from solrtexttagger_spark.search.textml import classify_docs
+
+        model_df = sub(0)
+        docs_df = compile_stream(expr.args[1], tables, indexes)
+        last = model_df.orderBy(F.desc("iteration_i")).limit(1).collect()
+        if not last:
+            raise ValueError("classify: the model stream is empty")
+        m = last[0]
+        return classify_docs(
+            docs_df,
+            {"terms": list(m["terms_ss"]),
+             "weights": list(m["weights_ds"]),
+             "bias": float(m["bias_d"])},
+            text_col=expr.params.get("field", "text"),
+        )
     raise ValueError(f"unknown stream function {name!r}")
 
 
