@@ -928,6 +928,31 @@ def main() -> None:
 
     timed("q8d_boilerplate", boilerplate)
 
+    # q8e: the /stream text-ML loop — IG feature selection over the
+    # shared index + 10 GD iterations (one aggregate each) + map-only
+    # classify of the whole corpus. Outcome: lang=='en' (deterministic).
+    def textml():
+        from pyspark.sql import functions as F
+
+        from solrtexttagger_spark.search.textml import (
+            classify_docs,
+            features_ig,
+            train_logit,
+        )
+
+        lab = docs.select(
+            "doc_id",
+            (F.col("lang") == "en").cast("int").alias("outcome"),
+        )
+        feats = features_ig(idx, lab, n_terms=5).collect()
+        model = train_logit(
+            idx, lab, [r["term"] for r in feats],
+            iterations=10, learning_rate=0.5,
+        )[-1]
+        return classify_docs(docs, model).count()
+
+    timed("q8e_textml_train", textml)
+
     # q9: sessionization over events
     timed("q9_sessionize", lambda: _materialize(em.q_sessionize(spark, sf_dir)))
 
