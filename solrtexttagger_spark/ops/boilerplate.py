@@ -10,10 +10,9 @@ frequency question, not a per-doc one.
 Spark shape, two operators:
 
 - :func:`line_stats` — ONE aggregation over the exploded (doc, line)
-  relation: per normalized line, how many distinct docs carry it and
-  how often it occurs. Per-doc duplicate lines collapse BEFORE the
-  shuffle (array_distinct on the split — map-side), so the exchange
-  carries at most (docs x distinct-lines-per-doc) rows.
+  relation: per normalized line, how many distinct docs carry it
+  (two-phase count_distinct — the exchange carries partial aggregate
+  states keyed on the line) and how often it occurs.
 - :func:`remove_boilerplate` — rebuild each doc without the lines whose
   doc-frequency reaches ``min_docs``. The frequent-line relation is
   SMALL BY CONSTRUCTION (|corpus lines| / min_docs is its hard upper
@@ -42,6 +41,15 @@ def _norm(col):
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def _split_pat(delimiter: str) -> str:
+    """F.split takes a Java REGEX while concat_ws re-inserts the
+    delimiter LITERALLY — escape it so split/rejoin stay symmetric for
+    metachar delimiters ('.', '||', ...)."""
+    import re
+
+    return re.escape(delimiter)
+
+
 def line_stats(
     docs: DataFrame,
     *,
@@ -52,15 +60,17 @@ def line_stats(
 ) -> DataFrame:
     """Corpus-wide line frequencies: (line, n_docs, n_occurrences) per
     NORMALIZED line of at least ``min_line_chars`` characters. n_docs
-    counts distinct documents (the C4 criterion); n_occurrences counts
-    raw appearances. One shuffle: per-doc distinct lines collapse
-    map-side (array_distinct) so n_docs is a plain count, and the raw
-    occurrence count rides the same aggregate."""
+    counts distinct documents (the C4 criterion) via one
+    groupBy(line) count_distinct — Spark's two-phase aggregate, whose
+    exchange carries per-partition partial states keyed on the line,
+    not raw rows; n_occurrences rides the same aggregate. NULL text
+    contributes nothing."""
     per_doc = docs.select(
         F.col(id_col),
         F.filter(
             F.transform(
-                F.split(F.col(text_col), delimiter), lambda x: _norm(x)
+                F.split(F.col(text_col), _split_pat(delimiter)),
+                lambda x: _norm(x),
             ),
             lambda x: F.length(x) >= min_line_chars,
         ).alias("__lines"),
@@ -113,10 +123,14 @@ def remove_boilerplate(
     if broadcast_frequent:
         freq = F.broadcast(freq)
 
-    others = [c for c in docs.columns if c != text_col]
+    # explode/rebuild keys on id_col ALONE (an equi-join over metadata
+    # columns would drop any doc carrying a NULL there — null-unsafe —
+    # and shuffle wider keys for nothing); other columns re-attach
+    # from the original relation at the end
+    pat = _split_pat(delimiter)
     pos = docs.select(
-        *others,
-        F.posexplode(F.split(F.col(text_col), delimiter)).alias(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), pat)).alias(
             "__pos", "__raw"
         ),
     ).withColumn("__key", _norm(F.col("__raw")))
@@ -127,7 +141,7 @@ def remove_boilerplate(
         "left_anti",
     )
     rebuilt = (
-        kept.groupBy(*others)
+        kept.groupBy(id_col)
         .agg(
             F.concat_ws(
                 delimiter,
@@ -137,17 +151,28 @@ def remove_boilerplate(
                     ),
                     lambda s: s["__raw"],
                 ),
-            ).alias(text_col),
+            ).alias("__clean"),
             F.count("*").alias("__n_kept"),
         )
     )
-    n_total = docs.select(
-        *others,
-        F.size(F.split(F.col(text_col), delimiter)).alias("__n_total"),
+    base = docs.withColumn(
+        "__n_total",
+        F.coalesce(
+            F.size(F.split(F.col(text_col), pat)), F.lit(0)
+        ),
     )
-    return n_total.join(rebuilt, others, "left").select(
-        *others,
-        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+    out_cols = [
+        # NULL text stays NULL (a doc with no text is not "fully
+        # boilerplate"); otherwise the rebuilt text, '' when every
+        # line was dropped
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.coalesce(F.col("__clean"), F.lit("")))
+        .alias(text_col)
+        if c == text_col else F.col(c)
+        for c in docs.columns
+    ]
+    return base.join(rebuilt, id_col, "left").select(
+        *out_cols,
         (F.col("__n_total") - F.coalesce(F.col("__n_kept"), F.lit(0)))
         .cast("long").alias("n_lines_removed"),
     )

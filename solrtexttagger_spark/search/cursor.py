@@ -262,14 +262,20 @@ def render_cursor_response(
     import json as _json
 
     rows = page.orderBy("rank").collect()
+    has_score = "score" in page.columns
+    fields = [
+        c for c in page.columns
+        if c not in ("query_id", "rank", "doc_id", "score")
+    ]
     docs = []
     for r in rows:
         d = {"id": r["doc_id"]}
-        if "score" in page.columns:
+        if has_score:
+            # score rounded to 4 — the golden writers' convention
+            # (select.render_select_json)
             d["score"] = round(r["score"], 4)
-        for c in page.columns:
-            if c not in ("query_id", "rank", "doc_id", "score"):
-                d[c] = r[c]
+        for c in fields:
+            d[c] = r[c]
         docs.append(d)
     payload = {
         "response": {

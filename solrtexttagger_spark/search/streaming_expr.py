@@ -889,6 +889,8 @@ def compile_stream(
         # outcome column is non-null are the labeled set
         from solrtexttagger_spark.search.textml import features_ig
 
+        if not expr.args:
+            raise ValueError("features(collection, ...) needs a collection")
         tbl = expr.args[0].name
         if tbl not in tables:
             raise ValueError(f"unknown collection {tbl!r}")
@@ -913,6 +915,11 @@ def compile_stream(
         # carrying the post-update model classify() consumes
         from solrtexttagger_spark.search.textml import train_logit
 
+        if len(expr.args) < 2:
+            raise ValueError(
+                "train(collection, features(...), ...) needs a "
+                "collection and a feature stream"
+            )
         tbl = expr.args[0].name
         if tbl not in tables:
             raise ValueError(f"unknown collection {tbl!r}")
@@ -947,6 +954,11 @@ def compile_stream(
         # model) — the model collect is one bounded row
         from solrtexttagger_spark.search.textml import classify_docs
 
+        if len(expr.args) < 2:
+            raise ValueError(
+                "classify(model_stream, doc_stream, field=...) needs "
+                "both streams"
+            )
         model_df = sub(0)
         docs_df = compile_stream(expr.args[1], tables, indexes)
         last = model_df.orderBy(F.desc("iteration_i")).limit(1).collect()

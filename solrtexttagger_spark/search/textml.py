@@ -170,7 +170,12 @@ def train_logit(
             F.col("__tis"), F.array().cast("array<int>")
         ).alias("__tis"),
     ).persist()
-    mat.count()
+    n_labeled = mat.count()
+    if n_labeled == 0:
+        mat.unpersist()
+        raise ValueError(
+            "train_logit: no labeled docs (outcome_df matched nothing)"
+        )
 
     k = len(terms)
     w = [0.0] * k
@@ -239,15 +244,28 @@ def classify_docs(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    analyzer: str = "standard",
 ) -> DataFrame:
     """Score a doc stream with a trained model (Solr ClassifyStream):
-    re-analyze ``text_col`` (whitespace + lowercase, the corpus'
-    analyzer), presence-match the model's terms, and emit
+    re-analyze ``text_col`` with the SAME analyzer family the index
+    used — ``analyzer="standard"`` (default) extracts ``\\w+`` runs
+    like analysis/core's StandardTokenizer, so 'great!' still fires the
+    trained 'great' feature (Solr's ClassifyStream re-analyzes with the
+    field's own analyzer; a whitespace split here would be train/serve
+    skew); ``analyzer="whitespace"`` for pre-tokenized corpora. Emits
     (id, probability, score) where score is the raw logit. Map-only —
     one codegen'd expression per model term, no index, no shuffle."""
     terms, weights = model["terms"], model["weights"]
     bias = float(model.get("bias", 0.0))
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    if analyzer == "standard":
+        toks = F.expr(
+            f"regexp_extract_all(lower(`{text_col}`), "
+            r"'\\w+(?:[\'’]\\w+)*', 0)"
+        )
+    elif analyzer == "whitespace":
+        toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    else:
+        raise ValueError("analyzer must be 'standard' or 'whitespace'")
     z = F.lit(bias)
     for t, wt in zip(terms, weights):
         z = z + F.when(

@@ -146,3 +146,53 @@ class TestRemoveBoilerplate:
         assert all(
             not r["text"].startswith("x") for r in out2.collect()
         )
+
+
+class TestNullAndDelimiterSafety:
+    def test_null_metadata_column_survives(self, spark):
+        """A NULL in a passthrough column must not wipe the text (the
+        reassembly keys on the id alone — equi-joins over metadata are
+        null-unsafe)."""
+        d = spark.createDataFrame(
+            [(1, None, "keep one\nshared line"),
+             (2, "u2", "shared line\nkeep two"),
+             (3, "u3", "shared line\nkeep three"),
+             (4, None, "shared line\nkeep four")],
+            "doc_id long, url string, text string",
+        )
+        out = {
+            r["doc_id"]: (r["url"], r["text"], r["n_lines_removed"])
+            for r in remove_boilerplate(d, min_docs=3).collect()
+        }
+        assert out[1] == (None, "keep one", 1)
+        assert out[4] == (None, "keep four", 1)
+        assert out[2] == ("u2", "keep two", 1)
+
+    def test_null_text_stays_null(self, spark):
+        d = spark.createDataFrame(
+            [(1, None), (2, "a\nb"), (3, "a\nc"), (4, "a\nd")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["text"], r["n_lines_removed"])
+            for r in remove_boilerplate(d, min_docs=3).collect()
+        }
+        assert out[1] == (None, 0)
+        assert out[2] == ("b", 1)
+
+    def test_regex_metachar_delimiter(self, spark):
+        """delimiter='.' must split LITERALLY (F.split takes a regex;
+        unescaped it splits on every character)."""
+        d = spark.createDataFrame(
+            [(1, "keep me.shared"), (2, "shared.two"),
+             (3, "shared.three"), (4, "shared.four")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in remove_boilerplate(
+                d, min_docs=3, delimiter="."
+            ).collect()
+        }
+        assert out[1] == "keep me"
+        assert out[2] == "two"

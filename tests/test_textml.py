@@ -292,3 +292,55 @@ class TestStreamCompiler:
                 parse_expression('features(reviews, outcome="outcome")'),
                 {"reviews": df}, {},
             )
+
+
+class TestAnalyzerAndGuards:
+    def test_classify_standard_analyzer_fires_on_punctuation(self, spark):
+        """Train/serve analyzer parity: the index tokenizes \\w+ runs,
+        so 'great!' carries the 'great' term — classify must too."""
+        d = spark.createDataFrame(
+            [(1, "This product is GREAT!"), (2, "meh, ok.")],
+            "doc_id long, text string",
+        )
+        model = {"terms": ["great"], "weights": [2.0], "bias": 0.0}
+        got = {
+            r["doc_id"]: r["score"]
+            for r in classify_docs(d, model).collect()
+        }
+        assert got[1] == pytest.approx(2.0)
+        assert got[2] == pytest.approx(0.0)
+        ws = {
+            r["doc_id"]: r["score"]
+            for r in classify_docs(
+                d, model, analyzer="whitespace").collect()
+        }
+        assert ws[1] == pytest.approx(0.0)  # 'great!' != 'great'
+        with pytest.raises(ValueError, match="analyzer"):
+            classify_docs(d, model, analyzer="magic")
+
+    def test_empty_labeled_set_raises(self, corpus):
+        _, df, idx = corpus
+        with pytest.raises(ValueError, match="no labeled docs"):
+            train_logit(
+                idx, df.where("doc_id < 0").select("doc_id", "outcome"),
+                ["great"],
+            )
+
+    def test_compiler_arity_errors(self, corpus):
+        from solrtexttagger_spark.search.streaming_expr import (
+            compile_stream, parse_expression,
+        )
+
+        _, df, idx = corpus
+        t, i = {"reviews": df}, {"reviews": idx}
+        with pytest.raises(ValueError, match="collection"):
+            compile_stream(parse_expression("features()"), t, i)
+        with pytest.raises(ValueError, match="feature stream"):
+            compile_stream(parse_expression("train(reviews)"), t, i)
+        with pytest.raises(ValueError, match="both streams"):
+            compile_stream(
+                parse_expression(
+                    'classify(train(reviews, features(reviews, '
+                    'outcome="outcome"), outcome="outcome"))'
+                ), t, i,
+            )
