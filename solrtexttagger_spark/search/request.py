@@ -1056,9 +1056,9 @@ class LocalRequestHandler:
     def select_cursor(self, params: dict, *, synonyms=None):
         """The cursorMark protocol on the warm path: the same param
         dict plus ``cursorMark`` (default ``*``); returns
-        ([(rank, doc_id, score)], nextCursorMark). Totem-compatible
-        with search/cursor.py (base64 sort values) but carries
-        [score, doc_id, depth] — the warm ranking is driver-resident,
+        ([(rank, doc_id, score)], nextCursorMark). Same token
+        construction as search/cursor.py (base64 sort values) but
+        TAGGED and carrying ['warm', score, doc_id, depth] — the warm ranking is driver-resident,
         so the cursor resumes by DEPTH and the (score, doc_id) pair is
         verified against the first returned row (a changed index under
         a live cursor fails loudly instead of skipping or repeating
@@ -1090,11 +1090,17 @@ class LocalRequestHandler:
         vals = decode_cursor(mark)
         depth = 0
         if vals is not None:
-            if len(vals) != 3:
+            # the warm totem is TAGGED: a distributed solr_select_cursor
+            # mark with a 3-key sort also decodes to 3 values, so an
+            # untagged check would silently misread it as
+            # [score, doc_id, depth]
+            if len(vals) != 4 or vals[0] != "warm":
                 raise ValueError(
-                    "warm cursorMark totem carries [score, doc_id, "
-                    f"depth]; got {vals!r}"
+                    "warm cursorMark totem carries ['warm', score, "
+                    f"doc_id, depth]; got {vals!r} — distributed "
+                    "cursor marks resume via cursor.solr_select_cursor"
                 )
+            vals = vals[1:]
             depth = int(vals[2])
         rows = int(params.get("rows", 10))
         page = self.select(
@@ -1115,6 +1121,6 @@ class LocalRequestHandler:
                 )
         last = page[-1]
         next_mark = encode_cursor(
-            [float(last[2]), int(last[1]), depth + len(page)]
+            ["warm", float(last[2]), int(last[1]), depth + len(page)]
         )
         return page, next_mark

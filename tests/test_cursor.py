@@ -350,6 +350,13 @@ class TestWarmCursor:
             h.select_cursor({
                 "q": "merge", "cursorMark": encode_cursor([1.0, 2]),
             })
+        # a DISTRIBUTED 3-key mark must not be misread as the warm
+        # [score, doc_id, depth] shape — the warm totem is tagged
+        with pytest.raises(ValueError, match="totem"):
+            h.select_cursor({
+                "q": "merge",
+                "cursorMark": encode_cursor([1.0, 2, 0]),
+            })
 
     def test_stale_cursor_raises(self, spark, corpus):
         """A totem pointing at-or-before the served head means the
@@ -368,11 +375,11 @@ class TestWarmCursor:
         # already served at depth 1 — the row actually at depth 1
         # scores far higher, i.e. sorts BEFORE the totem: the index
         # must have changed (or the totem lies), so the cursor is stale
-        stale = encode_cursor([page[-1][2] - 100.0, 0, 1])
+        stale = encode_cursor(["warm", page[-1][2] - 100.0, 0, 1])
         with pytest.raises(ValueError, match="stale"):
             h.select_cursor({"q": "merge", "cursorMark": stale})
         # a CONSISTENT totem at depth 1 resumes fine
-        ok = encode_cursor([page[0][2], page[0][1], 1])
+        ok = encode_cursor(["warm", page[0][2], page[0][1], 1])
         nxt, _ = h.select_cursor(
             {"q": "merge", "rows": "4", "cursorMark": ok})
         assert nxt == page[1:5]
