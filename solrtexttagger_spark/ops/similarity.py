@@ -146,31 +146,17 @@ def cosine_dup_pairs(
     if dim is None:
         dim = _probe_dim(emb_df, vec_col)
     n_planes = bands * band_planes
-    planes_lit = F.array(
-        *[
-            F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
-            for p in range(n_planes)
-        ]
+    # one Arrow-vectorized pass: all plane sign bits + per-band keys per
+    # vector (numpy matmul against the closure plane matrix — guide §4.2);
+    # the former JVM literal plane matrix cost ~5 s of py4j plan build per
+    # call (bands*band_planes*dim F.lit round trips) plus interpreted
+    # per-element lambda evaluation per row
+    keys = _band_keys_udf(
+        [_hyperplane(dim, p) for p in range(n_planes)], bands, band_planes
     )
-    # one pass: all plane sign bits per vector (JVM loop over the literal
-    # plane matrix), then per-band integer keys from bit slices
-    bits = F.transform(
-        planes_lit,
-        lambda pl: F.when(_dot(F.col("v"), pl) > 0, F.lit(1)).otherwise(F.lit(0)),
+    band_rows = base.select(
+        "vec_id", F.posexplode(keys(F.col("v"))).alias("band", "band_key")
     )
-    with_bits = base.withColumn("bits", bits)
-    band_structs = []
-    for b in range(bands):
-        key = None
-        for j in range(band_planes):
-            term = F.element_at("bits", b * band_planes + j + 1).cast("long") * F.lit(
-                1 << j
-            )
-            key = term if key is None else (key + term)
-        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
-    band_rows = with_bits.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
     from solrtexttagger_spark.ops.dedup import bucket_pairs
 
@@ -212,6 +198,63 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return out
 
 
+def _plane_bits(vecs: pd.Series, P: np.ndarray) -> np.ndarray:
+    """Sign bits of every vector against every hyperplane row of ``P`` —
+    ONE numpy matmul per Arrow batch (guide §4.2) instead of
+    planes x dim interpreted per-element expressions (whose F.lit storm
+    alone cost seconds of py4j plan-build per call). Semantics mirror the
+    former zip_with/aggregate fold: a null vector, a dimension mismatch,
+    or a NaN dot all yield bit 0."""
+    n = len(vecs)
+    dim = P.shape[1]
+    ok = np.fromiter(
+        (v is not None and len(v) == dim for v in vecs), dtype=bool, count=n
+    )
+    M = np.zeros((n, dim), dtype=np.float64)
+    if ok.any():
+        M[ok] = np.stack(
+            [np.asarray(v, dtype=np.float64) for v, o in zip(vecs, ok) if o]
+        )
+    bits = (M @ P.T) > 0
+    bits[~ok] = False
+    return bits
+
+
+def _band_keys_udf(planes: list[list[float]], bands: int, band_planes: int):
+    """Pandas UDF factory: per-vector array of ``bands`` integer band keys
+    (little-endian bit packing of each band's ``band_planes`` sign bits,
+    identical to the former per-band element_at sum)."""
+    P = np.asarray(planes, dtype=np.float64)
+    w = 1 << np.arange(band_planes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def keys(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        bits = _plane_bits(vecs, P)
+        K = bits.reshape(len(vecs), bands, band_planes).astype(np.int64) @ w
+        return pd.Series(list(K.tolist()))
+
+    return keys
+
+
+def _signature_udf(planes: list[list[float]]):
+    """Pandas UDF factory: single integer LSH signature (bit p set when
+    dot(v, plane_p) > 0) — the vectorized twin of the former per-plane
+    when/otherwise sum."""
+    P = np.asarray(planes, dtype=np.float64)
+    w = 1 << np.arange(len(planes), dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        bits = _plane_bits(vecs, P)
+        return pd.Series(bits.astype(np.int64) @ w, dtype="int64")
+
+    return sig
+
+
 def lsh_cosine_topk(
     emb_df: DataFrame,
     probe_ids: list[int],
@@ -241,12 +284,12 @@ def lsh_cosine_topk(
     base = emb_df.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    sig = None
-    for p, plane in enumerate(planes):
-        pl = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(_dot(F.col("v"), pl) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        sig = bit if sig is None else (sig + bit)
-    bucketed = base.withColumn("bucket", sig.cast("long")).withColumn(
+    # bucket assignment is ONE vectorized numpy pass per Arrow batch
+    # (guide §4.2) instead of num_planes interpreted zip_with folds per
+    # row plus a num_planes*dim F.lit plan tree; the exact-cosine scoring
+    # below stays the JVM sequential fold (hash-pinned values untouched)
+    sig = _signature_udf(planes)
+    bucketed = base.withColumn("bucket", sig(F.col("v"))).withColumn(
         "norm", F.sqrt(_dot(F.col("v"), F.col("v")))
     )
     probes = bucketed.where(F.col("vec_id").isin(probe_ids)).select(
