@@ -277,10 +277,23 @@ def build_index(
     )
 
     elem = F.struct("doc_id", "tf", "dl", "positions")
+    # Shuffle the doc-term rows on SEG ALONE (not (term, seg)): a
+    # HashPartitioning(seg) child satisfies the groupBy(term, seg)
+    # clustering requirement (seg is a subset of the grouping keys), so
+    # the build still pays exactly ONE exchange — but the persisted
+    # postings artifact comes out CLUSTERED BY SEG, and every
+    # segment-aligned consumer (the segmented BM25 scorer's and WAND's
+    # groupBy("seg").applyInPandas) reuses that partitioning instead of
+    # re-shuffling the filtered postings per query batch (guide §2.4:
+    # persist a partitioning across jobs so repeated aggregations on the
+    # key skip the shuffle). Per-seg volume is bounded (~corpus/S — seg
+    # IS the doc-hash salt), so the seg-keyed exchange has the same skew
+    # properties as the old (term, seg) one.
     postings = (
         rows.withColumn(
             "seg", F.pmod(F.xxhash64("doc_id"), F.lit(num_segments)).cast("int")
         )
+        .repartition("seg")
         .groupBy("term", "seg")
         .agg(
             F.sort_array(F.collect_list(elem)).alias("postings"),

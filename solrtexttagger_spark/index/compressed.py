@@ -118,7 +118,14 @@ def compress_index(
             yield pd.DataFrame(out)
 
     narrowed = index.postings.select("term", "seg", "postings")
-    blocks = narrowed.mapInPandas(encode, schema=schema)
+    # Cluster the persisted blocks artifact by seg: mapInPandas loses the
+    # build's seg partitioning (its output attributes are new), and this
+    # one cheap exchange of COMPRESSED bytes at compress time lets every
+    # WAND run_segments call (groupBy("seg").applyInPandas over the
+    # cached blocks) skip its per-query exchange — the same
+    # persist-the-partitioning trade save_compressed already makes with
+    # partitionBy("seg") on disk (guide §2.4).
+    blocks = narrowed.mapInPandas(encode, schema=schema).repartition("seg")
     return CompressedIndex(
         blocks=blocks,
         term_stats=index.term_stats,
