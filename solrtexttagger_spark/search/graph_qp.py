@@ -83,12 +83,6 @@ def graph_traverse(
     only reached docs with NO outgoing edge (a non-null from field
     value), the "end of the chain" query (one anti-join after the
     fixpoint, never per hop)."""
-    from_edges = nodes.select(
-        F.col(id_col), F.col(from_col).alias("__v")
-    ).where(F.col("__v").isNotNull())
-    to_edges = nodes.select(
-        F.col(id_col), F.col(to_col).alias("__v")
-    ).where(F.col("__v").isNotNull())
     if max_depth == 0:
         out = roots.select(F.col(id_col)).distinct().withColumn(
             "depth", F.lit(0)
@@ -96,8 +90,40 @@ def graph_traverse(
         if not return_root:
             out = out.where(F.lit(False))
         if return_only_leaf:
-            out = out.join(from_edges.select(id_col), id_col, "left_anti")
+            out = out.join(
+                nodes.select(F.col(id_col)).where(
+                    F.col(from_col).isNotNull()
+                ),
+                id_col,
+                "left_anti",
+            )
         return out
+
+    # Materialize the narrow edge projection ONCE before the loop: the
+    # ~log(n)-hop fixpoint otherwise re-derives the full nodes scan (and
+    # whatever plan produced it) on EVERY hop — ~depth corpus scans at
+    # scale. Same discipline as connected_components' symmetrized edge
+    # checkpoint (ops/dedup.py). One 3-column scan feeds both sides.
+    edges = nodes.select(
+        F.col(id_col),
+        F.col(from_col).alias("__fv"),
+        F.col(to_col).alias("__tv"),
+    ).localCheckpoint(eager=True)
+    from_edges = edges.select(
+        F.col(id_col), F.col("__fv").alias("__v")
+    ).where(F.col("__v").isNotNull())
+    to_edges = edges.select(
+        F.col(id_col), F.col("__tv").alias("__v")
+    ).where(F.col("__v").isNotNull())
+    # the traversal predicate is hop-invariant: resolve its id set once
+    # instead of re-filtering the nodes relation every hop
+    filter_ids = None
+    if traversal_filter is not None:
+        filter_ids = (
+            nodes.where(F.expr(traversal_filter))
+            .select(F.col(id_col))
+            .localCheckpoint(eager=True)
+        )
 
     # distinct: a duplicated root row (a page with repeats) must not
     # duplicate every reachable doc downstream
@@ -105,6 +131,11 @@ def graph_traverse(
         "depth", F.lit(0)
     )
     visited = visited.localCheckpoint(eager=True)
+    # visited accumulates as a LAZY union of per-hop checkpointed
+    # frames: every part is already materialized, so the anti-join scans
+    # them without recompute and the loop saves one full copy-the-whole-
+    # visited-set checkpoint job per hop (the old shape re-materialized
+    # O(V) rows every hop).
     frontier = visited
     depth = 0
     while max_depth < 0 or depth < max_depth:
@@ -123,19 +154,15 @@ def graph_traverse(
             to_edges, vals, id_col=id_col,
             broadcast_frontier=broadcast_frontier,
         )
-        if traversal_filter is not None:
-            reached = reached.join(
-                nodes.where(F.expr(traversal_filter)).select(id_col),
-                id_col,
-                "left_semi",
-            )
+        if filter_ids is not None:
+            reached = reached.join(filter_ids, id_col, "left_semi")
         fresh = reached.join(visited, id_col, "left_anti").select(
             F.col(id_col), F.lit(depth).alias("depth")
         )
         fresh = fresh.localCheckpoint(eager=True)
         if not fresh.take(1):
             break
-        visited = visited.unionByName(fresh).localCheckpoint(eager=True)
+        visited = visited.unionByName(fresh)
         frontier = fresh
     out = visited if return_root else visited.where(F.col("depth") > 0)
     if return_only_leaf:
