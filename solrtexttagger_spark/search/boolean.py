@@ -657,19 +657,39 @@ def boolean_matched_scores(
         return spark.createDataFrame(
             [], "query_id long, doc_id long, score double"
         )
-    qdf = spark.createDataFrame(
-        score_rows,
-        "query_id long, term string, qtf double, mgroups array<int>",
-    )
     postings = index.postings
     n = float(index.doc_count)
     avgdl = float(index.avgdl) if index.avgdl else 1.0
 
-    qterms = qdf.select("term").distinct()
-    qpost = postings.join(F.broadcast(qterms), "term").withColumn(
-        "df", F.sum("df_seg").over(Window.partitionBy("term"))
+    # Global df per term from the index's bounded driver-side df cache
+    # (bm25.warm_df_cache — the in-memory term-dictionary pattern WAND's
+    # metadata cache already uses): one tiny collect for UNSEEN terms
+    # only, then df ships as a literal column of the broadcast query
+    # relation. This removes the per-call df recovery stages (a distinct
+    # qterms broadcast + a window exchange on term) from every warm
+    # batch; the idf expression itself is unchanged (same F.log over the
+    # same df value). Phrase constituents warm in the same call so the
+    # scored phrase pass below finds the cache hot.
+    from solrtexttagger_spark.search.bm25 import warm_df_cache
+
+    vocab = sorted(
+        {t for (_q, t, _w, _g) in score_rows}
+        | ({
+            t
+            for (toks, _s), _pid in phrase_ids.items()
+            for t in toks
+        } if pscore_rows else set())
     )
-    joined = qpost.join(F.broadcast(qdf), "term")
+    dfs = warm_df_cache(index, vocab)
+    qdf = spark.createDataFrame(
+        [
+            (qid, t, w, g, float(dfs[t]))
+            for (qid, t, w, g) in score_rows
+            if dfs.get(t) is not None
+        ],
+        "query_id long, term string, qtf double, mgroups array<int>, df double",
+    )
+    joined = postings.join(F.broadcast(qdf), "term")
     idf = F.log(
         F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -725,6 +745,17 @@ def boolean_matched_scores(
             )
         else:
             pm = multi_phrase_match(index, ordered, slops=slops)
+        # the phrase-match relation feeds up to four consumers below
+        # (constituent bonus, synonym-group hits, required-phrase hits,
+        # prohibited pairs); materialize it ONCE instead of re-running
+        # the postings pass + contiguity fold per consumer subtree
+        n_consumers = sum(
+            1
+            for flag in (pscore_rows, pgroup_rows, req_rows, proh_phrase_rows)
+            if flag
+        )
+        if n_consumers >= 2:
+            pm = pm.localCheckpoint(eager=True)
     if pscore_rows:
         # phrase-gated constituent scoring: merged BEFORE the group
         # filter, full outer because a doc can match ONLY through the

@@ -158,22 +158,31 @@ def multi_phrase_match_scored(
     regardless of phrase count."""
     spark = index.postings.sparkSession
     rows, plens = _phrase_rows(phrases, lowercase)
-    qdf = spark.createDataFrame(rows, "phrase_id int, term_idx int, term string")
     n = float(index.doc_count)
     avgdl = float(index.avgdl) if index.avgdl else 1.0
 
-    # df window over DISTINCT-term joined rows (each (term, seg) row seen
-    # once), THEN fan out per (phrase_id, term_idx) — same global-df
-    # recovery as bm25.exploded_scores
-    qterms = qdf.select("term").distinct()
-    qpost = index.postings.join(F.broadcast(qterms), "term").withColumn(
-        "df", F.sum("df_seg").over(Window.partitionBy("term"))
+    # global df per constituent term from the index's bounded df cache
+    # (one tiny collect for unseen terms only) shipped as a literal
+    # column — replaces the per-call distinct-qterms broadcast + window
+    # exchange; the idf expression is unchanged (same F.log over the
+    # same df value). Constituents absent from the corpus drop here,
+    # exactly as the former inner postings join dropped them.
+    from solrtexttagger_spark.search.bm25 import warm_df_cache
+
+    dfs = warm_df_cache(index, sorted({t for _p, _i, t in rows}))
+    qdf = spark.createDataFrame(
+        [
+            (pid, idx, t, float(dfs[t]))
+            for pid, idx, t in rows
+            if dfs.get(t) is not None
+        ],
+        "phrase_id int, term_idx int, term string, df double",
     )
     idf = F.log(
         F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     ex = (
-        qpost.join(F.broadcast(qdf), "term")
+        index.postings.join(F.broadcast(qdf), "term")
         .select(
             "phrase_id", "term_idx", idf.alias("idf"),
             F.explode("postings").alias("p"),
