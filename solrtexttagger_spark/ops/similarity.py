@@ -34,6 +34,16 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _seq_dot(a, b) -> float:
+    """Driver-side twin of ``_dot``: the same left-to-right IEEE-double
+    fold (acc = 0.0; acc += a_i * b_i), so a value recomputed here is
+    bit-identical to the JVM expression's."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
 def _probe_dim(emb_df: DataFrame, vec_col: str) -> int:
     """Infer embedding dimensionality from the first non-null vector; a clear
     error on empty input instead of `first()[0]` raising TypeError."""
@@ -446,10 +456,20 @@ def ivf_cosine_topk(
             pc.append((int(r["vec_id"]), int(cid)))
     spark = emb_df.sparkSession
     probe_cells = spark.createDataFrame(pc, "probe_id long, cid int")
-    probes = base.where(F.col("vec_id").isin(probe_ids)).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("v").alias("pv"),
-        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("pnorm"),
+    # the probe vectors were already collected above — build the (tiny)
+    # broadcast relation from those rows instead of re-scanning the
+    # corpus a second time for the same 50-odd vectors. pnorm matches
+    # the scan expression bit-for-bit: F.sqrt over a LITERAL dot value
+    # equals the former sqrt-over-fold because the fold itself is the
+    # same left-to-right sum, re-executed here in Python.
+    probes = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), list(r["v"]), _seq_dot(r["v"], r["v"]))
+            for r in probe_rows
+        ],
+        "probe_id long, pv array<double>, pnorm_sq double",
+    ).select(
+        "probe_id", "pv", F.sqrt(F.col("pnorm_sq")).alias("pnorm")
     )
     cand = indexed.join(F.broadcast(probe_cells), "cid").join(
         F.broadcast(probes), "probe_id"
@@ -482,6 +502,8 @@ def _pq_sample(emb_df, id_col, vec_col, sample_size):
     return np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
 
 
+
+
 def _lloyd(S: np.ndarray, k: int, iters: int) -> np.ndarray:
     """Deterministic Lloyd k-means (init = first k rows, no RNG)."""
     C = S[: min(k, len(S))].copy()
@@ -504,12 +526,18 @@ def pq_fit_coarse(
     n_coarse: int = 32,
     iters: int = 8,
     sample_size: int = 2048,
+    sample: np.ndarray | None = None,
 ) -> list[list[float]]:
     """Coarse (first-level) centroids for RESIDUAL product quantization,
     trained driver-side on the deterministic sample (``sample_size``
     smallest-id vectors, no RNG). Tiny artifact — fit once per index
-    build, persist, pass back via ``centroids=``."""
-    X = _pq_sample(emb_df, id_col, vec_col, sample_size)
+    build, persist, pass back via ``centroids=``. ``sample``: a
+    pre-collected matrix from the same deterministic draw — lets
+    pq_cosine_topk share ONE corpus sample between coarse and codebook
+    training instead of two identical sort+collect jobs."""
+    X = sample if sample is not None else _pq_sample(
+        emb_df, id_col, vec_col, sample_size
+    )
     return [[float(x) for x in row] for row in _lloyd(X, n_coarse, iters)]
 
 
@@ -523,6 +551,7 @@ def pq_fit_codebooks(
     iters: int = 8,
     sample_size: int = 2048,
     centroids: list[list[float]] | None = None,
+    sample: np.ndarray | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: ``m`` subspaces x ``ksub`` centroids
     each, Lloyd k-means on a DETERMINISTIC sample driver-side in numpy —
@@ -533,8 +562,11 @@ def pq_fit_codebooks(
     RESIDUALS v - c(v): within-cell ranking signal lives in the residual,
     so residual codebooks resolve neighbors that flat-PQ quantization
     noise drowns (the IVF-PQ construction). Fit once per index build,
-    persist, pass back via ``codebooks=``."""
-    X = _pq_sample(emb_df, id_col, vec_col, sample_size)
+    persist, pass back via ``codebooks=``. ``sample``: see
+    pq_fit_coarse."""
+    X = sample if sample is not None else _pq_sample(
+        emb_df, id_col, vec_col, sample_size
+    )
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -645,14 +677,20 @@ def pq_cosine_topk(
     ``centroids``/``codebooks``/``encoded`` to amortize the build across
     query batches (the production shape)."""
     spark = emb_df.sparkSession
+    sample = None
+    if (n_coarse > 0 and centroids is None) or codebooks is None:
+        # one deterministic sample collect shared by coarse + codebook
+        # training (they draw the identical smallest-id sample)
+        sample = _pq_sample(emb_df, id_col, vec_col, 2048)
     if n_coarse > 0 and centroids is None:
         centroids = pq_fit_coarse(
-            emb_df, id_col=id_col, vec_col=vec_col, n_coarse=n_coarse
+            emb_df, id_col=id_col, vec_col=vec_col, n_coarse=n_coarse,
+            sample=sample,
         )
     if codebooks is None:
         codebooks = pq_fit_codebooks(
             emb_df, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub,
-            centroids=centroids,
+            centroids=centroids, sample=sample,
         )
     cb = np.asarray(codebooks, dtype=np.float64)
     m, ksub, dsub = cb.shape

@@ -140,6 +140,10 @@ def synonym_phrase_bonus(
     spark = index.postings.sparkSession
     phrase_list = sorted({toks for d in qphrases.values() for toks in d})
     pid_of = {toks: i for i, toks in enumerate(phrase_list)}
+    # top-level scorer context: warm the df cache for the constituent
+    # tokens (one tiny collect for unseen terms) so the scored phrase
+    # pass takes the windowless literal-df path
+    warm_df_cache(index, sorted({t for toks in phrase_list for t in toks}))
     pm = multi_phrase_match_scored(
         index, [" ".join(t) for t in phrase_list], k1=k1, b=b
     )
@@ -184,7 +188,13 @@ def queries_to_df(
                 )
         for term, qtf in sorted(bag.items()):
             rows.append((int(qid), term, int(qtf)))
-    return spark.createDataFrame(rows, "query_id long, term string, qtf int")
+    qdf = spark.createDataFrame(rows, "query_id long, term string, qtf int")
+    # the analyzed vocabulary is driver-known here; carry it on the
+    # DataFrame object so exploded_scores can use the index's df cache
+    # instead of a per-call df window (callers passing their OWN qdf
+    # relation keep the in-DAG df recovery)
+    qdf._stt_terms = sorted({t for _q, t, _f in rows})
+    return qdf
 
 
 def warm_df_cache(index: InvertedIndex, terms) -> dict[str, int | None]:
@@ -304,12 +314,20 @@ def bm25_topk(
             for term, qtf in sorted(bag.items())
         ]
         qdf = sp.createDataFrame(rows, "query_id long, term string, qtf int")
+        qdf._stt_terms = sorted({t for _q, t, _f in rows})
+        # top-level batch scorer: warm the df cache here (one tiny
+        # collect for unseen terms only) so exploded_scores skips its
+        # df window; NOT done inside exploded_scores itself, which must
+        # stay action-free for the /select one-job writer contract
+        warm_df_cache(index, qdf._stt_terms)
     else:
         qdf = (
             queries
             if isinstance(queries, DataFrame)
             else queries_to_df(spark or index.postings.sparkSession, queries)
         )
+        if getattr(qdf, "_stt_terms", None):
+            warm_df_cache(index, qdf._stt_terms)  # see comment above
     if bonus is None:
         scores = exploded_scores(index, qdf, k1=k1, b=b, allowed_docs=allowed_docs)
     else:
@@ -360,16 +378,44 @@ def exploded_scores(
     avgdl = float(index.avgdl) if index.avgdl else 1.0
 
     # One pass over postings: broadcast-join the query terms, then recover
-    # the GLOBAL df per term with a window over that term's segment rows
-    # (tiny group count = |query terms|). Using index.term_stats here
-    # instead would re-derive the whole index when it isn't persisted —
-    # a second full scan+shuffle for a handful of numbers.
-    # join DISTINCT terms first: the window must see each (term, seg) row
-    # exactly once, or terms shared by several queries inflate df
-    qterms = qdf.select("term").distinct()
-    qpost = index.postings.join(F.broadcast(qterms), "term").withColumn(
-        "df", F.sum("df_seg").over(Window.partitionBy("term"))
-    )
+    # the GLOBAL df per term. When the analyzed vocabulary is
+    # driver-known (queries_to_df tags it on the relation), df comes
+    # from the index's bounded driver-side cache (warm_df_cache — one
+    # tiny collect for unseen terms only) and ships as a literal column,
+    # removing the per-call distinct-qterms broadcast + window exchange.
+    # Otherwise the df window runs in-DAG as before: a window over that
+    # term's segment rows (tiny group count = |query terms|). Using
+    # index.term_stats here instead would re-derive the whole index when
+    # it isn't persisted — a second full scan+shuffle for a handful of
+    # numbers. (The window joins DISTINCT terms first: it must see each
+    # (term, seg) row exactly once, or terms shared by several queries
+    # inflate df.)
+    known_terms = getattr(qdf, "_stt_terms", None)
+    cache = getattr(index, "_bm25_df", None)
+    if (
+        known_terms is not None
+        and cache is not None
+        and all(t in cache for t in known_terms)
+    ):
+        # cache-warm ONLY: exploded_scores itself never adds a job, so
+        # the one-action /select writer contract
+        # (test_response_format.test_select_single_job_and_max_score)
+        # holds on cold vocabularies; batch scorers warm the cache
+        # explicitly before calling (bm25_topk exploded strategy).
+        dfrel = index.postings.sparkSession.createDataFrame(
+            [
+                (t, float(cache[t]))
+                for t in known_terms
+                if cache[t] is not None
+            ],
+            "term string, df double",
+        )
+        qpost = index.postings.join(F.broadcast(dfrel), "term")
+    else:
+        qterms = qdf.select("term").distinct()
+        qpost = index.postings.join(F.broadcast(qterms), "term").withColumn(
+            "df", F.sum("df_seg").over(Window.partitionBy("term"))
+        )
     joined = qpost.join(F.broadcast(qdf), "term")
     ex = joined.select(
         "query_id",

@@ -587,6 +587,7 @@ def boolean_matched_scores(
     synonyms: dict[str, list[str]] | None = None,
     fuzzy_decay: bool = False,
     spark: SparkSession | None = None,
+    warm_df: bool = False,
 ) -> DataFrame:
     """The FULL boolean match set with BM25 scores, BEFORE any rank
     window: (query_id, doc_id, score) for every doc satisfying the
@@ -663,13 +664,18 @@ def boolean_matched_scores(
 
     # Global df per term from the index's bounded driver-side df cache
     # (bm25.warm_df_cache — the in-memory term-dictionary pattern WAND's
-    # metadata cache already uses): one tiny collect for UNSEEN terms
-    # only, then df ships as a literal column of the broadcast query
-    # relation. This removes the per-call df recovery stages (a distinct
-    # qterms broadcast + a window exchange on term) from every warm
-    # batch; the idf expression itself is unchanged (same F.log over the
+    # metadata cache already uses). With ``warm_df=True`` (the top-level
+    # batch scorer entry, boolean_bm25_topk) unseen terms are fetched in
+    # one tiny collect; otherwise the cache is used ONLY when it already
+    # covers the vocabulary, so embedded callers (the /select writers'
+    # facet.query block, the router, /stream) stay action-free and keep
+    # their pinned job budgets. Either way df then ships as a literal
+    # column of the broadcast query relation, removing the per-call df
+    # recovery stages (a distinct-qterms broadcast + a window exchange
+    # on term); the idf expression is unchanged (same F.log over the
     # same df value). Phrase constituents warm in the same call so the
-    # scored phrase pass below finds the cache hot.
+    # scored phrase pass below finds the cache hot. Cold embedded calls
+    # keep the original in-DAG df window.
     from solrtexttagger_spark.search.bm25 import warm_df_cache
 
     vocab = sorted(
@@ -680,16 +686,34 @@ def boolean_matched_scores(
             for t in toks
         } if pscore_rows else set())
     )
-    dfs = warm_df_cache(index, vocab)
-    qdf = spark.createDataFrame(
-        [
-            (qid, t, w, g, float(dfs[t]))
-            for (qid, t, w, g) in score_rows
-            if dfs.get(t) is not None
-        ],
-        "query_id long, term string, qtf double, mgroups array<int>, df double",
-    )
-    joined = postings.join(F.broadcast(qdf), "term")
+    cache = getattr(index, "_bm25_df", None) or {}
+    if warm_df:
+        dfs = warm_df_cache(index, vocab)
+    elif all(t in cache for t in vocab):
+        dfs = {t: cache[t] for t in vocab}
+    else:
+        dfs = None
+    if dfs is not None:
+        qdf = spark.createDataFrame(
+            [
+                (qid, t, w, g, float(dfs[t]))
+                for (qid, t, w, g) in score_rows
+                if dfs.get(t) is not None
+            ],
+            "query_id long, term string, qtf double, mgroups array<int>,"
+            " df double",
+        )
+        joined = postings.join(F.broadcast(qdf), "term")
+    else:
+        qdf = spark.createDataFrame(
+            score_rows,
+            "query_id long, term string, qtf double, mgroups array<int>",
+        )
+        qterms = qdf.select("term").distinct()
+        qpost = postings.join(F.broadcast(qterms), "term").withColumn(
+            "df", F.sum("df_seg").over(Window.partitionBy("term"))
+        )
+        joined = qpost.join(F.broadcast(qdf), "term")
     idf = F.log(
         F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -890,6 +914,8 @@ def boolean_bm25_topk(
         synonyms=synonyms,
         fuzzy_decay=fuzzy_decay,
         spark=spark,
+        warm_df=True,  # top-level batch scorer: one tiny collect for
+        # unseen terms buys the windowless df path for the whole batch
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()

@@ -162,27 +162,39 @@ def multi_phrase_match_scored(
     avgdl = float(index.avgdl) if index.avgdl else 1.0
 
     # global df per constituent term from the index's bounded df cache
-    # (one tiny collect for unseen terms only) shipped as a literal
-    # column — replaces the per-call distinct-qterms broadcast + window
-    # exchange; the idf expression is unchanged (same F.log over the
-    # same df value). Constituents absent from the corpus drop here,
-    # exactly as the former inner postings join dropped them.
-    from solrtexttagger_spark.search.bm25 import warm_df_cache
-
-    dfs = warm_df_cache(index, sorted({t for _p, _i, t in rows}))
-    qdf = spark.createDataFrame(
-        [
-            (pid, idx, t, float(dfs[t]))
-            for pid, idx, t in rows
-            if dfs.get(t) is not None
-        ],
-        "phrase_id int, term_idx int, term string, df double",
-    )
+    # WHEN it already covers the vocabulary (top-level scorers warm it —
+    # boolean_bm25_topk warm_df=True, synonym_phrase_bonus), shipped as
+    # a literal column; this call itself never adds a job, so embedded
+    # callers keep their pinned job budgets. Cold vocabularies keep the
+    # original in-DAG df window. The idf expression is identical either
+    # way (same F.log over the same df value); constituents absent from
+    # the corpus drop on the literal path exactly as the inner postings
+    # join drops them on the window path.
+    cache = getattr(index, "_bm25_df", None) or {}
+    vocab = sorted({t for _p, _i, t in rows})
+    if all(t in cache for t in vocab):
+        qdf = spark.createDataFrame(
+            [
+                (pid, idx, t, float(cache[t]))
+                for pid, idx, t in rows
+                if cache.get(t) is not None
+            ],
+            "phrase_id int, term_idx int, term string, df double",
+        )
+        qpost = index.postings
+    else:
+        qdf = spark.createDataFrame(
+            rows, "phrase_id int, term_idx int, term string"
+        )
+        qterms = qdf.select("term").distinct()
+        qpost = index.postings.join(F.broadcast(qterms), "term").withColumn(
+            "df", F.sum("df_seg").over(Window.partitionBy("term"))
+        )
     idf = F.log(
         F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     ex = (
-        index.postings.join(F.broadcast(qdf), "term")
+        qpost.join(F.broadcast(qdf), "term")
         .select(
             "phrase_id", "term_idx", idf.alias("idf"),
             F.explode("postings").alias("p"),

@@ -176,6 +176,19 @@ def train_logit(
         raise ValueError(
             "train_logit: no labeled docs (outcome_df matched nothing)"
         )
+    # Size the per-iteration scan to the MATERIALIZED matrix, not to the
+    # partitioning it inherited from the corpus join: the design matrix
+    # is (outcome, tiny int array) per labeled doc, so a small labeled
+    # set otherwise schedules dozens of near-empty tasks per GD
+    # iteration x iterations. Derived from row count (guide §2
+    # scale-adaptive partitioning): ~64k rows per task, capped at
+    # 2 x parallelism — a corpus-scale labeled set keeps full fan-out,
+    # coalesce() never increases partition count.
+    sc = index.postings.sparkSession.sparkContext
+    n_parts = max(
+        1, min(sc.defaultParallelism * 2, -(-n_labeled // 65536))
+    )
+    it_mat = mat.coalesce(n_parts)
 
     k = len(terms)
     w = [0.0] * k
@@ -211,7 +224,7 @@ def train_logit(
                 F.avg(loss).alias("loss"),
                 F.count("*").alias("n"),
             ]
-            row = mat.agg(*aggs).collect()[0]
+            row = it_mat.agg(*aggs).collect()[0]
             n = float(row["n"])
             grad = [float(row[f"g{i}"]) / n for i in range(k)]
             gb = float(row["gb"]) / n
