@@ -150,11 +150,25 @@ def _cindex(spark: SparkSession, sf_dir: str):
     return c
 
 
-def _tag_dict(spark: SparkSession):
+# One built TagDictionary per (session, mode), mirroring _INDEX_CACHE:
+# the dictionary is the serving artifact the reference builds once at
+# startup (the FST over the gazetteer) and every tag entry reads the
+# SAME fixed TAG_DICT constants — without this each entry re-ran the
+# dense-id assignment + analysis + collect chain per call (and stacked a
+# fresh docs_df cache entry each time).
+_TAG_DICT_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _tag_dict(spark: SparkSession, mode: str = "whole"):
     from solrtexttagger_spark.tagging.dictionary import build_tag_dictionary
 
-    names = spark.createDataFrame(TAG_DICT, "id string, name string")
-    return build_tag_dictionary(names)
+    key = (spark.sparkContext.applicationId, mode)
+    d = _TAG_DICT_CACHE.get(key)
+    if d is None:
+        names = spark.createDataFrame(TAG_DICT, "id string, name string")
+        d = build_tag_dictionary(names, mode=mode)
+        _TAG_DICT_CACHE[key] = d
+    return d
 
 
 # --- Spark queries ---
@@ -220,11 +234,9 @@ def q_tag_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tag_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-matching mode (index-time shingles, reference field type
     'tagPartial'): any word n-gram of a dictionary name tags, NO_SUB."""
-    from solrtexttagger_spark.tagging.dictionary import build_tag_dictionary
     from solrtexttagger_spark.tagging.operator import tag, translate_ids
 
-    names = spark.createDataFrame(TAG_DICT, "id string, name string")
-    d = build_tag_dictionary(names, mode="partial")
+    d = _tag_dict(spark, mode="partial")
     tags = tag(
         _docs(spark, sf_dir), d, text_col="text", id_col="doc_id",
         overlaps="NO_SUB", tags_limit=None,

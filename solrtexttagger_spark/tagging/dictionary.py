@@ -148,6 +148,11 @@ def build_tag_dictionary(
         .groupBy("term")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("doc_ids"))
     )
+    # materialize the analyzed pairs ONCE (distributed — nothing reaches
+    # the driver yet): the volume fail-fast below and the collect after
+    # it otherwise each re-run the whole analysis UDF + groupBy, doubling
+    # the build's corpus pass at gazetteer scale
+    agg = agg.localCheckpoint(eager=True)
     _check_dictionary_volume(
         agg.agg(F.coalesce(F.sum(F.size("doc_ids")), F.lit(0))).collect()[0][0],
         max_postings,

@@ -143,6 +143,16 @@ def tag_join(
     sized (bounded by |names|), far smaller than the term dictionary —
     broadcastable even when the dictionary itself is not.
     """
+    # the dictionary relation feeds up to three consumers (the max-len
+    # scalar, the first-words set, the n-gram join itself); materialize
+    # it ONCE instead of re-running the whole distributed build
+    # (dense-id assignment + analysis + groupBy) per consumer — the same
+    # multi-consumer localCheckpoint discipline as connected_components,
+    # and still never collected (this path exists for dictionaries too
+    # big to broadcast)
+    n_consumers = 1 + (max_phrase_len is None) + bool(prefix_prune)
+    if n_consumers >= 2:
+        dict_terms = dict_terms.localCheckpoint(eager=True)
     if max_phrase_len is None:
         max_phrase_len = dict_terms.agg(F.max("n_words")).collect()[0][0] or 1
     stop = frozenset(stopwords) if stopwords else None
