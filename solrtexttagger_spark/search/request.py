@@ -189,6 +189,8 @@ def _matched_relation(
         return boolean_matched_scores(
             index, [(0, text_q)], k1=k1, b=b, allowed_docs=allowed_docs,
             synonyms=synonyms, spark=spark,
+            warm_df=True,  # top-level request entry: the searcher-resident
+            # term dictionary pattern (one tiny collect, first request only)
         )
 
     if qtype in (None, "lucene", "edismax", "dismax"):
@@ -394,6 +396,7 @@ def _scored_join_inner(index, docs_df, rest, params, *, q_op, synonyms,
         raise ValueError("{!join} with a scored inner query needs an index")
     return boolean_matched_scores(
         index, [(0, rest)], k1=k1, b=b, synonyms=synonyms, spark=spark,
+        warm_df=True,  # see _scored: top-level request entry
     )
 
 
