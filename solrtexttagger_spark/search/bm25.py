@@ -140,10 +140,11 @@ def synonym_phrase_bonus(
     spark = index.postings.sparkSession
     phrase_list = sorted({toks for d in qphrases.values() for toks in d})
     pid_of = {toks: i for i, toks in enumerate(phrase_list)}
-    # top-level scorer context: warm the df cache for the constituent
-    # tokens (one tiny collect for unseen terms) so the scored phrase
-    # pass takes the windowless literal-df path
-    warm_df_cache(index, sorted({t for toks in phrase_list for t in toks}))
+    # NO implicit cache warm here: the synonym-graph batch is pinned
+    # action-free (test_plans.test_bm25_synonym_graph_plan_action_free…
+    # — the bonus relation must build lazily); the scored phrase pass
+    # takes the windowless literal-df path only when the cache already
+    # covers the constituents, else its in-DAG df window
     pm = multi_phrase_match_scored(
         index, [" ".join(t) for t in phrase_list], k1=k1, b=b
     )

@@ -269,6 +269,12 @@ def _matched_relation(
             return_only_leaf=(
                 lp.get("returnOnlyLeafNodes", "false") == "true"
             ),
+            # {!graph ... broadcast=false} releases the binding frontier
+            # broadcast hint for hub-heavy graphs whose frontier can
+            # outgrow the 8 GB broadcast cap — the same request-level
+            # opt-out the {!join} route honors (r9 verdict #1: the
+            # operator had the knob, the router route didn't expose it)
+            broadcast_frontier=lp.get("broadcast", "true") == "true",
         )
         matched = reached.select(
             F.lit(0).alias("query_id"),

@@ -173,6 +173,42 @@ class TestFilterPaths:
         assert sorted(r["doc_id"] for r in got) == [w[0] for w in want]
         assert got  # non-vacuous
 
+    def test_graph_q_broadcast_opt_out_routes_through(self, docs):
+        """{!graph ... broadcast=false} must reach
+        graph_traverse(broadcast_frontier=False) — the same
+        request-level opt-out the {!join} route honors (r9 verdict #1:
+        a hub-heavy frontier under the binding hint dies at the 8 GB
+        broadcast cap with no escape from the router). The hop-level
+        BroadcastExchange release itself is plan-pinned in
+        test_graph_query.test_broadcast_frontier_opt_out_releases_hint;
+        here we pin the routing AND that results are flag-invariant."""
+        import solrtexttagger_spark.search.request as req_mod
+        from solrtexttagger_spark.search import graph_qp
+
+        seen = {}
+        real = graph_qp.graph_traverse
+
+        def spy(*a, **kw):
+            seen["broadcast_frontier"] = kw.get("broadcast_frontier")
+            return real(*a, **kw)
+
+        graph_qp.graph_traverse = spy
+        try:
+            params = {
+                "q": "{!graph from=source to=source maxDepth=1 "
+                     "broadcast=false}{!term f=lang}zh",
+                "sort": "doc_id asc",
+                "rows": "1000",
+            }
+            off = {r["doc_id"] for r in solr_select(None, docs, params).collect()}
+            assert seen["broadcast_frontier"] is False
+            params["q"] = params["q"].replace(" broadcast=false", "")
+            on = {r["doc_id"] for r in solr_select(None, docs, params).collect()}
+            assert seen["broadcast_frontier"] is True
+        finally:
+            graph_qp.graph_traverse = real
+        assert off == on and off  # flag-invariant, non-vacuous
+
     def test_match_all(self, docs, oracle):
         got = solr_select(None, docs, {
             "q": "*:*", "fq": "lang:es", "sort": "doc_id asc",
