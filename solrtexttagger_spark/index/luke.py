@@ -87,6 +87,18 @@ def luke_field_stats(
     missing = [f for f in names if f not in docs_df.columns]
     if missing:
         raise ValueError(f"fields absent from the corpus: {missing}")
+    # the stack() expression below interpolates raw field names into SQL
+    # text and derives __n_<field>/__d_<field> aliases — a quote, space,
+    # or dot would produce a parse/analysis error downstream, so fail
+    # loudly here instead (r9 ADVICE)
+    import re as _re
+
+    bad = [f for f in names if not _re.match(r"[A-Za-z_]\w*$", f)]
+    if bad:
+        raise ValueError(
+            f"luke_field_stats needs plain identifier field names, got {bad}"
+            " — rename/alias the columns first"
+        )
     types = dict(docs_df.dtypes)
     aggs = []
     for f_ in names:

@@ -184,7 +184,12 @@ def atomic_update_tlog(
 
     ``new_version`` pins the minted version (defaults to
     max(current tlog version) + 1, one tiny aggregate — pass it
-    explicitly in loops to avoid the extra job). The current state is
+    explicitly in loops to avoid the extra job). DOCUMENTED DEVIATION
+    (r9 ADVICE): every doc in one batch shares this single minted
+    version, whereas Solr's update processor assigns a distinct
+    monotonically increasing version per document — same-batch docs are
+    indistinguishable by version here; order across BATCHES is still
+    strict. The current state is
     probe-bounded: only ids present in ``cmds`` are resolved (the same
     id-probe discipline as realtime_get, via a semi-join on the command
     ids rather than literals — the batch may be a relation, not a

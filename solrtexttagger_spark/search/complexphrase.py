@@ -97,6 +97,16 @@ def parse_complex_phrase(phrase: str, *, lowercase: bool = True
     if buf:
         toks.append("".join(buf))
     for t in toks:
+        if t.startswith("(") and not t.endswith(")"):
+            # e.g. '(john jon)~1' — a per-group suffix this parser does
+            # not support; falling through to the literal branch would
+            # look up a nonexistent term and silently match NOTHING, so
+            # fail loudly instead (r9 ADVICE)
+            raise ValueError(
+                f"unsupported group syntax {t!r} in {phrase!r}: per-group"
+                " suffixes (slop/boost on a parenthesized group) are not"
+                " supported — apply slop to the whole phrase"
+            )
         if t.startswith("(") and t.endswith(")"):
             alts = t[1:-1].split()
             if not alts:

@@ -135,7 +135,17 @@ def facet_counts(
     if missing:
         # one scan-wide aggregate: every field's null count in one row,
         # stacked to (field, NULL, n) — same one-pass discipline as the
-        # value counts (joined is the matched domain, fq included)
+        # value counts (joined is the matched domain, fq included).
+        # The stack() below interpolates raw names into SQL text — fail
+        # loudly on non-identifier field names (r9 ADVICE)
+        import re as _re
+
+        bad = [c for c in facet_cols if not _re.match(r"[A-Za-z_]\w*$", c)]
+        if bad:
+            raise ValueError(
+                "facet.missing needs plain identifier field names, got "
+                f"{bad} — rename/alias the columns first"
+            )
         aggs = [
             # coalesce: an EMPTY matched domain must still render 0
             # (sum over no rows is NULL)

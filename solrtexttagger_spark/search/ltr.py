@@ -148,10 +148,13 @@ def ltr_rerank(
     first-pass order and positions, exactly like Solr's reranker.
 
     ``ranked``: (query_id, rank, doc_id, score). Returns the same shape
-    (+ feature columns when ``keep_features`` — the debugging/
-    training-data path). One broadcast page join + one window over
-    <= N rows per query; the corpus is never rescanned and the model
-    is a single codegen'd projection."""
+    by default. ``keep_features=True`` (the debugging/training-data
+    path) returns the RERANKED HEAD ONLY, with one column per feature:
+    tail docs have no feature values to carry, so they are dropped
+    rather than padded with nulls (r9 ADVICE — the shape change is
+    deliberate and documented here). One broadcast page join + one
+    window over <= N rows per query; the corpus is never rescanned and
+    the model is a single codegen'd projection."""
     head = ranked.where(F.col("rank") <= rerank_docs)
     feats = extract_features(
         head, docs_df, features, efi=efi, id_col=id_col

@@ -911,8 +911,13 @@ def compile_stream(
         )
     if name == "train":
         # train(col, features(...), outcome=, maxIterations=, alpha=):
-        # TextLogitStream — one model tuple per GD iteration, the last
-        # carrying the post-update model classify() consumes
+        # TextLogitStream — one model tuple per GD iteration, PLUS a
+        # final (maxIterations+1)-th tuple carrying the post-update
+        # model classify() consumes; each tuple's error is the loss of
+        # the weights ENTERING that iteration. Solr's TextLogitStream
+        # emits exactly maxIterations tuples — the extra trailing tuple
+        # is this engine's documented deviation (r9 ADVICE; see
+        # textml.train_logit)
         from solrtexttagger_spark.search.textml import train_logit
 
         if len(expr.args) < 2:

@@ -250,3 +250,12 @@ class TestGroupMarkers:
         out = complex_phrase_match(
             idx, ["(zz* qq*) gamma", "alpha alps"]).collect()
         assert {r["phrase_id"] for r in out} == {1}
+
+
+def test_group_with_suffix_raises():
+    """'(john jon)~1' must raise, not fall through to the literal branch
+    and silently match a nonexistent term (r10, from r9 ADVICE)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="group syntax"):
+        parse_complex_phrase('"(john jon)~1 smith"'[1:-1])

@@ -141,3 +141,14 @@ class TestFieldStats:
     def test_unknown_field_raises(self, docs):
         with pytest.raises(ValueError, match="absent"):
             luke_field_stats(docs, ["nope"])
+
+
+def test_field_stats_rejects_non_identifier_names(docs):
+    """The stack() SQL interpolation needs plain identifiers; a quoted/
+    dotted/spaced field name must fail loudly, not with a downstream
+    parse error (r10, from r9 ADVICE)."""
+    from solrtexttagger_spark.index.luke import luke_field_stats
+
+    renamed = docs.withColumnRenamed("lang", "la ng")
+    with pytest.raises(ValueError, match="identifier"):
+        luke_field_stats(renamed, ["la ng"])
