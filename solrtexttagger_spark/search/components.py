@@ -99,6 +99,12 @@ def elevated_topk(
         if isinstance(queries, DataFrame)
         else queries_to_df(spark, queries)
     )
+    if getattr(qdf, "_stt_terms", None):
+        # top-level handler: warm unseen terms (one tiny collect) so
+        # exploded_scores takes its windowless literal-df path
+        from solrtexttagger_spark.search.bm25 import warm_df_cache
+
+        warm_df_cache(index, qdf._stt_terms)
     scores = exploded_scores(index, qdf, k1=k1, b=b, allowed_docs=allowed_docs)
     rows = [
         (int(qid), int(d), pos)

@@ -58,8 +58,15 @@ def boosted_topk(
         raise ValueError("boosted_topk needs bf= and/or boost= (else use "
                          "bm25_topk)")
     spark = spark or docs_df.sparkSession
+    qdf = queries_to_df(spark, queries)
+    if getattr(qdf, "_stt_terms", None):
+        # top-level handler: warm unseen terms (one tiny collect) so
+        # exploded_scores takes its windowless literal-df path
+        from solrtexttagger_spark.search.bm25 import warm_df_cache
+
+        warm_df_cache(index, qdf._stt_terms)
     scores = exploded_scores(
-        index, queries_to_df(spark, queries), k1=k1, b=b,
+        index, qdf, k1=k1, b=b,
         allowed_docs=allowed_docs,
     )
     cols = [F.col(id_col).alias("doc_id")]

@@ -43,6 +43,15 @@ def _scores(index, queries, k1, b, allowed_docs, spark):
         if isinstance(queries, DataFrame)
         else queries_to_df(spark or index.postings.sparkSession, queries)
     )
+    if getattr(qdf, "_stt_terms", None):
+        # top-level batch scorers (grouping/collapse/sorted entries):
+        # one tiny collect for unseen terms buys exploded_scores'
+        # windowless literal-df path for the whole batch (same pattern
+        # as bm25_topk's exploded strategy; the action-free contracts
+        # only bind the segmented cold path and embedded /select calls)
+        from solrtexttagger_spark.search.bm25 import warm_df_cache
+
+        warm_df_cache(index, qdf._stt_terms)
     return exploded_scores(index, qdf, k1=k1, b=b, allowed_docs=allowed_docs)
 
 
